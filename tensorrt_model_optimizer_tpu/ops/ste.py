@@ -1,0 +1,107 @@
+"""Straight-through-estimator wrappers for fake quantization.
+
+The reference implements STE as torch autograd Functions whose backward clips
+gradients outside +/-amax (`modelopt/torch/quantization/tensor_quant.py:291`).
+Here each fake-quant family gets a `jax.custom_vjp` with the same contract:
+
+ - static-amax formats: dL/dx = g * 1[|x| <= amax], dL/damax = 0
+   (amax is calibration state, not trained — LSQ-style learned amax adds its
+   own vjp later);
+ - dynamic-block formats (NVFP4/MX activations): scales adapt to the tensor so
+   nothing clips persistently -> identity backward
+   (`tensor_quant.py:497` DynamicBlockQuantizationFunction);
+ - `pass_through` mode: identity backward regardless (config
+   `pass_through_bwd`, reference `config.py:634`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import numerics
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fake_quant_int_ste(x, amax, num_bits=8, unsigned=False, narrow_range=False):
+    return numerics.fake_quant_int(x, amax, num_bits, unsigned, narrow_range)
+
+
+def _fqi_fwd(x, amax, num_bits, unsigned, narrow_range):
+    y = numerics.fake_quant_int(x, amax, num_bits, unsigned, narrow_range)
+    return y, (x, amax)
+
+
+def _fqi_bwd(num_bits, unsigned, narrow_range, res, g):
+    x, amax = res
+    mask = (jnp.abs(x.astype(jnp.float32)) <= amax.astype(jnp.float32)).astype(g.dtype)
+    return g * mask, jnp.zeros_like(amax)
+
+
+fake_quant_int_ste.defvjp(_fqi_fwd, _fqi_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fake_quant_fp_ste(x, amax, ebits=4, mbits=3):
+    return numerics.fake_quant_fp(x, amax, ebits, mbits)
+
+
+def _fqf_fwd(x, amax, ebits, mbits):
+    y = numerics.fake_quant_fp(x, amax, ebits, mbits)
+    return y, (x, amax)
+
+
+def _fqf_bwd(ebits, mbits, res, g):
+    x, amax = res
+    mask = (jnp.abs(x.astype(jnp.float32)) <= amax.astype(jnp.float32)).astype(g.dtype)
+    return g * mask, jnp.zeros_like(amax)
+
+
+fake_quant_fp_ste.defvjp(_fqf_fwd, _fqf_bwd)
+
+
+def _identity_bwd_wrap(fn):
+    """Wrap a fake-quant fn of (x, *static) with identity-backward STE."""
+
+    @jax.custom_vjp
+    def wrapped(x):
+        return fn(x)
+
+    def fwd(x):
+        return fn(x), None
+
+    def bwd(_, g):
+        return (g,)
+
+    wrapped.defvjp(fwd, bwd)
+    return wrapped
+
+
+def fake_quant_nvfp4_ste(
+    x: jax.Array,
+    block_size: int = 16,
+    global_amax: Optional[jax.Array] = None,
+    axis: int = -1,
+) -> jax.Array:
+    """NVFP4 fake quant with identity STE backward (dynamic block scales)."""
+    fn = _identity_bwd_wrap(
+        lambda t: numerics.fake_quant_nvfp4(t, block_size, global_amax, axis)
+    )
+    return fn(x)
+
+
+def fake_quant_mx_ste(
+    x: jax.Array, ebits: int, mbits: int, block_size: int = 32, axis: int = -1
+) -> jax.Array:
+    fn = _identity_bwd_wrap(
+        lambda t: numerics.fake_quant_mx(t, ebits, mbits, block_size, axis)
+    )
+    return fn(x)
+
+
+def pass_through(fn, x):
+    """Apply `fn` forward with identity backward (pass_through_bwd mode)."""
+    return _identity_bwd_wrap(fn)(x)
