@@ -1,0 +1,16 @@
+from .config import (  # noqa: F401
+    PRESETS,
+    QuantizeConfig,
+    choices,
+    get_preset,
+    make_config,
+)
+from .quantizer import (  # noqa: F401
+    DISABLED,
+    QuantizerConfig,
+    QuantizerState,
+    amax_shape,
+    collect,
+    init_state,
+    quantize,
+)

@@ -1,0 +1,180 @@
+"""Quantizer config/state/forward tests (TensorQuantizer-equivalent coverage)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.ops import numerics
+from tensorrt_model_optimizer_tpu.quant import (
+    DISABLED,
+    QuantizerConfig,
+    amax_shape,
+    collect,
+    get_preset,
+    init_state,
+    make_config,
+    quantize,
+)
+from tensorrt_model_optimizer_tpu.quant import config as qconfig
+
+
+class TestAmaxShape:
+    def test_per_tensor(self):
+        assert amax_shape(QuantizerConfig(num_bits=8), (4, 16)) == ()
+
+    def test_per_channel(self):
+        assert amax_shape(QuantizerConfig(num_bits=8, axis=(0,)), (4, 16)) == (4, 1)
+
+    def test_block(self):
+        cfg = qconfig.INT4_PER_BLOCK_128
+        assert amax_shape(cfg, (32, 256)) == (32, 2)
+
+    def test_dynamic_no_state(self):
+        assert amax_shape(qconfig.FP8_PER_TOKEN_DYNAMIC, (2, 3, 8)) is None
+
+    def test_nvfp4_keeps_global(self):
+        assert amax_shape(qconfig.NVFP4_BLOCK16, (4, 64)) == ()
+
+    def test_disabled(self):
+        assert amax_shape(DISABLED, (4,)) is None
+
+
+class TestCollectQuantize:
+    def test_max_collect_running(self):
+        cfg = QuantizerConfig(num_bits=8)
+        st = init_state(cfg, (4,))
+        st = collect(jnp.array([1.0, -3.0, 2.0, 0.0]), cfg, st)
+        assert float(st.amax) == 3.0
+        st = collect(jnp.array([5.0, 0.0, 0.0, 0.0]), cfg, st)
+        assert float(st.amax) == 5.0
+
+    def test_per_channel_collect(self):
+        cfg = QuantizerConfig(num_bits=8, axis=(0,))
+        x = jnp.asarray(np.array([[1.0, -4.0], [2.0, 0.5]], np.float32))
+        st = collect(x, cfg, init_state(cfg, x.shape))
+        np.testing.assert_allclose(np.asarray(st.amax), [[4.0], [2.0]])
+
+    def test_quantize_matches_numerics(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+        cfg = QuantizerConfig(num_bits=8)
+        st = collect(x, cfg, init_state(cfg, x.shape))
+        y = quantize(x, cfg, st)
+        ref = numerics.fake_quant_int(x, st.amax, 8)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref))
+
+    def test_dynamic_per_token(self):
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 3, 16)).astype(np.float32))
+        y = quantize(x, qconfig.FP8_PER_TOKEN_DYNAMIC, None)
+        # each token's max must be representable exactly (maps to 448 grid point)
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_nvfp4_site(self):
+        x = jnp.asarray(np.random.default_rng(2).normal(size=(4, 64)).astype(np.float32))
+        cfg = qconfig.NVFP4_BLOCK16
+        st = collect(x, cfg, init_state(cfg, x.shape))
+        assert st.amax.shape == ()
+        y = quantize(x, cfg, st)
+        ref = numerics.fake_quant_nvfp4(x, 16, st.amax)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref))
+
+    def test_sequential_w4a8(self):
+        x = jnp.asarray(np.random.default_rng(3).normal(size=(8, 128)).astype(np.float32))
+        cfg = qconfig.W4A8_SEQUENTIAL
+        sub0, sub1 = cfg.sequential
+        st = init_state(sub0, x.shape)
+        st = collect(x, sub0, st)
+        # sequential quantize: int4-block fake quant then fp8 — here int4 state
+        # drives both (fp8 per-tensor re-derives from the same amax)
+        st1 = collect(x, sub1, init_state(sub1, x.shape))
+        y = quantize(x, cfg.replace(sequential=(sub0.replace(), sub1.replace())), st)
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_constant_amax_cast_mode(self):
+        cfg = qconfig.FP8_KV_CAST
+        st = init_state(cfg, (4,))
+        assert float(st.amax) == 448.0
+        st2 = collect(jnp.array([1000.0, 0, 0, 0]), cfg, st)
+        assert float(st2.amax) == 448.0  # collect is a no-op
+        y = quantize(jnp.array([500.0]), cfg, st2)
+        assert float(y[0]) == 448.0
+
+    def test_disabled_identity(self):
+        x = jnp.ones((4,))
+        np.testing.assert_array_equal(np.asarray(quantize(x, DISABLED, None)), np.asarray(x))
+
+    def test_pre_quant_scale(self):
+        cfg = QuantizerConfig(num_bits=8, pre_quant_scale=True)
+        x = jnp.ones((2, 4))
+        st = init_state(cfg, x.shape)
+        st = st.replace(pre_quant_scale=jnp.full((4,), 2.0), amax=jnp.asarray(2.0))
+        y = quantize(x, cfg, st)
+        # scale*x quantized then unscaled -> still ~1
+        np.testing.assert_allclose(np.asarray(y), np.ones((2, 4)), rtol=0.01)
+
+    def test_state_is_pytree(self):
+        cfg = QuantizerConfig(num_bits=8)
+        st = collect(jnp.ones((4,)), cfg, init_state(cfg, (4,)))
+        leaves = jax.tree_util.tree_leaves(st)
+        assert len(leaves) == 1
+
+    def test_collect_inside_jit(self):
+        cfg = QuantizerConfig(num_bits=8, axis=(0,))
+
+        @jax.jit
+        def step(x, st):
+            return collect(x, cfg, st)
+
+        x = jnp.ones((4, 8))
+        st = step(x, init_state(cfg, (4, 8)))
+        np.testing.assert_allclose(np.asarray(st.amax), np.ones((4, 1)))
+
+
+class TestConfigResolution:
+    def test_preset_lookup(self):
+        cfg = get_preset("FP8_DEFAULT_CFG")
+        w = cfg.resolve("model.layers.0.self_attn.q_proj.weight_quantizer")
+        assert w.num_bits == (4, 3) and w.enable
+
+    def test_lm_head_disabled(self):
+        cfg = get_preset("FP8_DEFAULT_CFG")
+        assert not cfg.resolve("lm_head.weight_quantizer").enable
+
+    def test_kv_rules_override(self):
+        cfg = get_preset("NVFP4_KV_CFG")
+        k = cfg.resolve("model.layers.0.self_attn.k_bmm_quantizer")
+        assert k.enable and k.num_bits == (2, 1)
+
+    def test_order_last_wins(self):
+        cfg = make_config({
+            "*weight_quantizer": {"num_bits": 8},
+            "*q_proj.weight_quantizer": {"enable": False},
+        })
+        assert cfg.resolve("x.q_proj.weight_quantizer") is DISABLED
+        assert cfg.resolve("x.k_proj.weight_quantizer").enable
+
+    def test_effective_bits(self):
+        assert qconfig.NVFP4_BLOCK16.fake_bits == pytest.approx(4.5)
+        assert qconfig.INT8_PER_CHANNEL.fake_bits == 8.0
+        assert qconfig.W4A8_SEQUENTIAL.fake_bits == pytest.approx(4.0)
+
+    def test_reference_dict_coercion(self):
+        cfg = make_config({
+            "*weight_quantizer": {"num_bits": 4, "block_sizes": {-1: 128}},
+            "*input_quantizer": {"enable": False},
+        }, algorithm={"method": "awq_lite"})
+        w = cfg.resolve("a.weight_quantizer")
+        assert w.num_bits == 4 and w.block.sizes == ((-1, 128),)
+
+    def test_all_presets_resolve(self):
+        for name in qconfig.choices():
+            cfg = get_preset(name)
+            for site in [
+                "model.layers.3.mlp.down_proj.weight_quantizer",
+                "model.layers.3.mlp.down_proj.input_quantizer",
+                "model.layers.3.self_attn.k_bmm_quantizer",
+                "lm_head.weight_quantizer",
+            ]:
+                c = cfg.resolve(site)
+                assert isinstance(c, QuantizerConfig)
