@@ -1,0 +1,511 @@
+"""Llama-family model: functional pytree params + quantizer injection.
+
+TPU-first redesign of the reference's model handling: instead of swapping
+nn.Modules for QuantModules (`quantization/conversion.py:213`), the model is a
+pure function over a params pytree with *quantization sites* threaded through
+it. A site is named like the reference's quantizer attributes
+(`model.layers.{i}.self_attn.q_proj.weight_quantizer`) so preset wildcards
+apply unchanged; its config is static and its state is a pytree carried
+through `lax.scan` (stacked across layers).
+
+Weights are stored in the reference's [out, in] layout (y = x @ W^T) so all
+quant-axis semantics carry over: axis=(0,) = per-output-channel, block
+{-1: B} = input-dim blocks (`config.py:400` block_sizes semantics).
+
+Parallelism: one `jax.sharding.Mesh` with axes (data, tensor). Weight
+PartitionSpecs implement megatron-style column/row parallel; because amax
+reductions happen inside jit over sharded tensors, GSPMD inserts the
+all-reduce-MAX collectives automatically — the TP-axis-dependent sync rules
+of `model_calib.py:408-498` fall out of the sharding instead of being
+hand-coded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..quant import QuantizeConfig, QuantizerConfig, QuantizerState
+from ..quant import quantizer as Q
+
+Params = dict
+QuantState = dict
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_hidden_layers: int = 22
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 4
+    head_dim: Optional[int] = None
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+    max_position_embeddings: int = 4096
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        """A tiny config for tests (mirrors the reference's tiny-llama fixture)."""
+        base = dict(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=128,
+            dtype=jnp.float32,
+        )
+        base.update(kw)
+        return LlamaConfig(**base)
+
+    @staticmethod
+    def llama3_8b(**kw) -> "LlamaConfig":
+        base = dict(
+            vocab_size=128256,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            rope_theta=500000.0,
+            max_position_embeddings=8192,
+        )
+        base.update(kw)
+        return LlamaConfig(**base)
+
+    @staticmethod
+    def llama3_70b(**kw) -> "LlamaConfig":
+        base = dict(
+            vocab_size=128256,
+            hidden_size=8192,
+            intermediate_size=28672,
+            num_hidden_layers=80,
+            num_attention_heads=64,
+            num_key_value_heads=8,
+            rope_theta=500000.0,
+            max_position_embeddings=8192,
+        )
+        base.update(kw)
+        return LlamaConfig(**base)
+
+
+# Per-layer projection shapes, [out, in]
+def _layer_shapes(cfg: LlamaConfig) -> dict[str, tuple[int, int]]:
+    h, hd = cfg.hidden_size, cfg.hd
+    return {
+        "self_attn.q_proj": (cfg.num_attention_heads * hd, h),
+        "self_attn.k_proj": (cfg.num_key_value_heads * hd, h),
+        "self_attn.v_proj": (cfg.num_key_value_heads * hd, h),
+        "self_attn.o_proj": (h, cfg.num_attention_heads * hd),
+        "mlp.gate_proj": (cfg.intermediate_size, h),
+        "mlp.up_proj": (cfg.intermediate_size, h),
+        "mlp.down_proj": (h, cfg.intermediate_size),
+    }
+
+
+PROJ_NAMES = (
+    "self_attn.q_proj",
+    "self_attn.k_proj",
+    "self_attn.v_proj",
+    "self_attn.o_proj",
+    "mlp.gate_proj",
+    "mlp.up_proj",
+    "mlp.down_proj",
+)
+BMM_NAMES = ("self_attn.k_bmm", "self_attn.v_bmm")
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
+    """Random init (for tests/benches; real weights come from HF safetensors)."""
+    keys = jax.random.split(key, 16)
+    h = cfg.hidden_size
+    L = cfg.num_hidden_layers
+    shapes = _layer_shapes(cfg)
+
+    def winit(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(cfg.dtype)
+
+    layers: dict[str, Any] = {
+        "input_layernorm": jnp.ones((L, h), cfg.dtype),
+        "post_attention_layernorm": jnp.ones((L, h), cfg.dtype),
+    }
+    for i, name in enumerate(PROJ_NAMES):
+        o, inp = shapes[name]
+        layers[name] = winit(jax.random.fold_in(keys[0], i), (L, o, inp), inp)
+    params: Params = {
+        "embed_tokens": winit(keys[1], (cfg.vocab_size, h), h),
+        "layers": layers,
+        "norm": jnp.ones((h,), cfg.dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = winit(keys[2], (cfg.vocab_size, h), h)
+    return params
+
+
+# --------------------------------------------------------------------------
+# Sharding
+# --------------------------------------------------------------------------
+
+
+def param_specs(cfg: LlamaConfig) -> Params:
+    """PartitionSpecs: megatron-style column/row parallel over axis 'tensor'.
+
+    q/k/v/gate/up are column-parallel (out dim sharded); o/down are
+    row-parallel (in dim sharded). Stacked layer dim is unsharded.
+    """
+    col = P(None, "tensor", None)
+    row = P(None, None, "tensor")
+    return {
+        "embed_tokens": P("tensor", None),
+        "layers": {
+            "input_layernorm": P(None, None),
+            "post_attention_layernorm": P(None, None),
+            "self_attn.q_proj": col,
+            "self_attn.k_proj": col,
+            "self_attn.v_proj": col,
+            "self_attn.o_proj": row,
+            "mlp.gate_proj": col,
+            "mlp.up_proj": col,
+            "mlp.down_proj": row,
+        },
+        "norm": P(None),
+        **({} if cfg.tie_word_embeddings else {"lm_head": P("tensor", None)}),
+    }
+
+
+# --------------------------------------------------------------------------
+# Quantization layout: site name -> config; state pytree stacked over layers
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantLayout:
+    """Resolved per-site quantizer configs (uniform across layers).
+
+    `sites` maps short site keys ("self_attn.q_proj.weight") to configs.
+    Built by matching the full reference-style names
+    ("model.layers.0.self_attn.q_proj.weight_quantizer") against a
+    QuantizeConfig's wildcard rules.
+    """
+
+    sites: tuple[tuple[str, QuantizerConfig], ...]
+
+    def get(self, key: str) -> QuantizerConfig:
+        for k, v in self.sites:
+            if k == key:
+                return v
+        return Q.DISABLED
+
+    def as_dict(self) -> dict[str, QuantizerConfig]:
+        return dict(self.sites)
+
+
+def build_layout(cfg: LlamaConfig, qcfg: QuantizeConfig) -> QuantLayout:
+    sites = {}
+    for name in PROJ_NAMES:
+        full = f"model.layers.0.{name}"
+        sites[f"{name}.weight"] = qcfg.resolve(f"{full}.weight_quantizer")
+        sites[f"{name}.input"] = qcfg.resolve(f"{full}.input_quantizer")
+        sites[f"{name}.output"] = qcfg.resolve(f"{full}.output_quantizer")
+    for name in BMM_NAMES:
+        sites[name] = qcfg.resolve(f"model.layers.0.{name}_quantizer")
+    sites["lm_head.weight"] = qcfg.resolve("lm_head.weight_quantizer")
+    sites["lm_head.input"] = qcfg.resolve("lm_head.input_quantizer")
+    return QuantLayout(sites=tuple(sites.items()))
+
+
+def init_quant_state(cfg: LlamaConfig, layout: QuantLayout) -> QuantState:
+    """Quantizer state pytree; per-layer sites get a stacked leading L dim."""
+    L = cfg.num_hidden_layers
+    shapes = _layer_shapes(cfg)
+    h, hd = cfg.hidden_size, cfg.hd
+
+    def stacked(site_cfg: QuantizerConfig, shape) -> QuantizerState:
+        st = Q.init_state(site_cfg, shape)
+        return jax.tree.map(lambda a: jnp.broadcast_to(a, (L,) + a.shape).copy(), st)
+
+    state: QuantState = {}
+    for name in PROJ_NAMES:
+        o, inp = shapes[name]
+        wcfg = layout.get(f"{name}.weight")
+        icfg = layout.get(f"{name}.input")
+        sub = {}
+        if wcfg.enable:
+            sub["weight"] = stacked(wcfg, (o, inp))
+        if icfg.enable:
+            sub["input"] = stacked(icfg, (1, 1, inp))
+        if sub:
+            state[name] = sub
+    for name in BMM_NAMES:
+        bcfg = layout.get(name)
+        if bcfg.enable:
+            # KV site shape: [B, T, n_kv, hd] — amax per-tensor or per-head
+            state[name] = stacked(bcfg, (1, 1, cfg.num_key_value_heads, hd))
+    lw = layout.get("lm_head.weight")
+    if lw.enable:
+        state["lm_head.weight"] = Q.init_state(lw, (cfg.vocab_size, h))
+    return state
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding; x: [B, T, n, hd], positions: [B, T]."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = jnp.exp(
+        -math.log(theta) * jnp.arange(0, half, dtype=jnp.float32) / half
+    )
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, half]
+    cos = jnp.cos(angles)[..., None, :]
+    sin = jnp.sin(angles)[..., None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    y1 = x1 * cos - x2 * sin
+    y2 = x2 * cos + x1 * sin
+    return jnp.concatenate([y1.astype(x.dtype), y2.astype(x.dtype)], axis=-1)
+
+
+def _qsite(x, site_cfg: QuantizerConfig, st, calib: bool):
+    """Quantize (and optionally collect) at one site. Returns (y, new_state)."""
+    if not site_cfg.enable:
+        return x, st
+    if calib:
+        st = Q.collect(x, site_cfg, st if st is not None else QuantizerState())
+        return x, st  # calibration runs unquantized (max_calibrate semantics)
+    return Q.quantize(x, site_cfg, st), st
+
+
+def _linear(x, w, name, layout: QuantLayout, lstate, calib):
+    """Quantized linear: y = q_in(x) @ q_w(w)^T (QuantLinear.forward analog)."""
+    wcfg = layout.get(f"{name}.weight")
+    icfg = layout.get(f"{name}.input")
+    sub = dict(lstate.get(name, {})) if lstate is not None else {}
+    x, ist = _qsite(x, icfg, sub.get("input"), calib)
+    if ist is not None:
+        sub["input"] = ist
+    w_eff = w
+    if wcfg.enable:
+        wst = sub.get("weight")
+        if calib:
+            # weight stats are collected directly (weight_only path in
+            # max_calibrate, `model_calib.py:187`)
+            wst = Q.collect(w, wcfg, wst if wst is not None else QuantizerState())
+            sub["weight"] = wst
+        else:
+            w_eff = Q.quantize(w, wcfg, wst)
+    y = x @ w_eff.T.astype(x.dtype)
+    return y, (sub if sub else None)
+
+
+def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib):
+    h, hd = cfg.hidden_size, cfg.hd
+    nH, nKV = cfg.num_attention_heads, cfg.num_key_value_heads
+    B, T, _ = x.shape
+    new_state = {}
+
+    q, s = _linear(x, lp["self_attn.q_proj"], "self_attn.q_proj", layout, lstate, calib)
+    if s: new_state["self_attn.q_proj"] = s
+    k, s = _linear(x, lp["self_attn.k_proj"], "self_attn.k_proj", layout, lstate, calib)
+    if s: new_state["self_attn.k_proj"] = s
+    v, s = _linear(x, lp["self_attn.v_proj"], "self_attn.v_proj", layout, lstate, calib)
+    if s: new_state["self_attn.v_proj"] = s
+
+    q = q.reshape(B, T, nH, hd)
+    k = k.reshape(B, T, nKV, hd)
+    v = v.reshape(B, T, nKV, hd)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+
+    # KV-cache quantizers (the reference's *_bmm_quantizer sites,
+    # `plugins/huggingface.py:78`): applied to k/v post-rope, pre-cache.
+    kcfg = layout.get("self_attn.k_bmm")
+    vcfg = layout.get("self_attn.v_bmm")
+    k, kst = _qsite(k, kcfg, (lstate or {}).get("self_attn.k_bmm"), calib)
+    if kst is not None:
+        new_state["self_attn.k_bmm"] = kst
+    v, vst = _qsite(v, vcfg, (lstate or {}).get("self_attn.v_bmm"), calib)
+    if vst is not None:
+        new_state["self_attn.v_bmm"] = vst
+
+    new_cache = None
+    if cache_kv is not None:
+        ck, cv, cache_pos = cache_kv
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_pos, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_pos, axis=1)
+        k_all, v_all = ck, cv
+        new_cache = (ck, cv)
+    else:
+        k_all, v_all = k, v
+
+    # GQA: repeat kv heads
+    rep = nH // nKV
+    k_all = jnp.repeat(k_all, rep, axis=2)
+    v_all = jnp.repeat(v_all, rep, axis=2)
+
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k_all, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd)
+    scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all)
+    ctx = ctx.reshape(B, T, nH * hd)
+
+    out, s = _linear(ctx, lp["self_attn.o_proj"], "self_attn.o_proj", layout, lstate, calib)
+    if s: new_state["self_attn.o_proj"] = s
+    return out, new_state, new_cache
+
+
+def _mlp(x, lp, lstate, layout, calib):
+    new_state = {}
+    g, s = _linear(x, lp["mlp.gate_proj"], "mlp.gate_proj", layout, lstate, calib)
+    if s: new_state["mlp.gate_proj"] = s
+    u, s = _linear(x, lp["mlp.up_proj"], "mlp.up_proj", layout, lstate, calib)
+    if s: new_state["mlp.up_proj"] = s
+    y = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    d, s = _linear(y, lp["mlp.down_proj"], "mlp.down_proj", layout, lstate, calib)
+    if s: new_state["mlp.down_proj"] = s
+    return d, new_state
+
+
+def _decoder_layer(cfg, layout, calib, x, lp, lstate, positions, mask, cache_kv):
+    h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    attn, st_a, new_cache = _attention(
+        cfg, h, lp, lstate, layout, positions, mask, cache_kv, calib
+    )
+    x = x + attn
+    h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    mlp_out, st_m = _mlp(h, lp, lstate, layout, calib)
+    x = x + mlp_out
+    new_state = {**st_a, **st_m}
+    return x, new_state, new_cache
+
+
+def forward(
+    cfg: LlamaConfig,
+    params: Params,
+    tokens: jax.Array,
+    *,
+    layout: Optional[QuantLayout] = None,
+    qstate: Optional[QuantState] = None,
+    calib: bool = False,
+    cache: Optional[dict] = None,
+    positions: Optional[jax.Array] = None,
+):
+    """Forward pass.
+
+    Returns (logits, new_qstate, new_cache). `layout=None` -> plain bf16
+    model. `calib=True` -> run unquantized while collecting amax into qstate.
+    `cache` is a dict {"k": [L,B,S,nKV,hd], "v": ..., "pos": scalar} for
+    incremental decoding.
+    """
+    if layout is None:
+        layout = QuantLayout(sites=())
+    B, T = tokens.shape
+    if positions is None:
+        start = cache["pos"] if cache is not None else 0
+        positions = start + jnp.arange(T)[None, :].astype(jnp.int32)
+        positions = jnp.broadcast_to(positions, (B, T))
+
+    x = params["embed_tokens"][tokens].astype(cfg.dtype)
+
+    # Causal mask. With a cache, queries attend to cache[0:pos+T].
+    if cache is not None:
+        S = cache["k"].shape[2]
+        kpos = jnp.arange(S)[None, :]
+        qpos = positions[0][:, None]
+        mask = jnp.where(kpos <= qpos, 0.0, -1e9)[None, None, :, :].astype(jnp.float32)
+    else:
+        mask = jnp.where(
+            jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e9
+        )[None, None, :, :].astype(jnp.float32)
+
+    # Per-layer qstate is stacked [L, ...]; scan over layers carries hidden
+    # state and emits updated per-layer quant state.
+    layer_params = params["layers"]
+    L = cfg.num_hidden_layers
+
+    def scan_body(carry, per_layer):
+        x = carry
+        lp, lstate, ck, cv = per_layer
+        cache_kv = (ck, cv, cache["pos"]) if cache is not None else None
+        x, new_state, new_cache = _decoder_layer(
+            cfg, layout, calib, x, lp, lstate, positions, mask, cache_kv
+        )
+        ys = (new_state, new_cache[0] if new_cache else ck, new_cache[1] if new_cache else cv)
+        return x, ys
+
+    lstate_stacked = qstate if qstate else None
+    per_layer_state = _strip_global(lstate_stacked)
+    ck = cache["k"] if cache is not None else jnp.zeros((L, 0), cfg.dtype)
+    cv = cache["v"] if cache is not None else jnp.zeros((L, 0), cfg.dtype)
+    xs = (layer_params, per_layer_state, ck, cv)
+    x, (new_lstate, new_ck, new_cv) = jax.lax.scan(scan_body, x, xs)
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head_w = params.get("lm_head", params["embed_tokens"])
+    new_qstate = dict(new_lstate) if new_lstate else {}
+    lw_cfg = layout.get("lm_head.weight")
+    lstate_global = (qstate or {}).get("lm_head.weight")
+    if lw_cfg.enable:
+        if calib:
+            new_qstate["lm_head.weight"] = Q.collect(
+                head_w, lw_cfg, lstate_global or QuantizerState()
+            )
+        else:
+            head_w = Q.quantize(head_w, lw_cfg, lstate_global)
+            new_qstate["lm_head.weight"] = lstate_global
+    logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
+
+    new_cache = None
+    if cache is not None:
+        new_cache = {"k": new_ck, "v": new_cv, "pos": cache["pos"] + T}
+    return logits, (new_qstate if (calib or qstate) else None), new_cache
+
+
+def _strip_global(qstate):
+    """Drop non-layer (global) sites so scan xs only carry stacked leaves."""
+    if not qstate:
+        return None
+    return {k: v for k, v in qstate.items() if not k.startswith("lm_head")} or None
+
+
+def merge_qstate(per_layer: Optional[dict], global_sites: Optional[dict]) -> dict:
+    out = dict(per_layer or {})
+    for k, v in (global_sites or {}).items():
+        if k.startswith("lm_head"):
+            out[k] = v
+    return out
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=None) -> dict:
+    dtype = dtype or cfg.dtype
+    L = cfg.num_hidden_layers
+    shape = (L, batch, max_len, cfg.num_key_value_heads, cfg.hd)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "pos": jnp.asarray(0, jnp.int32),
+    }

@@ -214,8 +214,16 @@ def fake_quant_fp(
 # --------------------------------------------------------------------------
 
 
-def _normalize_axes(sizes: Sequence[tuple[int, int]], ndim: int) -> list[tuple[int, int]]:
-    return sorted(((ax % ndim, bs) for ax, bs in sizes))
+def _normalize_axes(sizes, ndim: int, shape: Optional[Sequence[int]] = None):
+    """Resolve negative axes; clamp block size to the axis dim (a 128-block
+    over a 64-wide tiny-model axis degrades to per-axis, like the reference)."""
+    out = []
+    for ax, bs in sizes:
+        ax = ax % ndim
+        if shape is not None:
+            bs = min(bs, shape[ax])
+        out.append((ax, bs))
+    return sorted(out)
 
 
 def block_reduce_amax(x: jax.Array, sizes: Sequence[tuple[int, int]]) -> jax.Array:
@@ -224,7 +232,7 @@ def block_reduce_amax(x: jax.Array, sizes: Sequence[tuple[int, int]]) -> jax.Arr
     `sizes` is ((axis, block_size), ...). Axes must divide evenly (callers pad
     if needed — weights in supported models always divide).
     """
-    norm = _normalize_axes(sizes, x.ndim)
+    norm = _normalize_axes(sizes, x.ndim, x.shape)
     shape = []
     reduce_axes = []
     axmap = dict(norm)
@@ -247,7 +255,7 @@ def block_reduce_amax(x: jax.Array, sizes: Sequence[tuple[int, int]]) -> jax.Arr
 
 def block_amax_compact(x: jax.Array, sizes: Sequence[tuple[int, int]]) -> jax.Array:
     """Per-block amax in compact form: blocked axes divided by block size."""
-    norm = _normalize_axes(sizes, x.ndim)
+    norm = _normalize_axes(sizes, x.ndim, x.shape)
     shape = []
     reduce_axes = []
     axmap = dict(norm)
@@ -265,7 +273,7 @@ def block_amax_compact(x: jax.Array, sizes: Sequence[tuple[int, int]]) -> jax.Ar
 
 def expand_block_scale(scale: jax.Array, x_shape: Sequence[int], sizes) -> jax.Array:
     """Expand a compact per-block scale to x_shape by repeating blocks."""
-    norm = _normalize_axes(sizes, len(x_shape))
+    norm = _normalize_axes(sizes, len(x_shape), x_shape)
     axmap = dict(norm)
     out = scale
     for ax, bs in norm:

@@ -145,7 +145,7 @@ def amax_shape(cfg: QuantizerConfig, x_shape: tuple[int, ...]) -> Optional[tuple
     if cfg.constant_amax is not None:
         return ()
     if cfg.block is not None and cfg.block.sizes:
-        norm = [(a % len(x_shape), b) for a, b in cfg.block.sizes]
+        norm = [(a % len(x_shape), min(b, x_shape[a % len(x_shape)])) for a, b in cfg.block.sizes]
         axmap = dict(norm)
         return tuple(
             d // axmap[i] if i in axmap else d for i, d in enumerate(x_shape)
@@ -158,7 +158,11 @@ def amax_shape(cfg: QuantizerConfig, x_shape: tuple[int, ...]) -> Optional[tuple
 
 def init_state(cfg: QuantizerConfig, x_shape: tuple[int, ...]) -> QuantizerState:
     if cfg.sequential:
-        raise ValueError("init_state on sequential parent; init children")
+        # Sequential (W4A8-style): amax is a tuple of per-child amaxes
+        # (reference SequentialQuantizer keeps independent quantizers).
+        children = [init_state(c, x_shape) for c in cfg.sequential]
+        amaxes = tuple(c.amax for c in children)
+        return QuantizerState(amax=amaxes if any(a is not None for a in amaxes) else None)
     if not cfg.enable:
         return QuantizerState()
     shp = amax_shape(cfg, x_shape)
@@ -204,6 +208,13 @@ def collect(x: jax.Array, cfg: QuantizerConfig, state: QuantizerState) -> Quanti
     """Max-calibrator collect: running max into state.amax (pure)."""
     if not cfg.enable or cfg.constant_amax is not None:
         return state
+    if cfg.sequential:
+        old = state.amax if isinstance(state.amax, tuple) else (None,) * len(cfg.sequential)
+        new = []
+        for sub, prev in zip(cfg.sequential, old):
+            cs = collect(x, sub, QuantizerState(amax=prev))
+            new.append(cs.amax)
+        return state.replace(amax=tuple(new))
     la = local_amax(x, cfg)
     if la is None:
         return state
@@ -240,8 +251,10 @@ def quantize(
 ) -> jax.Array:
     """Fake-quantize `x` per the config (the TensorQuantizer forward).
 
-    Order matches `tensor_quantizer.py:1119`: pre_quant_scale multiply, then
-    format-specific fake quant with STE gradients.
+    Order matches `tensor_quantizer.py:1119`: pre_quant_scale multiply (the
+    scaled tensor is what flows onward — SmoothQuant/AWQ fold the inverse
+    scale into the *weights* during calibration, `model_calib.py:1274`),
+    then format-specific fake quant with STE gradients.
     """
     if not cfg.enable:
         return x
@@ -251,15 +264,12 @@ def quantize(
         x = x * state.pre_quant_scale.astype(x.dtype)
 
     if cfg.sequential:
-        for sub in cfg.sequential:
-            x = quantize(x, sub, state)
+        amaxes = state.amax if isinstance(state.amax, tuple) else (None,) * len(cfg.sequential)
+        for sub, am in zip(cfg.sequential, amaxes):
+            x = _fake_quant_dispatch(x, sub, QuantizerState(amax=am)) if sub.enable else x
         return x
 
-    y = _fake_quant_dispatch(x, cfg, state)
-
-    if state.pre_quant_scale is not None:
-        y = y / state.pre_quant_scale.astype(y.dtype)
-    return y
+    return _fake_quant_dispatch(x, cfg, state)
 
 
 def _fake_quant_dispatch(x, cfg: QuantizerConfig, state: QuantizerState):

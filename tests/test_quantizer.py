@@ -110,8 +110,8 @@ class TestCollectQuantize:
         st = init_state(cfg, x.shape)
         st = st.replace(pre_quant_scale=jnp.full((4,), 2.0), amax=jnp.asarray(2.0))
         y = quantize(x, cfg, st)
-        # scale*x quantized then unscaled -> still ~1
-        np.testing.assert_allclose(np.asarray(y), np.ones((2, 4)), rtol=0.01)
+        # scaled tensor flows onward (inverse scale lives in the weights)
+        np.testing.assert_allclose(np.asarray(y), np.full((2, 4), 2.0), rtol=0.01)
 
     def test_state_is_pytree(self):
         cfg = QuantizerConfig(num_bits=8)
