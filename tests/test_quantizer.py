@@ -82,14 +82,15 @@ class TestCollectQuantize:
     def test_sequential_w4a8(self):
         x = jnp.asarray(np.random.default_rng(3).normal(size=(8, 128)).astype(np.float32))
         cfg = qconfig.W4A8_SEQUENTIAL
-        sub0, sub1 = cfg.sequential
-        st = init_state(sub0, x.shape)
-        st = collect(x, sub0, st)
-        # sequential quantize: int4-block fake quant then fp8 — here int4 state
-        # drives both (fp8 per-tensor re-derives from the same amax)
-        st1 = collect(x, sub1, init_state(sub1, x.shape))
-        y = quantize(x, cfg.replace(sequential=(sub0.replace(), sub1.replace())), st)
+        st = init_state(cfg, x.shape)
+        assert isinstance(st.amax, tuple) and len(st.amax) == 2
+        st = collect(x, cfg, st)
+        # child 0: int4 per-block amax; child 1: fp8 per-tensor amax
+        assert st.amax[0].shape == (8, 1)
+        assert st.amax[1].shape == ()
+        y = quantize(x, cfg, st)
         assert np.all(np.isfinite(np.asarray(y)))
+        assert not np.allclose(np.asarray(y), np.asarray(x))
 
     def test_constant_amax_cast_mode(self):
         cfg = qconfig.FP8_KV_CAST
