@@ -291,7 +291,7 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 
 def _qsite(x, site_cfg: QuantizerConfig, st, calib: bool):
     """Quantize (and optionally collect) at one site. Returns (y, new_state)."""
-    if not site_cfg.enable:
+    if not site_cfg.enable and st is None:
         return x, st
     if calib:
         st = Q.collect(x, site_cfg, st if st is not None else QuantizerState())
@@ -375,7 +375,7 @@ def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib):
 
     out, s = _linear(ctx, lp["self_attn.o_proj"], "self_attn.o_proj", layout, lstate, calib)
     if s: new_state["self_attn.o_proj"] = s
-    return out, new_state, new_cache
+    return out, new_state, new_cache, ctx
 
 
 def _mlp(x, lp, lstate, layout, calib):
@@ -387,20 +387,40 @@ def _mlp(x, lp, lstate, layout, calib):
     y = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
     d, s = _linear(y, lp["mlp.down_proj"], "mlp.down_proj", layout, lstate, calib)
     if s: new_state["mlp.down_proj"] = s
-    return d, new_state
+    return d, new_state, y
 
 
-def _decoder_layer(cfg, layout, calib, x, lp, lstate, positions, mask, cache_kv):
+def _decoder_layer(
+    cfg, layout, calib, x, lp, lstate, positions, mask, cache_kv, capture_tokens=0
+):
+    captures = {}
     h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    attn, st_a, new_cache = _attention(
+    if capture_tokens:
+        captures["attn_in"] = _grab(h, capture_tokens)
+    attn, st_a, new_cache, o_in = _attention(
         cfg, h, lp, lstate, layout, positions, mask, cache_kv, calib
     )
+    if capture_tokens:
+        captures["o_in"] = _grab(o_in, capture_tokens)
     x = x + attn
     h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    mlp_out, st_m = _mlp(h, lp, lstate, layout, calib)
+    if capture_tokens:
+        captures["mlp_in"] = _grab(h, capture_tokens)
+    mlp_out, st_m, down_in = _mlp(h, lp, lstate, layout, calib)
+    if capture_tokens:
+        captures["down_in"] = _grab(down_in, capture_tokens)
     x = x + mlp_out
     new_state = {**st_a, **st_m}
-    return x, new_state, new_cache
+    return x, new_state, new_cache, captures
+
+
+def _grab(x: jax.Array, n_tokens: int) -> jax.Array:
+    """Flatten [B, T, D] -> first n_tokens rows (activation capture for the
+    sequential calibration algorithms — the functional analog of the
+    reference's forward hooks in awq/smoothquant, `model_calib.py:1571`)."""
+    flat = x.reshape(-1, x.shape[-1])
+    n = min(n_tokens, flat.shape[0])
+    return flat[:n]
 
 
 def forward(
@@ -413,13 +433,17 @@ def forward(
     calib: bool = False,
     cache: Optional[dict] = None,
     positions: Optional[jax.Array] = None,
+    capture_tokens: int = 0,
 ):
     """Forward pass.
 
-    Returns (logits, new_qstate, new_cache). `layout=None` -> plain bf16
-    model. `calib=True` -> run unquantized while collecting amax into qstate.
-    `cache` is a dict {"k": [L,B,S,nKV,hd], "v": ..., "pos": scalar} for
-    incremental decoding.
+    Returns (logits, new_qstate, new_cache) — or, with `capture_tokens > 0`,
+    (logits, new_qstate, new_cache, captures) where captures maps
+    {"attn_in", "o_in", "mlp_in", "down_in"} to stacked [L, n_tokens, d]
+    activations for the sequential calibration algorithms.
+    `layout=None` -> plain bf16 model. `calib=True` -> run unquantized while
+    collecting amax into qstate. `cache` is a dict {"k": [L,B,S,nKV,hd],
+    "v": ..., "pos": scalar} for incremental decoding.
     """
     if layout is None:
         layout = QuantLayout(sites=())
@@ -451,10 +475,16 @@ def forward(
         x = carry
         lp, lstate, ck, cv = per_layer
         cache_kv = (ck, cv, cache["pos"]) if cache is not None else None
-        x, new_state, new_cache = _decoder_layer(
-            cfg, layout, calib, x, lp, lstate, positions, mask, cache_kv
+        x, new_state, new_cache, caps = _decoder_layer(
+            cfg, layout, calib, x, lp, lstate, positions, mask, cache_kv,
+            capture_tokens,
         )
-        ys = (new_state, new_cache[0] if new_cache else ck, new_cache[1] if new_cache else cv)
+        ys = (
+            new_state,
+            new_cache[0] if new_cache else ck,
+            new_cache[1] if new_cache else cv,
+            caps,
+        )
         return x, ys
 
     lstate_stacked = qstate if qstate else None
@@ -462,7 +492,7 @@ def forward(
     ck = cache["k"] if cache is not None else jnp.zeros((L, 0), cfg.dtype)
     cv = cache["v"] if cache is not None else jnp.zeros((L, 0), cfg.dtype)
     xs = (layer_params, per_layer_state, ck, cv)
-    x, (new_lstate, new_ck, new_cv) = jax.lax.scan(scan_body, x, xs)
+    x, (new_lstate, new_ck, new_cv, captures) = jax.lax.scan(scan_body, x, xs)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head_w = params.get("lm_head", params["embed_tokens"])
@@ -482,7 +512,10 @@ def forward(
     new_cache = None
     if cache is not None:
         new_cache = {"k": new_ck, "v": new_cv, "pos": cache["pos"] + T}
-    return logits, (new_qstate if (calib or qstate) else None), new_cache
+    out_qstate = new_qstate if (calib or qstate) else None
+    if capture_tokens:
+        return logits, out_qstate, new_cache, captures
+    return logits, out_qstate, new_cache
 
 
 def _strip_global(qstate):

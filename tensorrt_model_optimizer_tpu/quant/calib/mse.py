@@ -1,0 +1,46 @@
+"""MSE calibration: amax grid search minimizing quantization MSE.
+
+Replicates `modelopt/torch/quantization/calib/mse.py:31`: sweep candidate
+amax = amax0 * r over a shrink grid, pick the r minimizing || x - Q(x) ||^2.
+Used for weights directly (weights are the data) and for activations over a
+captured sample.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def mse_amax_search(
+    x: jax.Array,
+    amax0: jax.Array,  # initial (max-calibrated) amax, broadcastable reduced form
+    quant_with_amax: Callable[[jax.Array, jax.Array], jax.Array],
+    expand: Callable[[jax.Array], jax.Array] = lambda a: a,
+    n_steps: int = 16,
+    start: float = 0.3,
+    stop: float = 1.0,
+    reduce_axes: tuple[int, ...] | None = None,
+) -> jax.Array:
+    """Returns the best amax (same shape as amax0).
+
+    `expand(amax)` broadcasts a reduced amax against x (e.g. block repeat);
+    `reduce_axes` are the axes of x that each amax element covers (defaults
+    to all axes — per-tensor).
+    """
+    x32 = x.astype(jnp.float32)
+    ratios = jnp.linspace(start, stop, n_steps)
+
+    def loss_for(r):
+        amax = amax0 * r
+        xq = quant_with_amax(x32, expand(amax))
+        err = (xq.astype(jnp.float32) - x32) ** 2
+        if reduce_axes is None:
+            return jnp.mean(err)
+        return jnp.mean(err, axis=reduce_axes)
+
+    losses = jax.lax.map(loss_for, ratios)  # [n_steps, ...amax-shaped]
+    best = jnp.argmin(losses, axis=0)
+    return amax0 * ratios[best]

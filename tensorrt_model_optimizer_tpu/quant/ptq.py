@@ -1,0 +1,364 @@
+"""PTQ orchestration — the `mtq.quantize` equivalent.
+
+Reference call stack being re-created (SURVEY §3.1, `model_quant.py:144`):
+convert to quantized model (here: build layout + state), then run the
+calibration algorithm over a forward loop. TPU-first: every hot step is one
+jitted function (the calib scan, the capture pass, the per-group alpha/clip
+searches batched over all layers on the MXU); only the orchestration is
+Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models import llama
+from ..ops import numerics
+from . import quantizer as Q
+from .calib import awq as awq_mod
+from .calib import mse as mse_mod
+from .calib import smoothquant as sq_mod
+from .config import QuantizeConfig, get_preset
+
+# Capture-group wiring for the llama architecture: capture key -> the
+# projections that consume it (shared-input groups, the same structure the
+# reference discovers via forward hooks in `unified_export_hf.py:280`).
+CAPTURE_GROUPS: dict[str, tuple[str, ...]] = {
+    "attn_in": ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+    "o_in": ("self_attn.o_proj",),
+    "mlp_in": ("mlp.gate_proj", "mlp.up_proj"),
+    "down_in": ("mlp.down_proj",),
+}
+
+
+@dataclasses.dataclass
+class QuantizedModel:
+    """A quantized model handle: params + layout + calibrated state.
+
+    The functional analog of the reference's in-place converted model; pairs
+    with `opt.state` for provenance/save/restore.
+    """
+
+    model_cfg: llama.LlamaConfig
+    params: llama.Params
+    layout: llama.QuantLayout
+    qstate: llama.QuantState
+    quant_cfg: QuantizeConfig
+
+    def forward(self, tokens, **kw):
+        return llama.forward(
+            self.model_cfg, self.params, tokens,
+            layout=self.layout, qstate=self.qstate, **kw,
+        )
+
+
+def _method_of(algo) -> str:
+    if algo is None:
+        return "max"
+    if isinstance(algo, str):
+        return algo
+    return algo.get("method", "max")
+
+
+def quantize(
+    model_cfg: llama.LlamaConfig,
+    params: llama.Params,
+    quant_cfg: QuantizeConfig | str,
+    calib_batches: Optional[Iterable[jax.Array]] = None,
+    capture_tokens: int = 128,
+) -> QuantizedModel:
+    """Quantize: build sites, run the configured calibration, return handle.
+
+    `calib_batches`: iterable of token arrays [B, T]. Weight-only max configs
+    need no data (weights are calibrated directly); everything else does.
+    """
+    qcfg = get_preset(quant_cfg) if isinstance(quant_cfg, str) else quant_cfg
+    layout = llama.build_layout(model_cfg, qcfg)
+    qstate = llama.init_quant_state(model_cfg, layout)
+    batches = list(calib_batches) if calib_batches is not None else []
+    algo = qcfg.algorithm
+    method = _method_of(algo)
+
+    if method in ("smoothquant", "awq_lite", "awq_clip", "awq_full"):
+        if not batches:
+            raise ValueError(f"{method} calibration requires calib_batches")
+        params, qstate = _sequential_calibrate(
+            model_cfg, params, layout, qstate, batches, algo, capture_tokens
+        )
+
+    # Max pass: collect weight amax + act/KV amax (post-fold so stats match
+    # what the quantizers see at runtime).
+    if batches:
+        calib_step = jax.jit(
+            lambda p, t, q: llama.forward(
+                model_cfg, p, t, layout=layout, qstate=q, calib=True
+            )[1]
+        )
+        for b in batches:
+            new_qs = calib_step(params, b, qstate)
+            qstate = _merge_states(qstate, new_qs)
+    else:
+        qstate = _weights_only_calibrate(model_cfg, params, layout, qstate)
+
+    if method in ("awq_clip", "awq_full"):
+        params, qstate = _awq_clip_refine(
+            model_cfg, params, layout, qstate, batches, algo, capture_tokens
+        )
+    if method == "mse":
+        qstate = _mse_refine_weights(model_cfg, params, layout, qstate)
+
+    return QuantizedModel(model_cfg, params, layout, qstate, qcfg)
+
+
+def calibrate(model: QuantizedModel, calib_batches: Iterable[jax.Array]) -> QuantizedModel:
+    """Extra max-calibration passes on an already-converted model
+    (`mtq.calibrate`, `model_quant.py:61`)."""
+    calib_step = jax.jit(
+        lambda p, t, q: llama.forward(
+            model.model_cfg, p, t, layout=model.layout, qstate=q, calib=True
+        )[1]
+    )
+    qstate = model.qstate
+    for b in calib_batches:
+        qstate = _merge_states(qstate, calib_step(model.params, b, qstate))
+    return dataclasses.replace(model, qstate=qstate)
+
+
+def _merge_states(old, new):
+    """Keep old entries not re-emitted; new wins where present."""
+    out = dict(old)
+    out.update(new)
+    return out
+
+
+def _weights_only_calibrate(model_cfg, params, layout, qstate):
+    """Collect weight amax directly from params (no forward needed)."""
+
+    @jax.jit
+    def run(p, q):
+        out = dict(q)
+        for name in llama.PROJ_NAMES:
+            wcfg = layout.get(f"{name}.weight")
+            if not wcfg.enable:
+                continue
+            w = p["layers"][name]
+            sub = dict(out.get(name, {}))
+            st = sub.get("weight")
+            coll = jax.vmap(lambda wl, sl: Q.collect(wl, wcfg, sl))
+            sub["weight"] = coll(w, st)
+            out[name] = sub
+        lw = layout.get("lm_head.weight")
+        if lw.enable and "lm_head" in p:
+            out["lm_head.weight"] = Q.collect(
+                p["lm_head"], lw, out.get("lm_head.weight", Q.QuantizerState())
+            )
+        return out
+
+    return run(params, qstate)
+
+
+# --------------------------------------------------------------------------
+# Sequential algorithms (SmoothQuant / AWQ)
+# --------------------------------------------------------------------------
+
+
+def _capture_stats(model_cfg, params, layout, qstate, batches, capture_tokens):
+    """Run capture passes; returns per-group act stats + stacked X samples."""
+
+    @jax.jit
+    def cap(p, t, q):
+        _, _, _, caps = llama.forward(
+            model_cfg, p, t, layout=layout, qstate=q, calib=True,
+            capture_tokens=capture_tokens,
+        )
+        return caps
+
+    absmean = {}
+    amax = {}
+    xs = {k: [] for k in CAPTURE_GROUPS}
+    n = 0
+    for b in batches:
+        caps = cap(params, b, qstate)
+        for key, x in caps.items():  # x: [L, n_tok, d]
+            x32 = jnp.abs(x.astype(jnp.float32))
+            m = jnp.mean(x32, axis=1)
+            a = jnp.max(x32, axis=1)
+            absmean[key] = m if key not in absmean else (absmean[key] * n + m) / (n + 1)
+            amax[key] = a if key not in amax else jnp.maximum(amax[key], a)
+            if len(xs[key]) * capture_tokens < 4 * capture_tokens:
+                xs[key].append(x)
+        n += 1
+    samples = {k: jnp.concatenate(v, axis=1) for k, v in xs.items() if v}
+    return absmean, amax, samples
+
+
+def _dynamic_like(wcfg: Q.QuantizerConfig) -> Q.QuantizerConfig:
+    """A config that re-derives scales from the tensor (for search loops)."""
+    if wcfg.sequential:
+        return wcfg.replace(sequential=tuple(_dynamic_like(c) for c in wcfg.sequential))
+    if wcfg.block is not None:
+        return wcfg.replace(block=dataclasses.replace(wcfg.block, dynamic=True))
+    return wcfg.replace(dynamic=True)
+
+
+def _sequential_calibrate(model_cfg, params, layout, qstate, batches, algo, capture_tokens):
+    method = _method_of(algo)
+    absmean, amax, samples = _capture_stats(
+        model_cfg, params, layout, qstate, batches, capture_tokens
+    )
+    new_layers = dict(params["layers"])
+    qstate = dict(qstate)
+
+    for cap_key, members in CAPTURE_GROUPS.items():
+        wcfgs = [layout.get(f"{m}.weight") for m in members]
+        if not any(c.enable for c in wcfgs):
+            continue
+        ws = [new_layers[m] for m in members]
+
+        if method == "smoothquant":
+            alpha = algo.get("alpha", 1.0) if isinstance(algo, dict) else 1.0
+            folded, pqs = jax.jit(
+                lambda a, w: sq_mod.apply_smoothquant(a, w, alpha)
+            )(amax[cap_key], ws)
+        elif method in ("awq_lite", "awq_full"):
+            alpha_step = algo.get("alpha_step", 0.1) if isinstance(algo, dict) else 0.1
+            qfns = [
+                (lambda c: (lambda w: Q.quantize(w, _dynamic_like(c), None)))(c)
+                if c.enable else (lambda w: w)
+                for c in wcfgs
+            ]
+
+            @jax.jit
+            def search(x, w_list, am):
+                _, s = awq_mod.awq_lite_search(x, w_list, qfns, am, alpha_step)
+                folded = [
+                    (w.astype(jnp.float32) * s[..., None, :]).astype(w.dtype)
+                    for w in w_list
+                ]
+                return folded, 1.0 / s
+
+            folded, pqs = search(samples[cap_key], ws, absmean[cap_key])
+        else:  # awq_clip alone: no scale migration
+            continue
+
+        for m, w_new in zip(members, folded):
+            new_layers[m] = w_new
+        # pre_quant_scale lives on each member's input site state [L, d_in]
+        for m in members:
+            sub = dict(qstate.get(m, {}))
+            ist = sub.get("input", Q.QuantizerState())
+            sub["input"] = ist.replace(pre_quant_scale=pqs)
+            qstate[m] = sub
+
+    new_params = dict(params)
+    new_params["layers"] = new_layers
+    return new_params, qstate
+
+
+def _awq_clip_refine(model_cfg, params, layout, qstate, batches, algo, capture_tokens):
+    """Shrink per-block weight amax by clip search (`model_calib.py:1725`)."""
+    absmean, amax, samples = _capture_stats(
+        model_cfg, params, layout, qstate, batches, capture_tokens
+    )
+    qstate = dict(qstate)
+    for cap_key, members in CAPTURE_GROUPS.items():
+        if cap_key not in samples:
+            continue
+        for m in members:
+            wcfg = layout.get(f"{m}.weight")
+            base = wcfg.sequential[0] if wcfg.sequential else wcfg
+            if not wcfg.enable or base.is_fp or base.block is None:
+                continue  # clip applies to INT block weights
+            bsz = dict(base.block.sizes).get(-1) or list(dict(base.block.sizes).values())[0]
+            w = params["layers"][m]
+
+            def qfn(wx, amax_full, bits=base.num_bits):
+                return numerics.fake_quant_int(wx, amax_full, bits)
+
+            @jax.jit
+            def clip(x, w):
+                return awq_mod.awq_clip_search(x, w, bsz, qfn)
+
+            best_amax = clip(samples[cap_key], w)
+            sub = dict(qstate.get(m, {}))
+            st = sub.get("weight", Q.QuantizerState())
+            if wcfg.sequential:
+                amaxes = list(st.amax) if isinstance(st.amax, tuple) else [None] * len(wcfg.sequential)
+                amaxes[0] = best_amax
+                sub["weight"] = st.replace(amax=tuple(amaxes))
+            else:
+                sub["weight"] = st.replace(amax=best_amax)
+            qstate[m] = sub
+    return params, qstate
+
+
+def _mse_refine_weights(model_cfg, params, layout, qstate):
+    """Per-weight amax MSE sweep (weights are their own calibration data)."""
+    qstate = dict(qstate)
+    for name in llama.PROJ_NAMES:
+        wcfg = layout.get(f"{name}.weight")
+        base = wcfg.sequential[0] if wcfg.sequential else wcfg
+        if not wcfg.enable or base.dynamic or (base.block and base.block.dynamic):
+            continue
+        sub = dict(qstate.get(name, {}))
+        st = sub.get("weight")
+        if st is None or st.amax is None:
+            continue
+        w = params["layers"][name]
+        amax0 = st.amax[0] if isinstance(st.amax, tuple) else st.amax
+
+        if base.is_fp:
+            e, m = base.num_bits
+            qfn = lambda wx, am: numerics.fake_quant_fp(wx, am, e, m)
+        else:
+            qfn = lambda wx, am, b=base.num_bits: numerics.fake_quant_int(wx, am, b)
+
+        if base.block is not None and base.block.sizes:
+            expand = lambda am, shape=w.shape[1:], s=base.block.sizes: (
+                numerics.expand_block_scale(am, shape, s)
+            )
+            red = None
+        else:
+            expand = lambda am: am
+            red = None
+
+        @jax.jit
+        def refine(wx, am0):
+            per_layer = jax.vmap(
+                lambda wl, al: mse_mod.mse_amax_search(wl, al, qfn, expand)
+            )
+            return per_layer(wx, am0)
+
+        # scalar-per-layer amax search (per-tensor); block amax search uses
+        # the same sweep with block expansion
+        best = refine(w, amax0)
+        if isinstance(st.amax, tuple):
+            amaxes = list(st.amax)
+            amaxes[0] = best
+            sub["weight"] = st.replace(amax=tuple(amaxes))
+        else:
+            sub["weight"] = st.replace(amax=best)
+        qstate[name] = sub
+    return qstate
+
+
+# --------------------------------------------------------------------------
+# Introspection
+# --------------------------------------------------------------------------
+
+
+def print_quant_summary(model: QuantizedModel) -> str:
+    """Per-site format/amax summary (`mtq.print_quant_summary`)."""
+    lines = []
+    for site, cfg in model.layout.sites:
+        if not cfg.enable:
+            continue
+        bits = cfg.num_bits if not cfg.sequential else [c.num_bits for c in cfg.sequential]
+        lines.append(f"{site:48s} bits={bits} axis={cfg.axis} block={cfg.block and dict(cfg.block.sizes)} dyn={cfg.dynamic or bool(cfg.block and cfg.block.dynamic)}")
+    text = "\n".join(lines)
+    print(text)
+    return text

@@ -208,6 +208,10 @@ def collect(x: jax.Array, cfg: QuantizerConfig, state: QuantizerState) -> Quanti
     """Max-calibrator collect: running max into state.amax (pure)."""
     if not cfg.enable or cfg.constant_amax is not None:
         return state
+    if state.pre_quant_scale is not None:
+        # amax must describe what the quantizer actually sees at runtime
+        # (the SmoothQuant/AWQ-scaled tensor).
+        x = x * state.pre_quant_scale.astype(x.dtype)
     if cfg.sequential:
         old = state.amax if isinstance(state.amax, tuple) else (None,) * len(cfg.sequential)
         new = []
@@ -256,12 +260,13 @@ def quantize(
     scale into the *weights* during calibration, `model_calib.py:1274`),
     then format-specific fake quant with STE gradients.
     """
+    state = state or QuantizerState()
+    if state.pre_quant_scale is not None:
+        # Applied even when the format is disabled: W4A16 AWQ keeps the
+        # activation-side scale with act quantization off.
+        x = x * state.pre_quant_scale.astype(x.dtype)
     if not cfg.enable:
         return x
-    state = state or QuantizerState()
-
-    if state.pre_quant_scale is not None:
-        x = x * state.pre_quant_scale.astype(x.dtype)
 
     if cfg.sequential:
         amaxes = state.amax if isinstance(state.amax, tuple) else (None,) * len(cfg.sequential)

@@ -1,0 +1,190 @@
+"""Calibration algorithm tests: max, smoothquant, awq, mse, histogram, PTQ API."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.ops import numerics
+from tensorrt_model_optimizer_tpu.quant import get_preset, ptq
+from tensorrt_model_optimizer_tpu.quant.calib import awq, histogram, mse, smoothquant
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def batches():
+    rng = np.random.default_rng(1)
+    return [jnp.asarray(rng.integers(0, 256, size=(2, 16))) for _ in range(3)]
+
+
+class TestSmoothQuantMath:
+    def test_scale_migration_preserves_output(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+        act_amax = jnp.max(jnp.abs(x), axis=0)
+        (w2,), pqs = smoothquant.apply_smoothquant(act_amax, [w], alpha=0.5)
+        # unquantized: (x * pqs) @ (w * s)^T == x @ w^T
+        y0 = x @ w.T
+        y1 = (x * pqs) @ w2.T
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-4, atol=1e-4)
+
+    def test_alpha_one_equalizes_act(self):
+        # alpha=1: scale == act_amax -> scaled act has unit per-channel amax
+        act_amax = jnp.asarray([1.0, 10.0, 100.0])
+        w = jnp.ones((4, 3))
+        s = smoothquant.smoothquant_scales(act_amax, [w], alpha=1.0)
+        scaled = act_amax / s
+        np.testing.assert_allclose(np.asarray(scaled), np.ones(3), rtol=1e-5)
+
+
+class TestAWQMath:
+    def test_awq_lite_improves_int4_loss(self):
+        rng = np.random.default_rng(2)
+        # outlier channel structure: AWQ should beat plain quantization
+        x = rng.normal(size=(64, 32)).astype(np.float32)
+        x[:, 3] *= 30.0
+        x = jnp.asarray(x)
+        w = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+
+        def qfn(wx):
+            am = numerics.block_reduce_amax(wx, ((-1, 32),))
+            return numerics.fake_quant_int(wx, am, 4)
+
+        absmean = jnp.mean(jnp.abs(x), axis=0)
+        alpha, s = awq.awq_lite_search(x, [w], [qfn], absmean, alpha_step=0.1)
+        ref = x @ w.T
+        plain = x @ qfn(w).T
+        scaled = (x / s) @ qfn(w * s).T
+        err_plain = float(jnp.mean((plain - ref) ** 2))
+        err_awq = float(jnp.mean((scaled - ref) ** 2))
+        assert err_awq <= err_plain
+        assert float(alpha) > 0.0
+
+    def test_awq_clip_reduces_loss(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+        w = rng.normal(size=(8, 32)).astype(np.float32)
+        w[0, 5] = 20.0  # outlier weight that wastes the block's range
+        w = jnp.asarray(w)
+
+        def qa(wx, amax_full):
+            return numerics.fake_quant_int(wx, amax_full, 4)
+
+        best_amax = awq.awq_clip_search(x, w, 32, qa)
+        ref = x @ w.T
+        amax0 = numerics.block_amax_compact(w, ((-1, 32),))
+        full0 = numerics.expand_block_scale(amax0, w.shape, ((-1, 32),))
+        fullc = numerics.expand_block_scale(best_amax, w.shape, ((-1, 32),))
+        err0 = float(jnp.mean((x @ qa(w, full0).T - ref) ** 2))
+        errc = float(jnp.mean((x @ qa(w, fullc).T - ref) ** 2))
+        assert errc <= err0
+
+
+class TestMSE:
+    def test_mse_beats_max_for_outliers(self):
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(4096,)).astype(np.float32)
+        x[0] = 50.0
+        x = jnp.asarray(x)
+        amax0 = jnp.max(jnp.abs(x))
+        qfn = lambda t, am: numerics.fake_quant_int(t, am, 8)
+        best = mse.mse_amax_search(x, amax0, qfn)
+        assert float(best) < float(amax0)
+        e_max = float(jnp.mean((qfn(x, amax0) - x) ** 2))
+        e_mse = float(jnp.mean((qfn(x, best) - x) ** 2))
+        assert e_mse <= e_max
+
+
+class TestHistogram:
+    def test_percentile(self):
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(100_000,)).astype(np.float32))
+        st = histogram.init_histogram(jnp.max(jnp.abs(x)))
+        st = histogram.collect_histogram(x, st)
+        a99 = float(histogram.percentile_amax(st, 99.0))
+        # 99th percentile of |N(0,1)| ~ 2.58
+        assert 2.3 < a99 < 2.9
+
+    def test_mse_amax_from_histogram(self):
+        rng = np.random.default_rng(6)
+        x = np.concatenate([rng.normal(size=50_000), [40.0]]).astype(np.float32)
+        x = jnp.asarray(x)
+        st = histogram.init_histogram(jnp.max(jnp.abs(x)))
+        st = histogram.collect_histogram(x, st)
+        best = float(histogram.mse_amax(st, 8))
+        assert best < 40.0  # clips the outlier
+
+    def test_entropy_runs(self):
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(50_000,)).astype(np.float32))
+        st = histogram.init_histogram(jnp.max(jnp.abs(x)))
+        st = histogram.collect_histogram(x, st)
+        a = float(histogram.entropy_amax(st, 8))
+        assert 0 < a <= float(st.amax)
+
+    def test_collect_in_jit(self):
+        st = histogram.init_histogram(jnp.asarray(1.0), num_bins=64)
+        st = jax.jit(histogram.collect_histogram)(jnp.linspace(-1, 1, 1000), st)
+        assert float(jnp.sum(st.counts)) == 1000
+
+
+class TestPTQ:
+    def test_max_ptq(self, tiny, batches):
+        cfg, params = tiny
+        model = ptq.quantize(cfg, params, "INT8_DEFAULT_CFG", batches)
+        logits, _, _ = model.forward(batches[0])
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_weights_only_no_data(self, tiny):
+        cfg, params = tiny
+        model = ptq.quantize(cfg, params, "INT4_BLOCKWISE_WEIGHT_ONLY_CFG", None)
+        amax = model.qstate["mlp.down_proj"]["weight"].amax
+        assert np.all(np.asarray(amax) > 0)
+        logits, _, _ = model.forward(jnp.zeros((1, 4), jnp.int32))
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_smoothquant_ptq(self, tiny, batches):
+        cfg, params = tiny
+        model = ptq.quantize(cfg, params, "INT8_SMOOTHQUANT_CFG", batches)
+        pqs = model.qstate["self_attn.q_proj"]["input"].pre_quant_scale
+        assert pqs is not None and pqs.shape == (cfg.num_hidden_layers, cfg.hidden_size)
+        logits, _, _ = model.forward(batches[0])
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_awq_ptq_beats_plain_int4(self, tiny, batches):
+        cfg, params = tiny
+        ref_logits, _, _ = llama.forward(cfg, params, batches[0])
+        plain = ptq.quantize(cfg, params, "INT4_BLOCKWISE_WEIGHT_ONLY_CFG", batches)
+        awq_m = ptq.quantize(cfg, params, "INT4_AWQ_CFG", batches)
+        lp, _, _ = plain.forward(batches[0])
+        la, _, _ = awq_m.forward(batches[0])
+        err_plain = float(jnp.mean((lp - ref_logits) ** 2))
+        err_awq = float(jnp.mean((la - ref_logits) ** 2))
+        # AWQ should not be (much) worse; on structured real models it wins
+        assert err_awq < err_plain * 1.5
+
+    def test_nvfp4_awq(self, tiny, batches):
+        cfg, params = tiny
+        model = ptq.quantize(cfg, params, "NVFP4_AWQ_LITE_CFG", batches)
+        logits, _, _ = model.forward(batches[0])
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_w4a8_ptq(self, tiny, batches):
+        cfg, params = tiny
+        model = ptq.quantize(cfg, params, "W4A8_AWQ_BETA_CFG", batches)
+        logits, _, _ = model.forward(batches[0])
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_summary(self, tiny, batches, capsys):
+        cfg, params = tiny
+        model = ptq.quantize(cfg, params, "FP8_DEFAULT_CFG", batches)
+        text = ptq.print_quant_summary(model)
+        assert "weight" in text and "bits=(4, 3)" in text
