@@ -222,6 +222,62 @@ PRESETS: dict[str, QuantizeConfig] = {
 }
 
 
+# --------------------------------------------------------------------------
+# JSON serialization (for the replayable optimization state)
+# --------------------------------------------------------------------------
+
+
+def quantizer_cfg_to_dict(c: QuantizerConfig) -> dict:
+    d = dataclasses.asdict(c)
+    if c.block is not None:
+        d["block"] = {
+            "sizes": [list(p) for p in c.block.sizes],
+            "scale_bits": list(c.block.scale_bits) if isinstance(c.block.scale_bits, tuple) else c.block.scale_bits,
+            "scale_block_sizes": [list(p) for p in c.block.scale_block_sizes] if c.block.scale_block_sizes else None,
+            "dynamic": c.block.dynamic,
+        }
+    if c.sequential:
+        d["sequential"] = [quantizer_cfg_to_dict(s) for s in c.sequential]
+    if isinstance(c.num_bits, tuple):
+        d["num_bits"] = list(c.num_bits)
+    if c.axis is not None:
+        d["axis"] = list(c.axis)
+    return d
+
+
+def quantizer_cfg_from_dict(d: dict) -> QuantizerConfig:
+    d = dict(d)
+    if d.get("block"):
+        b = d["block"]
+        d["block"] = BlockSpec(
+            sizes=tuple(tuple(p) for p in b["sizes"]),
+            scale_bits=tuple(b["scale_bits"]) if isinstance(b.get("scale_bits"), list) else b.get("scale_bits"),
+            scale_block_sizes=tuple(tuple(p) for p in b["scale_block_sizes"]) if b.get("scale_block_sizes") else None,
+            dynamic=b.get("dynamic", False),
+        )
+    if d.get("sequential"):
+        d["sequential"] = tuple(quantizer_cfg_from_dict(s) for s in d["sequential"])
+    if isinstance(d.get("num_bits"), list):
+        d["num_bits"] = tuple(d["num_bits"])
+    if isinstance(d.get("axis"), list):
+        d["axis"] = tuple(d["axis"])
+    return QuantizerConfig(**d)
+
+
+def config_to_dict(cfg: QuantizeConfig) -> dict:
+    return {
+        "rules": [[p, quantizer_cfg_to_dict(c)] for p, c in cfg.rules],
+        "algorithm": cfg.algorithm,
+    }
+
+
+def config_from_dict(d: dict) -> QuantizeConfig:
+    return QuantizeConfig(
+        rules=tuple((p, quantizer_cfg_from_dict(c)) for p, c in d["rules"]),
+        algorithm=d.get("algorithm", "max"),
+    )
+
+
 def choices() -> list[str]:
     return sorted(PRESETS)
 

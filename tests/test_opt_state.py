@@ -1,0 +1,55 @@
+"""Opt-framework tests: mode registry, save/restore roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.opt import state as opt_state
+from tensorrt_model_optimizer_tpu.opt.mode import ModeRegistry
+from tensorrt_model_optimizer_tpu.quant import get_preset, ptq
+from tensorrt_model_optimizer_tpu.quant import config as qconfig
+
+
+@pytest.fixture(scope="module")
+def quantized():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16))) for _ in range(2)]
+    return ptq.quantize(cfg, params, "INT8_SMOOTHQUANT_CFG", batches), batches
+
+
+def test_mode_registered():
+    desc = ModeRegistry.get_global("quantize")
+    assert desc.name == "quantize"
+
+
+def test_config_roundtrip():
+    for name in qconfig.choices():
+        cfg = get_preset(name)
+        d = qconfig.config_to_dict(cfg)
+        back = qconfig.config_from_dict(d)
+        assert back.rules == cfg.rules, name
+        assert back.algorithm == cfg.algorithm
+
+
+def test_save_restore_roundtrip(quantized, tmp_path):
+    model, batches = quantized
+    ref, _, _ = model.forward(batches[0])
+    opt_state.save(model, str(tmp_path / "ckpt"))
+    restored = opt_state.restore(str(tmp_path / "ckpt"))
+    out, _, _ = restored.forward(batches[0])
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+    # pre_quant_scale survived
+    pqs = restored.qstate["self_attn.q_proj"]["input"].pre_quant_scale
+    assert pqs is not None and np.any(np.asarray(pqs) != 1.0)
+
+
+def test_restore_with_external_params(quantized, tmp_path):
+    model, batches = quantized
+    opt_state.save(model, str(tmp_path / "ckpt2"), save_params=False)
+    restored = opt_state.restore(str(tmp_path / "ckpt2"), params=model.params)
+    out, _, _ = restored.forward(batches[0])
+    assert np.all(np.isfinite(np.asarray(out)))
