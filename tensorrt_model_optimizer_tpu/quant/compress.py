@@ -1,0 +1,209 @@
+"""Real-quant compression: pack calibrated fake-quant weights (`mtq.compress`).
+
+Reference: `modelopt/torch/quantization/compress.py:53,196` converts
+calibrated weights into packed QTensors + scales, dispatched to fused GEMMs.
+TPU-first design decisions:
+
+ - 4-bit values use *plane packing*: byte[o, k] = nibble(w[o + O/2, k]) << 4
+   | nibble(w[o, k]) for o < O/2. Unpacking in a kernel yields two
+   contiguous half-outputs (rows [0, O/2) and [O/2, O)) — no cross-lane
+   interleave on the big weight tile, and the matmul writes two contiguous
+   output halves. (The reference's nibble layout interleaves adjacent
+   elements, `nvfp4_tensor.py:337`; export re-packs to that layout.)
+ - Scales are stored split per plane, so each kernel tile reads its own
+   scale rows.
+ - Compressed tensors remain a pytree: {"kind": static str (in the layout),
+   arrays...}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import llama
+from ..ops import numerics
+from . import quantizer as Q
+from .ptq import QuantizedModel
+
+
+def _int4_nibbles(q: jax.Array) -> jax.Array:
+    """Signed int4 [-8, 7] -> low nibble uint8."""
+    return (q.astype(jnp.int32) & 0xF).astype(jnp.uint8)
+
+
+def plane_pack(nibbles: jax.Array) -> jax.Array:
+    """[O, K] 4-bit codes -> [O/2, K] bytes, rows (o, o + O/2) per byte."""
+    O = nibbles.shape[-2]
+    lo = nibbles[..., : O // 2, :]
+    hi = nibbles[..., O // 2 :, :]
+    return ((hi << 4) | (lo & 0xF)).astype(jnp.uint8)
+
+
+def plane_unpack_int4(packed: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[O/2, K] bytes -> (rows [0, O/2), rows [O/2, O)) as signed int8."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = ((packed >> 4) & 0xF).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    return lo, hi
+
+
+def compress_weight(
+    w: jax.Array,  # [O, K] (or [L, O, K] stacked)
+    cfg: Q.QuantizerConfig,
+    state: Optional[Q.QuantizerState],
+) -> tuple[str, dict]:
+    """Pack one weight per its quantizer config. Returns (kind, arrays).
+
+    Kinds: "bf16" (disabled), "int8" (per-channel), "int4" (block scales,
+    plane-packed), "nvfp4" (E2M1 planes + E4M3 block scales + global),
+    "fp8" (per-tensor scale, E4M3 storage).
+    """
+    base = cfg.sequential[0] if cfg.sequential else cfg
+    if not cfg.enable:
+        return "bf16", {"w": w.astype(jnp.bfloat16)}
+
+    if base.is_fp and base.block is not None and base.num_bits == (2, 1):
+        # NVFP4
+        bsz = dict(base.block.sizes).get(-1, 16)
+        bsz = min(bsz, w.shape[-1])
+        g_amax = state.amax if state is not None and state.amax is not None else jnp.max(jnp.abs(w))
+        gs = numerics.nvfp4_global_scale(g_amax)
+        bam = numerics.block_amax_compact(w.astype(jnp.float32), ((-1, bsz),))
+        s_val = numerics.cast_e4m3(bam / (6.0 * gs[..., None, None] if gs.ndim else 6.0 * gs))
+        s_val = jnp.where(s_val <= 0.0, jnp.ones_like(s_val), s_val)
+        sb_full = numerics.expand_block_scale(
+            s_val * (gs[..., None, None] if gs.ndim else gs), w.shape, ((-1, bsz),)
+        )
+        qv = numerics.fp4_round(w.astype(jnp.float32) / sb_full)
+        codes = numerics.fp4_to_codes(qv)
+        packed = plane_pack(codes)
+        O = w.shape[-2]
+        return "nvfp4", {
+            "packed": packed,
+            "scale_lo": s_val[..., : O // 2, :].astype(jnp.float8_e4m3fn),
+            "scale_hi": s_val[..., O // 2 :, :].astype(jnp.float8_e4m3fn),
+            "global_scale": gs.astype(jnp.float32),
+        }
+
+    if base.is_fp and base.num_bits == (4, 3):
+        amax = state.amax if state is not None else None
+        if cfg.sequential and isinstance(amax, tuple):
+            amax = amax[-1]
+        if amax is None:
+            amax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 2, w.ndim)))
+        scale = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 448.0
+        sc = scale[..., None, None] if scale.ndim == w.ndim - 2 else scale
+        qw = jnp.clip(w.astype(jnp.float32) / sc, -448.0, 448.0).astype(jnp.float8_e4m3fn)
+        return "fp8", {"q": qw, "scale": scale.astype(jnp.float32)}
+
+    if not base.is_fp and base.num_bits == 4:
+        amax = state.amax if state is not None else None
+        if cfg.sequential and isinstance(amax, tuple):
+            amax = amax[0]
+        bsz = dict(base.block.sizes).get(-1, 128) if base.block else w.shape[-1]
+        bsz = min(bsz, w.shape[-1])
+        if amax is None:
+            amax = numerics.block_amax_compact(w.astype(jnp.float32), ((-1, bsz),))
+        scale = amax.astype(jnp.float32) / 7.0  # [.., O, K/bsz]
+        scale = jnp.where(amax == 0.0, jnp.ones_like(scale), scale)
+        s_full = numerics.expand_block_scale(scale, w.shape, ((-1, bsz),))
+        q = jnp.clip(jnp.round(w.astype(jnp.float32) / s_full), -8, 7)
+        packed = plane_pack(_int4_nibbles(q))
+        O = w.shape[-2]
+        return "int4", {
+            "packed": packed,
+            "scale_lo": scale[..., : O // 2, :].astype(jnp.float32),
+            "scale_hi": scale[..., O // 2 :, :].astype(jnp.float32),
+        }
+
+    if not base.is_fp and base.num_bits == 8:
+        amax = state.amax if state is not None else None
+        if amax is None:
+            amax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+        scale = numerics.int_scale_from_amax(amax, 8)
+        q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -128, 127).astype(jnp.int8)
+        return "int8", {"q": q, "scale": scale.astype(jnp.float32)}
+
+    return "bf16", {"w": w.astype(jnp.bfloat16)}
+
+
+def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Array:
+    """Reference dequantization (correctness baseline for the fused kernels)."""
+    if kind == "bf16":
+        return arrays["w"].astype(out_dtype)
+    if kind == "int8":
+        return (arrays["q"].astype(jnp.float32) * arrays["scale"]).astype(out_dtype)
+    if kind == "fp8":
+        sc = arrays["scale"]
+        sc = sc[..., None, None] if sc.ndim == arrays["q"].ndim - 2 else sc
+        return (arrays["q"].astype(jnp.float32) * sc).astype(out_dtype)
+    if kind == "int4":
+        lo, hi = plane_unpack_int4(arrays["packed"])
+        bsz = arrays["packed"].shape[-1] // arrays["scale_lo"].shape[-1]
+        lo_f = lo.astype(jnp.float32) * numerics.expand_block_scale(
+            arrays["scale_lo"], lo.shape, ((-1, bsz),)
+        )
+        hi_f = hi.astype(jnp.float32) * numerics.expand_block_scale(
+            arrays["scale_hi"], hi.shape, ((-1, bsz),)
+        )
+        return jnp.concatenate([lo_f, hi_f], axis=-2).astype(out_dtype)
+    if kind == "nvfp4":
+        p = arrays["packed"]
+        lo = numerics.codes_to_fp4(p & 0xF)
+        hi = numerics.codes_to_fp4((p >> 4) & 0xF)
+        bsz = arrays["packed"].shape[-1] // arrays["scale_lo"].shape[-1]
+        gs = arrays["global_scale"]
+        gsb = gs[..., None, None] if gs.ndim else gs
+        lo_f = lo * numerics.expand_block_scale(
+            arrays["scale_lo"].astype(jnp.float32) * gsb, lo.shape, ((-1, bsz),)
+        )
+        hi_f = hi * numerics.expand_block_scale(
+            arrays["scale_hi"].astype(jnp.float32) * gsb, hi.shape, ((-1, bsz),)
+        )
+        return jnp.concatenate([lo_f, hi_f], axis=-2).astype(out_dtype)
+    raise ValueError(f"unknown kind {kind!r}")
+
+
+@dataclasses.dataclass
+class CompressedModel:
+    """Packed-weight model: params with projections replaced by packed dicts.
+
+    `kinds` maps site name -> format kind (static, drives kernel dispatch).
+    """
+
+    model_cfg: llama.LlamaConfig
+    params: dict  # layers[name] -> packed arrays dict; others as-is
+    kinds: dict[str, str]
+    layout: llama.QuantLayout
+    qstate: llama.QuantState  # act/KV quantizer state still applies
+
+    @property
+    def packed_bytes(self) -> int:
+        total = 0
+        for name in llama.PROJ_NAMES:
+            for a in jax.tree.leaves(self.params["layers"][name]):
+                total += a.size * a.dtype.itemsize
+        return total
+
+
+def compress(model: QuantizedModel) -> CompressedModel:
+    """Pack every projection weight per its calibrated quantizer."""
+    new_layers = dict(model.params["layers"])
+    kinds = {}
+    for name in llama.PROJ_NAMES:
+        wcfg = model.layout.get(f"{name}.weight")
+        st = model.qstate.get(name, {}).get("weight")
+        w = model.params["layers"][name]
+        kind, arrays = jax.jit(
+            lambda w, st, c=wcfg: compress_weight(w, c, st), static_argnames=()
+        )(w, st) if False else compress_weight(w, wcfg, st)
+        kinds[name] = kind
+        new_layers[name] = arrays
+    params = dict(model.params)
+    params["layers"] = new_layers
+    return CompressedModel(model.model_cfg, params, kinds, model.layout, model.qstate)

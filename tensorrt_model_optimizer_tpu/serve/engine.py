@@ -1,0 +1,245 @@
+"""Quantized serving engine: prefill + on-device decode loop.
+
+This is the "beyond the reference" serving path (SURVEY §7 stage 6): the
+reference simulates quantization and delegates serving to TRT-LLM; here the
+decode loop itself runs on TPU with real packed weights.
+
+Design:
+ - Packed projections (from `quant.compress`) are dequantized tile-by-tile
+   inside the matmul (Pallas fused kernels; XLA fallback dequantizes per
+   layer inside the scan — still never materializes all layers at once).
+ - The whole decode loop runs on device via `lax.scan` over steps — one host
+   dispatch per generation, not per token (dispatch latency through a remote
+   chip would otherwise dominate).
+ - KV cache layout [L, B, S, n_kv, hd]; optional int8/fp8 storage with
+   per-head scales (the KV quantizers' calibrated amax).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import llama
+from ..ops.pallas import qmm
+from ..quant import quantizer as Q
+from ..quant.compress import CompressedModel, decompress_weight
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_seq_len: int = 2048
+    backend: str = "auto"  # "auto" | "pallas" | "xla"
+    kv_dtype: Any = None  # None = model dtype; jnp.int8/float8_e4m3fn for quantized cache
+
+
+def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None):
+    """Quantized matmul dispatch: y = q_act(x) @ dequant(W)^T.
+
+    `x` is [B*T, K] 2-D. Input quantizers stay active on the real-quant path
+    (reference `RealQuantLinear.forward`, `quant_linear.py:218`). Backend
+    "pallas" uses the fused kernels; "xla" dequantizes the layer weight then
+    matmuls (XLA fuses what it can).
+    """
+    icfg = cm.layout.get(f"{name}.input")
+    if icfg.enable or (ist is not None and ist.pre_quant_scale is not None):
+        x = Q.quantize(x, icfg, ist)
+    if backend == "pallas" and kind in ("int8", "int4", "nvfp4", "fp8"):
+        return qmm.quantized_matmul(x, kind, arrays)
+    w = decompress_weight(kind, arrays, out_dtype=x.dtype)
+    return x @ w.T
+
+
+def _kv_store(v: jax.Array, dtype, amax: Optional[jax.Array]):
+    """Quantize k/v for cache storage. Returns stored array (+ scale baked)."""
+    if dtype is None or v.dtype == dtype:
+        return v
+    if dtype == jnp.int8:
+        scale = (amax if amax is not None else 448.0) / 127.0
+        return jnp.clip(jnp.round(v.astype(jnp.float32) / scale), -128, 127).astype(jnp.int8)
+    if dtype == jnp.float8_e4m3fn:
+        amax = amax if amax is not None else jnp.asarray(448.0)
+        scale = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 448.0
+        return jnp.clip(v.astype(jnp.float32) / scale, -448, 448).astype(jnp.float8_e4m3fn)
+    return v.astype(dtype)
+
+
+def _kv_load(stored: jax.Array, out_dtype, kv_dtype, amax: Optional[jax.Array]):
+    if kv_dtype is None or stored.dtype == out_dtype:
+        return stored.astype(out_dtype)
+    if kv_dtype == jnp.int8:
+        scale = (amax if amax is not None else 448.0) / 127.0
+        return (stored.astype(jnp.float32) * scale).astype(out_dtype)
+    if kv_dtype == jnp.float8_e4m3fn:
+        amax = amax if amax is not None else jnp.asarray(448.0)
+        scale = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 448.0
+        return (stored.astype(jnp.float32) * scale).astype(out_dtype)
+    return stored.astype(out_dtype)
+
+
+def _kv_amax(cm: CompressedModel, which: str) -> Optional[jax.Array]:
+    st = cm.qstate.get(f"self_attn.{which}_bmm")
+    if st is None or st.amax is None:
+        return None
+    # [L] or [L, 1, 1, n_kv, hd]-ish; reduce to per-layer scalar for cache
+    a = st.amax
+    return a.reshape(a.shape[0], -1).max(axis=-1)  # [L]
+
+
+def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask,
+                   ck, cv, pos, k_amax_l, v_amax_l):
+    """One decoder layer on packed weights. ck/cv: [B, S, n_kv, hd] stored."""
+    B, T, H = x.shape
+    hd, nH, nKV = cfg.hd, cfg.num_attention_heads, cfg.num_key_value_heads
+    eps = cfg.rms_norm_eps
+
+    def ist(name):
+        return (lstate or {}).get(name, {}).get("input")
+
+    h = llama.rms_norm(x, lp["input_layernorm"], eps)
+    h2 = h.reshape(B * T, H)
+
+    q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"))
+    k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"))
+    v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"))
+    q = q.reshape(B, T, nH, hd)
+    k = k.reshape(B, T, nKV, hd)
+    v = v.reshape(B, T, nKV, hd)
+    q = llama.rope(q, positions, cfg.rope_theta)
+    k = llama.rope(k, positions, cfg.rope_theta)
+
+    kv_dtype = ecfg.kv_dtype
+    ck = jax.lax.dynamic_update_slice_in_dim(
+        ck, _kv_store(k, kv_dtype, k_amax_l).astype(ck.dtype), pos, axis=1
+    )
+    cv = jax.lax.dynamic_update_slice_in_dim(
+        cv, _kv_store(v, kv_dtype, v_amax_l).astype(cv.dtype), pos, axis=1
+    )
+    k_all = _kv_load(ck, cfg.dtype, kv_dtype, k_amax_l)
+    v_all = _kv_load(cv, cfg.dtype, kv_dtype, v_amax_l)
+
+    rep = nH // nKV
+    k_all = jnp.repeat(k_all, rep, axis=2)
+    v_all = jnp.repeat(v_all, rep, axis=2)
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k_all, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd) + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B * T, nH * hd)
+
+    attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"))
+    x = x + attn.reshape(B, T, H)
+
+    h = llama.rms_norm(x, lp["post_attention_layernorm"], eps)
+    h2 = h.reshape(B * T, H)
+    g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"))
+    u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"))
+    y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
+    d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"))
+    x = x + d.reshape(B, T, H)
+    return x, ck, cv
+
+
+def _model_step(cfg, ecfg, cm, backend, tokens, cache, positions):
+    """Forward over packed weights with cache update. tokens [B, T]."""
+    B, T = tokens.shape
+    params = cm.params
+    x = params["embed_tokens"][tokens].astype(cfg.dtype)
+    S = cache["k"].shape[2]
+    kpos = jnp.arange(S)[None, :]
+    qpos = positions[0][:, None]
+    mask = jnp.where(kpos <= qpos, 0.0, -1e9)[None, None, :, :].astype(jnp.float32)
+    kinds = cm.kinds
+    k_amax = _kv_amax(cm, "k")
+    v_amax = _kv_amax(cm, "v")
+
+    def body(carry, per_layer):
+        x = carry
+        lp, lstate, ck, cv, ka, va = per_layer
+        x, ck, cv = _layer_forward(
+            cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask, ck, cv,
+            cache["pos"], ka, va,
+        )
+        return x, (ck, cv)
+
+    L = cfg.num_hidden_layers
+    ka = k_amax if k_amax is not None else jnp.zeros((L,))
+    va = v_amax if v_amax is not None else jnp.zeros((L,))
+    # Per-layer input-quantizer state rides through the scan (stacked [L, ...])
+    act_state = {
+        name: {"input": sub["input"]}
+        for name, sub in cm.qstate.items()
+        if isinstance(sub, dict) and "input" in sub
+    }
+    xs = (params["layers"], act_state, cache["k"], cache["v"], ka, va)
+    x, (ck, cv) = jax.lax.scan(body, x, xs)
+    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head_w = params.get("lm_head", params["embed_tokens"])
+    logits = (x[:, -1, :] @ head_w.T.astype(x.dtype)).astype(jnp.float32)
+    new_cache = {"k": ck, "v": cv, "pos": cache["pos"] + T}
+    return logits, new_cache
+
+
+class Engine:
+    """Generation engine over a compressed model."""
+
+    def __init__(self, cm: CompressedModel, config: EngineConfig = EngineConfig()):
+        self.cm = cm
+        self.cfg = cm.model_cfg
+        self.ecfg = config
+        backend = config.backend
+        if backend == "auto":
+            backend = "pallas" if qmm.pallas_supported() else "xla"
+        self.backend = backend
+        self._prefill = jax.jit(
+            partial(_model_step, self.cfg, self.ecfg, cm, backend),
+            static_argnames=(),
+        ) if False else None  # jitted lazily with cache shapes
+
+    def init_cache(self, batch: int, max_len: Optional[int] = None) -> dict:
+        max_len = max_len or self.ecfg.max_seq_len
+        cfg = self.cfg
+        dtype = self.ecfg.kv_dtype or cfg.dtype
+        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.hd)
+        return {
+            "k": jnp.zeros(shape, dtype),
+            "v": jnp.zeros(shape, dtype),
+            "pos": jnp.asarray(0, jnp.int32),
+        }
+
+    def prefill(self, tokens: jax.Array, cache: dict):
+        B, T = tokens.shape
+        positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T)).astype(jnp.int32)
+        step = jax.jit(partial(_model_step, self.cfg, self.ecfg, self.cm, self.backend))
+        return step(tokens, cache, positions)
+
+    def decode(self, first_token: jax.Array, cache: dict, steps: int):
+        """Greedy decode `steps` tokens fully on device (one dispatch)."""
+        cfg, ecfg, cm, backend = self.cfg, self.ecfg, self.cm, self.backend
+
+        def step_fn(carry, _):
+            tok, cache = carry
+            B = tok.shape[0]
+            positions = jnp.broadcast_to(cache["pos"][None, None], (B, 1)).astype(jnp.int32)
+            logits, cache = _model_step(cfg, ecfg, cm, backend, tok, cache, positions)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, cache), nxt[:, 0]
+
+        (last, cache), toks = jax.lax.scan(
+            step_fn, (first_token, cache), None, length=steps
+        )
+        return toks.T, cache  # [B, steps]
+
+    def generate(self, prompt: jax.Array, max_new_tokens: int = 32):
+        """Greedy generation. prompt [B, T] -> [B, max_new_tokens]."""
+        cache = self.init_cache(prompt.shape[0])
+        logits, cache = self.prefill(prompt, cache)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        toks, cache = jax.jit(
+            lambda f, c: self.decode(f, c, max_new_tokens - 1)
+        )(first, cache)
+        return jnp.concatenate([first, toks], axis=1)

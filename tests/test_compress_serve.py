@@ -1,0 +1,181 @@
+"""Real-quant compression + fused kernels + serving engine tests (CPU interpret)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.ops import numerics
+from tensorrt_model_optimizer_tpu.ops.pallas import qmm
+from tensorrt_model_optimizer_tpu.quant import compress, get_preset, ptq
+from tensorrt_model_optimizer_tpu.serve import engine as serve_engine
+
+
+@pytest.fixture(scope="module")
+def tiny_ptq():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    return cfg, params, batches
+
+
+class TestCompress:
+    @pytest.mark.parametrize("preset,kind", [
+        ("INT8_DEFAULT_CFG", "int8"),
+        ("FP8_DEFAULT_CFG", "fp8"),
+        ("INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "int4"),
+        ("NVFP4_DEFAULT_CFG", "nvfp4"),
+    ])
+    def test_roundtrip_matches_fake_quant(self, tiny_ptq, preset, kind):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, preset, batches)
+        cm = compress.compress(model)
+        assert cm.kinds["mlp.down_proj"] == kind
+        # dequantized weight == fake-quantized weight (same numerics path)
+        name = "mlp.down_proj"
+        w = params["layers"][name]
+        wcfg = model.layout.get(f"{name}.weight")
+        wst = model.qstate[name]["weight"]
+        from tensorrt_model_optimizer_tpu.quant import quantizer as Q
+
+        fake = jax.vmap(lambda wl, sl: Q.quantize(wl, wcfg, sl))(w, wst)
+        deq = compress.decompress_weight(cm.kinds[name], cm.params["layers"][name],
+                                         out_dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(deq), np.asarray(fake, dtype=np.float32), rtol=2e-2, atol=2e-2
+        )
+
+    def test_plane_pack_roundtrip(self):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.integers(-8, 8, size=(8, 16)).astype(np.int8))
+        packed = compress.plane_pack(compress._int4_nibbles(q))
+        lo, hi = compress.plane_unpack_int4(packed)
+        np.testing.assert_array_equal(np.asarray(lo), np.asarray(q[:4]))
+        np.testing.assert_array_equal(np.asarray(hi), np.asarray(q[4:]))
+
+    def test_packed_bytes_smaller(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT4_BLOCKWISE_WEIGHT_ONLY_CFG", batches)
+        cm = compress.compress(model)
+        dense = sum(
+            a.size * a.dtype.itemsize
+            for n in llama.PROJ_NAMES
+            for a in [params["layers"][n]]
+        )
+        assert cm.packed_bytes < dense * 0.7
+
+
+class TestQMMKernels:
+    """Fused kernels vs reference dequant matmul (interpret mode on CPU)."""
+
+    def _mk(self, O=64, K=128, N=8, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32)).astype(jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(O, K)).astype(np.float32))
+        return x, w
+
+    def test_int8(self):
+        x, w = self._mk()
+        amax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+        q, scale = numerics.real_quant_int(w, amax, 8)
+        y = qmm.qmm_int8(x, q, scale)
+        ref = x.astype(jnp.float32) @ (q.astype(jnp.float32) * scale).T
+        np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-1)
+
+    def test_fp8(self):
+        x, w = self._mk(seed=1)
+        kind, arrays = compress.compress_weight(
+            w, __import__("tensorrt_model_optimizer_tpu.quant.config", fromlist=["FP8_PER_CHANNEL"]).FP8_PER_CHANNEL, None
+        )
+        y = qmm.qmm_fp8(x, arrays["q"], arrays["scale"])
+        deq = compress.decompress_weight("fp8", arrays, jnp.float32)
+        ref = x.astype(jnp.float32) @ deq.T
+        np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-1)
+
+    def test_int4(self):
+        from tensorrt_model_optimizer_tpu.quant.config import INT4_PER_BLOCK_64
+
+        x, w = self._mk(seed=2)
+        kind, arrays = compress.compress_weight(w, INT4_PER_BLOCK_64, None)
+        assert kind == "int4"
+        y = qmm.qmm_int4(x, arrays["packed"], arrays["scale_lo"], arrays["scale_hi"])
+        deq = compress.decompress_weight("int4", arrays, jnp.float32)
+        ref = x.astype(jnp.float32) @ deq.T
+        np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-1)
+
+    def test_nvfp4(self):
+        from tensorrt_model_optimizer_tpu.quant.config import NVFP4_BLOCK16
+
+        x, w = self._mk(seed=3)
+        kind, arrays = compress.compress_weight(w, NVFP4_BLOCK16, None)
+        assert kind == "nvfp4"
+        y = qmm.qmm_nvfp4(
+            x, arrays["packed"],
+            arrays["scale_lo"].astype(jnp.float32),
+            arrays["scale_hi"].astype(jnp.float32),
+            arrays["global_scale"],
+        )
+        deq = compress.decompress_weight("nvfp4", arrays, jnp.float32)
+        ref = x.astype(jnp.float32) @ deq.T
+        np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                                   rtol=3e-2, atol=3e-1)
+
+    def test_fp4_decode_matches_codes(self):
+        codes = jnp.arange(16, dtype=jnp.int32)
+        got = np.asarray(qmm._fp4_decode_bf16(codes))
+        exp = np.asarray(numerics.codes_to_fp4(codes.astype(jnp.uint8)))
+        np.testing.assert_allclose(got, exp)
+
+
+class TestEngine:
+    @pytest.mark.parametrize("preset", ["INT8_DEFAULT_CFG", "NVFP4_DEFAULT_CFG"])
+    def test_generate_matches_fake_quant_model(self, tiny_ptq, preset):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, preset, batches)
+        cm = compress.compress(model)
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=64, backend="xla"))
+        prompt = batches[0][:, :8]
+        out = eng.generate(prompt, max_new_tokens=4)
+        assert out.shape == (2, 4)
+        # engine logits should track the fake-quant model's next-token logits
+        cache = eng.init_cache(2, 64)
+        logits, _ = eng.prefill(prompt, cache)
+        # weight-only path: compare against fake-quant forward last position
+        ref_logits, _, _ = model.forward(prompt)
+        a = np.asarray(logits)
+        b = np.asarray(ref_logits[:, -1])
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.99, corr
+
+    def test_quantized_kv_cache(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "FP8_KV_CFG", batches)
+        cm = compress.compress(model)
+        eng = serve_engine.Engine(
+            cm,
+            serve_engine.EngineConfig(max_seq_len=64, backend="xla", kv_dtype=jnp.float8_e4m3fn),
+        )
+        out = eng.generate(batches[0][:, :8], max_new_tokens=4)
+        assert out.shape == (2, 4)
+        # same engine with bf16 cache should agree closely (fp8 kv ~ small err)
+        eng2 = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=64, backend="xla"))
+        out2 = eng2.generate(batches[0][:, :8], max_new_tokens=4)
+        assert np.mean(np.asarray(out) == np.asarray(out2)) > 0.5
+
+    def test_pallas_backend_interpret(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT8_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        eng_x = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+        eng_p = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=32, backend="pallas"))
+        prompt = batches[0][:, :8]
+        cache_x = eng_x.init_cache(2, 32)
+        cache_p = eng_p.init_cache(2, 32)
+        lx, _ = eng_x.prefill(prompt, cache_x)
+        lp, _ = eng_p.prefill(prompt, cache_p)
+        np.testing.assert_allclose(np.asarray(lx), np.asarray(lp), rtol=5e-2, atol=5e-1)
