@@ -1,0 +1,273 @@
+"""Unified HF checkpoint export (`export_hf_checkpoint` equivalent).
+
+Re-creates the reference's unified export (`unified_export_hf.py:1527` +
+`quant_utils.py`): packed quantized weights + per-format scales in the HF
+naming scheme, an `hf_quant_config.json` describing the format, and a
+sanitized `config.json` — deployable to engines that read ModelOpt unified
+checkpoints (TRT-LLM/vLLM/SGLang readers).
+
+Shared-input fusion note: the reference resmooths/unifies amax across
+QKV and gate/up at export (`requantize_resmooth_fused_llm_layers:433`). In
+this framework those sites collect from the *same* captured tensor with the
+same running-max, so their amax/pre_quant_scale are identical by
+construction — no resmoothing pass is needed.
+
+Export layouts follow the reference exactly:
+ - INT4 / NVFP4 values pack two *adjacent* elements per byte along the input
+   dim: (q[..., 1::2] << 4) | q[..., 0::2] (`nvfp4_tensor.py:337`,
+   `quant_utils.py:790`). (The serving engine uses plane packing internally;
+   export re-packs.)
+ - NVFP4: `weight_scale` = per-block E4M3, `weight_scale_2` = fp32
+   global_amax / (6*448); `input_scale` = act_amax / (6*448).
+ - FP8: `weight_scale` = amax/448 fp32, weights stored float8_e4m3fn.
+ - INT8-SQ: per-channel `weight_scale`, `input_scale` per-tensor,
+   `pre_quant_scale` on the activation side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import hf_loader, llama
+from ..ops import numerics
+from ..quant import quantizer as Q
+from ..quant.ptq import QuantizedModel
+
+PROJ_TO_HF = {
+    "self_attn.q_proj": "model.layers.{i}.self_attn.q_proj",
+    "self_attn.k_proj": "model.layers.{i}.self_attn.k_proj",
+    "self_attn.v_proj": "model.layers.{i}.self_attn.v_proj",
+    "self_attn.o_proj": "model.layers.{i}.self_attn.o_proj",
+    "mlp.gate_proj": "model.layers.{i}.mlp.gate_proj",
+    "mlp.up_proj": "model.layers.{i}.mlp.up_proj",
+    "mlp.down_proj": "model.layers.{i}.mlp.down_proj",
+}
+
+
+def _pack_adjacent_nibbles(codes: np.ndarray) -> np.ndarray:
+    """(q[..., 1::2] << 4) | q[..., 0::2] — reference export layout."""
+    lo = codes[..., 0::2]
+    hi = codes[..., 1::2]
+    return ((hi << 4) | (lo & 0xF)).astype(np.uint8)
+
+
+def _quant_algo(model: QuantizedModel) -> tuple[str, Optional[int]]:
+    wcfg = model.layout.get("mlp.down_proj.weight")
+    base = wcfg.sequential[0] if wcfg.sequential else wcfg
+    if not wcfg.enable:
+        return "NONE", None
+    if base.is_fp and base.num_bits == (2, 1):
+        bsz = dict(base.block.sizes).get(-1, 16) if base.block else 16
+        return "NVFP4", bsz
+    if base.is_fp and base.num_bits == (4, 3):
+        return "FP8", None
+    if not base.is_fp and base.num_bits == 4:
+        bsz = dict(base.block.sizes).get(-1, 128) if base.block else 128
+        if wcfg.sequential:
+            return "W4A8_AWQ", bsz
+        return "W4A16_AWQ", bsz
+    if not base.is_fp and base.num_bits == 8:
+        algo = model.quant_cfg.algorithm
+        method = algo.get("method") if isinstance(algo, dict) else algo
+        if method == "smoothquant":
+            return "W8A8_SQ_PER_CHANNEL", None
+        return "INT8", None
+    return "NONE", None
+
+
+def _kv_algo(model: QuantizedModel) -> Optional[str]:
+    kcfg = model.layout.get("self_attn.k_bmm")
+    if not kcfg.enable:
+        return None
+    if kcfg.is_fp and kcfg.num_bits == (4, 3):
+        return "FP8"
+    if kcfg.is_fp and kcfg.num_bits == (2, 1):
+        return "NVFP4"
+    if not kcfg.is_fp and kcfg.num_bits == 8:
+        return "INT8"
+    return None
+
+
+def _export_weight(w, wcfg, wst, algo: str):
+    """Returns {suffix: np.ndarray} for one projection weight [O, K]."""
+    w32 = np.asarray(w, dtype=np.float32)
+    out: dict[str, np.ndarray] = {}
+    if algo == "NONE" or not wcfg.enable:
+        out["weight"] = w32.astype(np.float16)
+        return out
+    base = wcfg.sequential[0] if wcfg.sequential else wcfg
+    amax = wst.amax if wst is not None else None
+    if isinstance(amax, tuple):
+        amax = amax[0]
+
+    if algo == "NVFP4":
+        bsz = dict(base.block.sizes).get(-1, 16)
+        g_amax = np.asarray(amax) if amax is not None else np.abs(w32).max()
+        gs = max(float(g_amax) / (6.0 * 448.0), 1e-12)
+        bam = np.abs(w32).reshape(w32.shape[0], -1, bsz).max(axis=-1)
+        s_val = np.asarray(
+            numerics.cast_e4m3(jnp.asarray(bam / (6.0 * gs)))
+        )
+        s_val = np.where(s_val <= 0, 1.0, s_val)
+        sb_full = np.repeat(s_val * gs, bsz, axis=-1)
+        qv = np.asarray(numerics.fp4_round(jnp.asarray(w32 / sb_full)))
+        codes = np.asarray(numerics.fp4_to_codes(jnp.asarray(qv)))
+        out["weight"] = _pack_adjacent_nibbles(codes)
+        out["weight_scale"] = np.asarray(
+            jnp.asarray(np.clip(s_val, -448, 448)).astype(jnp.float8_e4m3fn)
+        )
+        out["weight_scale_2"] = np.asarray(gs, dtype=np.float32)
+        return out
+
+    if algo == "FP8":
+        a = np.asarray(amax) if amax is not None else np.abs(w32).max()
+        scale = np.maximum(np.asarray(a, np.float32), 1e-12) / 448.0
+        qw = np.asarray(
+            jnp.clip(jnp.asarray(w32 / scale.reshape((-1, 1) if scale.ndim else ())),
+                     -448, 448).astype(jnp.float8_e4m3fn)
+        )
+        out["weight"] = qw
+        out["weight_scale"] = scale.astype(np.float32)
+        return out
+
+    if algo in ("W4A16_AWQ", "W4A8_AWQ"):
+        bsz = dict(base.block.sizes).get(-1, 128)
+        bsz = min(bsz, w32.shape[-1])
+        if amax is None:
+            bam = np.abs(w32).reshape(w32.shape[0], -1, bsz).max(axis=-1)
+        else:
+            bam = np.asarray(amax, np.float32)
+        scale = np.where(bam == 0, 1.0, bam / 7.0)
+        s_full = np.repeat(scale, bsz, axis=-1)
+        q = np.clip(np.round(w32 / s_full), -8, 7).astype(np.int32)
+        out["weight"] = _pack_adjacent_nibbles(q & 0xF)
+        out["weight_scale"] = scale.astype(np.float32)
+        return out
+
+    # INT8 per-channel
+    a = np.asarray(amax) if amax is not None else np.abs(w32).max(axis=-1, keepdims=True)
+    scale = np.where(a == 0, 1.0, a / 127.0).astype(np.float32)
+    q = np.clip(np.round(w32 / scale), -128, 127).astype(np.int8)
+    out["weight"] = q
+    out["weight_scale"] = scale
+    return out
+
+
+def _save_safetensors_with_fp8(tensors: dict[str, np.ndarray], path: str) -> None:
+    """Save via safetensors-torch: the numpy backend lacks float8 support,
+    and real float8 storage is what deployment engines read."""
+    import torch
+    from safetensors.torch import save_file
+
+    cooked = {}
+    for k, v in tensors.items():
+        if v.dtype.name == "float8_e4m3fn":
+            t = torch.from_numpy(np.ascontiguousarray(v.view(np.uint8))).view(torch.float8_e4m3fn)
+        else:
+            t = torch.from_numpy(np.ascontiguousarray(v))
+        cooked[k] = t
+    save_file(cooked, path)
+
+
+def load_exported(path: str) -> dict[str, np.ndarray]:
+    """Read back an exported checkpoint (fp8 tensors come back as ml_dtypes)."""
+    import torch
+    from safetensors.torch import load_file
+
+    import ml_dtypes
+
+    out = {}
+    for k, t in load_file(os.path.join(path, "model.safetensors")).items():
+        if t.dtype == torch.float8_e4m3fn:
+            out[k] = t.view(torch.uint8).numpy().view(ml_dtypes.float8_e4m3fn)
+        elif t.dtype == torch.bfloat16:
+            out[k] = t.float().numpy()
+        else:
+            out[k] = t.numpy()
+    return out
+
+
+def export_hf_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
+    """Write the unified quantized HF checkpoint. Returns hf_quant_config."""
+    os.makedirs(export_dir, exist_ok=True)
+    cfg = model.model_cfg
+    algo, group_size = _quant_algo(model)
+    kv_algo = _kv_algo(model)
+    L = cfg.num_hidden_layers
+    tensors: dict[str, np.ndarray] = {}
+
+    def to_np16(a):
+        return np.asarray(jnp.asarray(a).astype(jnp.float32), dtype=np.float16)
+
+    tensors["model.embed_tokens.weight"] = to_np16(model.params["embed_tokens"])
+    tensors["model.norm.weight"] = to_np16(model.params["norm"])
+    if "lm_head" in model.params:
+        tensors["lm_head.weight"] = to_np16(model.params["lm_head"])
+    layers = model.params["layers"]
+    for i in range(L):
+        tensors[f"model.layers.{i}.input_layernorm.weight"] = to_np16(
+            layers["input_layernorm"][i]
+        )
+        tensors[f"model.layers.{i}.post_attention_layernorm.weight"] = to_np16(
+            layers["post_attention_layernorm"][i]
+        )
+        for name, hf_fmt in PROJ_TO_HF.items():
+            prefix = hf_fmt.format(i=i)
+            wcfg = model.layout.get(f"{name}.weight")
+            site = model.qstate.get(name, {})
+            wst_all = site.get("weight")
+            wst = jax.tree.map(lambda a: a[i], wst_all) if wst_all is not None else None
+            exported = _export_weight(layers[name][i], wcfg, wst, algo)
+            for suffix, arr in exported.items():
+                tensors[f"{prefix}.{suffix}"] = arr
+            # activation scales
+            ist_all = site.get("input")
+            icfg = model.layout.get(f"{name}.input")
+            if ist_all is not None:
+                ist = jax.tree.map(lambda a: a[i], ist_all)
+                if ist.amax is not None and icfg.enable:
+                    a = np.asarray(ist.amax, np.float32).max()
+                    div = 6.0 * 448.0 if algo == "NVFP4" else (
+                        448.0 if icfg.is_fp else 127.0
+                    )
+                    tensors[f"{prefix}.input_scale"] = np.asarray(a / div, np.float32)
+                if ist.pre_quant_scale is not None:
+                    tensors[f"{prefix}.pre_quant_scale"] = np.asarray(
+                        ist.pre_quant_scale, np.float32
+                    )
+        # KV scales (`get_kv_cache_scaling_factor`, quant_utils.py:371)
+        if kv_algo:
+            for which in ("k", "v"):
+                st_all = model.qstate.get(f"self_attn.{which}_bmm")
+                if st_all is not None and st_all.amax is not None:
+                    a = float(np.asarray(st_all.amax[i], np.float32).max())
+                    div = 448.0 if kv_algo == "FP8" else (127.0 if kv_algo == "INT8" else 6.0 * 448.0)
+                    tensors[
+                        f"model.layers.{i}.self_attn.{which}_proj.{which}_scale"
+                    ] = np.asarray(a / div, np.float32)
+
+    _save_safetensors_with_fp8(tensors, os.path.join(export_dir, "model.safetensors"))
+
+    hf_quant_config = {
+        "producer": {"name": "tensorrt_model_optimizer_tpu", "version": "0.1.0"},
+        "quantization": {
+            "quant_algo": algo,
+            "kv_cache_quant_algo": kv_algo,
+            **({"group_size": group_size} if group_size else {}),
+            "exclude_modules": ["lm_head"],
+        },
+    }
+    with open(os.path.join(export_dir, "hf_quant_config.json"), "w") as f:
+        json.dump(hf_quant_config, f, indent=2)
+    hf_cfg = hf_loader.config_to_hf(cfg)
+    hf_cfg["quantization_config"] = hf_quant_config["quantization"]
+    with open(os.path.join(export_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    return hf_quant_config

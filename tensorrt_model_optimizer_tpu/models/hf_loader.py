@@ -1,0 +1,116 @@
+"""HF checkpoint loading: safetensors -> stacked params pytree.
+
+Reads a Hugging Face Llama-family checkpoint directory (config.json +
+*.safetensors) into our stacked-layer params layout. Weights keep the HF
+[out, in] orientation (we compute y = x @ W^T), so tensors map 1:1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from glob import glob
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .llama import LlamaConfig, PROJ_NAMES
+
+
+def config_from_hf(d: dict) -> LlamaConfig:
+    return LlamaConfig(
+        vocab_size=d["vocab_size"],
+        hidden_size=d["hidden_size"],
+        intermediate_size=d["intermediate_size"],
+        num_hidden_layers=d["num_hidden_layers"],
+        num_attention_heads=d["num_attention_heads"],
+        num_key_value_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+        head_dim=d.get("head_dim"),
+        rope_theta=d.get("rope_theta", 10000.0),
+        rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+        tie_word_embeddings=d.get("tie_word_embeddings", False),
+        max_position_embeddings=d.get("max_position_embeddings", 4096),
+        dtype=jnp.bfloat16,
+    )
+
+
+def config_to_hf(cfg: LlamaConfig) -> dict:
+    return {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_key_value_heads": cfg.num_key_value_heads,
+        "head_dim": cfg.hd,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "torch_dtype": "bfloat16",
+    }
+
+
+def _load_all_tensors(path: str) -> dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out: dict[str, np.ndarray] = {}
+    files = sorted(glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors under {path}")
+    for f in files:
+        with safe_open(f, framework="np") as sf:
+            for k in sf.keys():
+                try:
+                    out[k] = sf.get_tensor(k)
+                except (TypeError, ValueError):
+                    # bf16 via numpy is unsupported in some versions; go torch
+                    with safe_open(f, framework="pt") as sft:
+                        t = sft.get_tensor(k)
+                        out[k] = t.float().numpy()
+    return out
+
+
+def load_hf_checkpoint(path: str, dtype=jnp.bfloat16) -> tuple[LlamaConfig, dict]:
+    """Returns (config, params) from an HF Llama checkpoint directory."""
+    with open(os.path.join(path, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = config_from_hf(hf_cfg)
+    cfg = LlamaConfig(**{**cfg.__dict__, "dtype": dtype})
+    raw = _load_all_tensors(path)
+
+    def get(name):
+        return jnp.asarray(raw[name]).astype(dtype)
+
+    L = cfg.num_hidden_layers
+    layers: dict[str, Any] = {}
+    stack = lambda fmt: jnp.stack([get(fmt.format(i=i)) for i in range(L)])
+    layers["input_layernorm"] = stack("model.layers.{i}.input_layernorm.weight")
+    layers["post_attention_layernorm"] = stack(
+        "model.layers.{i}.post_attention_layernorm.weight"
+    )
+    hf_names = {
+        "self_attn.q_proj": "model.layers.{i}.self_attn.q_proj.weight",
+        "self_attn.k_proj": "model.layers.{i}.self_attn.k_proj.weight",
+        "self_attn.v_proj": "model.layers.{i}.self_attn.v_proj.weight",
+        "self_attn.o_proj": "model.layers.{i}.self_attn.o_proj.weight",
+        "mlp.gate_proj": "model.layers.{i}.mlp.gate_proj.weight",
+        "mlp.up_proj": "model.layers.{i}.mlp.up_proj.weight",
+        "mlp.down_proj": "model.layers.{i}.mlp.down_proj.weight",
+    }
+    for ours, fmt in hf_names.items():
+        layers[ours] = stack(fmt)
+    params = {
+        "embed_tokens": get("model.embed_tokens.weight"),
+        "layers": layers,
+        "norm": get("model.norm.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        if "lm_head.weight" in raw:
+            params["lm_head"] = get("lm_head.weight")
+        else:
+            params["lm_head"] = params["embed_tokens"]
+    return cfg, params
