@@ -86,8 +86,27 @@ def synth_packed_layers(cfg, fmt, rng):
     return layers, kinds
 
 
+def cm_bytes(cm):
+    import jax
+
+    return sum(
+        a.size * a.dtype.itemsize
+        for a in jax.tree.leaves(cm.params["layers"])
+    )
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from tensorrt_model_optimizer_tpu.models import llama
@@ -116,23 +135,25 @@ def main():
     cm = CompressedModel(cfg, params, kinds, llama.QuantLayout(sites=()), {})
 
     eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=MAXLEN, backend="pallas"))
-    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(BATCH, PREFILL), dtype=np.int32))
+    log(f"packed model built: format={FORMAT} bytes={cm_bytes(cm)/1e9:.2f} GB")
 
+    # Decode-only throughput: start from a cache pre-positioned at PREFILL
+    # (contents irrelevant for throughput; avoids a second large compile).
     cache = eng.init_cache(BATCH, MAXLEN)
-    t0 = time.time()
-    logits, cache = eng.prefill(prompt, cache)
-    jax.block_until_ready(logits)
-    prefill_compile_s = time.time() - t0
-
-    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+    cache["pos"] = jnp.asarray(PREFILL, jnp.int32)
+    first = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(BATCH, 1), dtype=np.int32))
     decode = jax.jit(lambda f, c: eng.decode(f, c, STEPS))
+    t0 = time.time()
     toks, cache2 = decode(first, cache)
     jax.block_until_ready(toks)  # compile + first run
+    prefill_compile_s = time.time() - t0
+    log(f"decode compile+first: {prefill_compile_s:.1f}s")
 
     t0 = time.time()
     toks, cache3 = decode(first, cache)
     jax.block_until_ready(toks)
     dt = time.time() - t0
+    log(f"decode run: {dt*1e3:.1f} ms for {STEPS} steps")
 
     tok_s = BATCH * STEPS / dt
     baseline = BASELINES_BS8.get(FORMAT, 599.7)
@@ -142,7 +163,7 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(tok_s / baseline, 3),
         "step_ms": round(dt / STEPS * 1e3, 2),
-        "prefill_first_call_s": round(prefill_compile_s, 1),
+        "compile_s": round(prefill_compile_s, 1),
         "format": FORMAT, "bs": BATCH, "prefill": PREFILL, "steps": STEPS,
         "baseline": f"H200 TRT-LLM {FORMAT} BS8 ({baseline} tok/s)",
     }))

@@ -518,6 +518,45 @@ def forward(
     return logits, out_qstate, new_cache
 
 
+def slice_layer(tree, i: int):
+    """Per-layer slice of a stacked [L, ...] pytree."""
+    return jax.tree.map(lambda a: a[i], tree)
+
+
+def forward_unrolled(
+    cfg: LlamaConfig,
+    params: Params,
+    tokens: jax.Array,
+    layer_layouts: list[QuantLayout],
+    qstate_list: Optional[list] = None,
+    calib: bool = False,
+):
+    """Forward with a distinct quant layout per layer (AutoQuantize result).
+
+    Python-unrolled over layers (mixed static formats can't ride one scan);
+    used for eval/serving of mixed-precision models, not training loops.
+    Quantizer state is a per-layer list (shapes differ across layers).
+    """
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T)).astype(jnp.int32)
+    x = params["embed_tokens"][tokens].astype(cfg.dtype)
+    mask = jnp.where(
+        jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e9
+    )[None, None, :, :].astype(jnp.float32)
+    new_states = []
+    for i in range(cfg.num_hidden_layers):
+        lp = slice_layer(params["layers"], i)
+        lstate = qstate_list[i] if qstate_list else None
+        x, new_state, _, _ = _decoder_layer(
+            cfg, layer_layouts[i], calib, x, lp, lstate, positions, mask, None
+        )
+        new_states.append(new_state)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head_w = params.get("lm_head", params["embed_tokens"])
+    logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
+    return logits, new_states
+
+
 def _strip_global(qstate):
     """Drop non-layer (global) sites so scan xs only carry stacked leaves."""
     if not qstate:

@@ -1,0 +1,58 @@
+"""AutoQuantize tests: scores, ILP selection, budget satisfaction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.quant import auto
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    return cfg, params, batches
+
+
+def test_ilp_onehot_and_budget():
+    scores = np.array([[10.0, 1.0], [10.0, 1.0], [10.0, 1.0]])
+    costs = np.array([[1.0, 4.0]] * 3)
+    pick = auto._solve_ilp(scores, costs, budget=9.0)
+    # budget lets exactly two rows take the expensive low-score option
+    assert costs[np.arange(3), pick].sum() <= 9.0
+    assert (pick == 1).sum() == 2
+
+
+def test_auto_quantize_end_to_end(tiny):
+    cfg, params, batches = tiny
+    res = auto.auto_quantize(
+        cfg, params,
+        candidates=["INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "FP8_DEFAULT_CFG"],
+        calib_batches=batches,
+        effective_bits=6.0,
+        capture_tokens=16,
+    )
+    assert len(res.layer_layouts) == cfg.num_hidden_layers
+    assert res.effective_bits <= 6.0 + 1e-6
+    assert res.scores.shape[1] == 2
+    # mixed-precision model runs with the calibrated state from the search
+    logits, _ = llama.forward_unrolled(
+        cfg, params, batches[0], res.layer_layouts, res.qstate_list)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_tighter_budget_prefers_cheap_format(tiny):
+    cfg, params, batches = tiny
+    res4 = auto.auto_quantize(
+        cfg, params, ["INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "FP8_DEFAULT_CFG"],
+        batches, effective_bits=4.2, capture_tokens=16)
+    res8 = auto.auto_quantize(
+        cfg, params, ["INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "FP8_DEFAULT_CFG"],
+        batches, effective_bits=8.0, capture_tokens=16)
+    n4 = sum(v == 0 for c in res4.choice for v in c.values())
+    n8 = sum(v == 0 for c in res8.choice for v in c.values())
+    assert n4 >= n8  # tighter budget -> more int4 groups
