@@ -82,8 +82,8 @@ def _kv_load(stored: jax.Array, out_dtype, kv_dtype, amax: Optional[jax.Array]):
     return stored.astype(out_dtype)
 
 
-def _kv_amax(cm: CompressedModel, which: str) -> Optional[jax.Array]:
-    st = cm.qstate.get(f"self_attn.{which}_bmm")
+def _kv_amax_from(qstate, which: str) -> Optional[jax.Array]:
+    st = (qstate or {}).get(f"self_attn.{which}_bmm")
     if st is None or st.amax is None:
         return None
     # [L] or [L, 1, 1, n_kv, hd]-ish; reduce to per-layer scalar for cache
@@ -144,18 +144,22 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     return x, ck, cv
 
 
-def _model_step(cfg, ecfg, cm, backend, tokens, cache, positions):
-    """Forward over packed weights with cache update. tokens [B, T]."""
+def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions):
+    """Forward over packed weights with cache update. tokens [B, T].
+
+    `params`/`qstate` are explicit jit arguments — closing over them would
+    bake gigabytes of packed weights into the lowered program as constants.
+    `cm` supplies only static info (kinds, layout).
+    """
     B, T = tokens.shape
-    params = cm.params
     x = params["embed_tokens"][tokens].astype(cfg.dtype)
     S = cache["k"].shape[2]
     kpos = jnp.arange(S)[None, :]
     qpos = positions[0][:, None]
     mask = jnp.where(kpos <= qpos, 0.0, -1e9)[None, None, :, :].astype(jnp.float32)
     kinds = cm.kinds
-    k_amax = _kv_amax(cm, "k")
-    v_amax = _kv_amax(cm, "v")
+    k_amax = _kv_amax_from(qstate, "k")
+    v_amax = _kv_amax_from(qstate, "v")
 
     def body(carry, per_layer):
         x = carry
@@ -172,7 +176,7 @@ def _model_step(cfg, ecfg, cm, backend, tokens, cache, positions):
     # Per-layer input-quantizer state rides through the scan (stacked [L, ...])
     act_state = {
         name: {"input": sub["input"]}
-        for name, sub in cm.qstate.items()
+        for name, sub in (qstate or {}).items()
         if isinstance(sub, dict) and "input" in sub
     }
     xs = (params["layers"], act_state, cache["k"], cache["v"], ka, va)
@@ -195,10 +199,9 @@ class Engine:
         if backend == "auto":
             backend = "pallas" if qmm.pallas_supported() else "xla"
         self.backend = backend
-        self._prefill = jax.jit(
-            partial(_model_step, self.cfg, self.ecfg, cm, backend),
-            static_argnames=(),
-        ) if False else None  # jitted lazily with cache shapes
+        self._prefill_fn = None
+        self._decode_fn = None
+        self._decode_steps = None
 
     def init_cache(self, batch: int, max_len: Optional[int] = None) -> dict:
         max_len = max_len or self.ecfg.max_seq_len
@@ -214,32 +217,43 @@ class Engine:
     def prefill(self, tokens: jax.Array, cache: dict):
         B, T = tokens.shape
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T)).astype(jnp.int32)
-        step = jax.jit(partial(_model_step, self.cfg, self.ecfg, self.cm, self.backend))
-        return step(tokens, cache, positions)
+        if self._prefill_fn is None:
+            self._prefill_fn = jax.jit(
+                partial(_model_step, self.cfg, self.ecfg, self.cm, self.backend)
+            )
+        return self._prefill_fn(self.cm.params, self.cm.qstate, tokens, cache, positions)
 
     def decode(self, first_token: jax.Array, cache: dict, steps: int):
         """Greedy decode `steps` tokens fully on device (one dispatch)."""
         cfg, ecfg, cm, backend = self.cfg, self.ecfg, self.cm, self.backend
+        if self._decode_fn is None or self._decode_steps != steps:
 
-        def step_fn(carry, _):
-            tok, cache = carry
-            B = tok.shape[0]
-            positions = jnp.broadcast_to(cache["pos"][None, None], (B, 1)).astype(jnp.int32)
-            logits, cache = _model_step(cfg, ecfg, cm, backend, tok, cache, positions)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
-            return (nxt, cache), nxt[:, 0]
+            def run(params, qstate, first_token, cache):
+                def step_fn(carry, _):
+                    tok, cache = carry
+                    B = tok.shape[0]
+                    positions = jnp.broadcast_to(
+                        cache["pos"][None, None], (B, 1)
+                    ).astype(jnp.int32)
+                    logits, cache = _model_step(
+                        cfg, ecfg, cm, backend, params, qstate, tok, cache, positions
+                    )
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+                    return (nxt, cache), nxt[:, 0]
 
-        (last, cache), toks = jax.lax.scan(
-            step_fn, (first_token, cache), None, length=steps
-        )
-        return toks.T, cache  # [B, steps]
+                (last, cache), toks = jax.lax.scan(
+                    step_fn, (first_token, cache), None, length=steps
+                )
+                return toks.T, cache  # [B, steps]
+
+            self._decode_fn = jax.jit(run)
+            self._decode_steps = steps
+        return self._decode_fn(self.cm.params, self.cm.qstate, first_token, cache)
 
     def generate(self, prompt: jax.Array, max_new_tokens: int = 32):
         """Greedy generation. prompt [B, T] -> [B, max_new_tokens]."""
         cache = self.init_cache(prompt.shape[0])
         logits, cache = self.prefill(prompt, cache)
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
-        toks, cache = jax.jit(
-            lambda f, c: self.decode(f, c, max_new_tokens - 1)
-        )(first, cache)
+        toks, cache = self.decode(first, cache, max_new_tokens - 1)
         return jnp.concatenate([first, toks], axis=1)
