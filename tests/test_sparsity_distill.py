@@ -1,0 +1,115 @@
+"""Sparsity (N:M magnitude, SparseGPT) and distillation tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.distill import distillation, losses
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.sparsity import magnitude, sparsegpt, sparsify
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    return cfg, params, batches
+
+
+class TestMagnitude:
+    def test_2_4_pattern(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+        mask = magnitude.nm_mask(w, 2, 4)
+        m = np.asarray(mask).reshape(8, 8, 4)
+        assert np.all(m.sum(-1) == 2)
+        # kept entries are the largest-magnitude in each group
+        wg = np.abs(np.asarray(w)).reshape(8, 8, 4)
+        kept_min = np.where(m, wg, np.inf).min(-1)
+        dropped_max = np.where(~m, wg, -np.inf).max(-1)
+        assert np.all(kept_min >= dropped_max - 1e-6)
+
+    def test_sparsity_ratio(self):
+        w = jnp.asarray(np.random.default_rng(1).normal(size=(4, 16)).astype(np.float32))
+        mask = magnitude.nm_mask(w, 2, 4)
+        assert magnitude.sparsity_ratio(mask) == pytest.approx(0.5)
+
+
+class TestSparseGPT:
+    def test_mask_pattern_and_better_than_magnitude(self):
+        rng = np.random.default_rng(2)
+        X = jnp.asarray(rng.normal(size=(256, 32)).astype(np.float32))
+        # correlated inputs make reconstruction matter
+        X = X.at[:, 1].set(X[:, 0] * 0.9 + 0.1 * X[:, 1])
+        w = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+        H = sparsegpt.hessian_from_acts(X)
+        w_sg, mask = sparsegpt.sparsegpt_prune(w, H, 2, 4, block=8)
+        m = np.asarray(mask).reshape(8, 8, 4)
+        assert np.all(m.sum(-1) == 2)
+        # output reconstruction error <= plain magnitude pruning
+        w_mag = magnitude.apply_mask(w, magnitude.nm_mask(w, 2, 4))
+        ref = X @ w.T
+        e_sg = float(jnp.mean((X @ w_sg.T - ref) ** 2))
+        e_mag = float(jnp.mean((X @ w_mag.T - ref) ** 2))
+        assert e_sg <= e_mag * 1.05
+
+    def test_model_sparsify(self, tiny):
+        cfg, params, batches = tiny
+        sp, masks = sparsify.sparsify(cfg, params, "magnitude", (2, 4))
+        assert magnitude.sparsity_ratio(masks["mlp.gate_proj"]) == pytest.approx(0.5)
+        logits, _, _ = llama.forward(cfg, sp, batches[0])
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_model_sparsegpt(self, tiny):
+        cfg, params, batches = tiny
+        sp, masks = sparsify.sparsify(cfg, params, "sparsegpt", (2, 4), batches,
+                                      capture_tokens=32)
+        assert magnitude.sparsity_ratio(masks["mlp.down_proj"]) == pytest.approx(0.5)
+        logits, _, _ = llama.forward(cfg, sp, batches[0])
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_reapply_after_update(self, tiny):
+        cfg, params, batches = tiny
+        sp, masks = sparsify.sparsify(cfg, params, "magnitude")
+        perturbed = jax.tree.map(lambda a: a + 0.01 if a.dtype == jnp.float32 else a, sp)
+        back = sparsify.reapply(perturbed, masks)
+        w = np.asarray(back["layers"]["mlp.gate_proj"])
+        m = np.asarray(masks["mlp.gate_proj"])
+        assert np.all(w[~m] == 0)
+
+
+class TestDistill:
+    def test_kl_zero_when_identical(self):
+        logits = jnp.asarray(np.random.default_rng(3).normal(size=(2, 4, 16)).astype(np.float32))
+        assert float(losses.logits_kl(logits, logits)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_kl_positive(self):
+        rng = np.random.default_rng(4)
+        a = jnp.asarray(rng.normal(size=(2, 4, 16)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(2, 4, 16)).astype(np.float32))
+        assert float(losses.logits_kl(a, b)) > 0
+
+    def test_distill_step_reduces_kd_loss(self, tiny):
+        cfg, params, batches = tiny
+        teacher = params
+        student = llama.init_params(cfg, jax.random.PRNGKey(7))
+        step = jax.jit(distillation.make_distill_step(cfg, distillation.KDConfig(kd_weight=1.0), lr=5e-2))
+        tokens = batches[0]
+        s, l0 = step(student, teacher, tokens)
+        for _ in range(5):
+            s, l = step(s, teacher, tokens)
+        assert float(l) < float(l0)
+
+    def test_qad_step(self, tiny):
+        from tensorrt_model_optimizer_tpu.quant import get_preset
+
+        cfg, params, batches = tiny
+        layout = llama.build_layout(cfg, get_preset("FP8_DEFAULT_CFG"))
+        qs = llama.init_quant_state(cfg, layout)
+        _, qs, _ = llama.forward(cfg, params, batches[0], layout=layout, qstate=qs, calib=True)
+        step = jax.jit(distillation.make_distill_step(cfg, layout=layout))
+        s, loss = step(params, params, batches[0], qs)
+        assert np.isfinite(float(loss))
