@@ -1,0 +1,66 @@
+"""Speculative decoding tests: medusa heads, eagle draft, acceptance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.speculative import eagle, medusa
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 16)))
+    return cfg, params, tokens
+
+
+def test_medusa_logit_shapes(tiny):
+    cfg, params, tokens = tiny
+    mcfg = medusa.MedusaConfig(num_heads=3)
+    heads = medusa.init_medusa(cfg, mcfg, jax.random.PRNGKey(1))
+    base, hl = medusa.medusa_logits(cfg, params, heads, tokens)
+    assert base.shape == (2, 16, cfg.vocab_size)
+    assert hl.shape == (3, 2, 16, cfg.vocab_size)
+
+
+def test_medusa_training_reduces_loss(tiny):
+    cfg, params, tokens = tiny
+    mcfg = medusa.MedusaConfig(num_heads=2)
+    heads = medusa.init_medusa(cfg, mcfg, jax.random.PRNGKey(2))
+    step = jax.jit(medusa.make_medusa_train_step(cfg, lr=5e-2))
+    heads, l0 = step(heads, params, tokens)
+    for _ in range(5):
+        heads, l = step(heads, params, tokens)
+    assert float(l) < float(l0)
+
+
+def test_medusa_propose_verify(tiny):
+    cfg, params, tokens = tiny
+    mcfg = medusa.MedusaConfig(num_heads=2)
+    heads = medusa.init_medusa(cfg, mcfg, jax.random.PRNGKey(3))
+    out, rate = medusa.propose_and_verify(cfg, params, heads, tokens[:1, :8], steps=6)
+    assert out.shape[1] >= 8 + 6
+    assert 0.0 <= rate <= 1.0
+    # verified tokens must match pure greedy decoding of the base model
+    greedy = tokens[:1, :8]
+    for _ in range(out.shape[1] - 8):
+        logits, _, _ = llama.forward(cfg, params, greedy)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)[:, None]
+        greedy = jnp.concatenate([greedy, nxt.astype(jnp.int32)], axis=1)
+    n = min(greedy.shape[1], out.shape[1])
+    np.testing.assert_array_equal(np.asarray(out[:, :n]), np.asarray(greedy[:, :n]))
+
+
+def test_eagle_training_reduces_loss(tiny):
+    cfg, params, tokens = tiny
+    ecfg = eagle.EagleConfig(num_layers=1)
+    draft = eagle.init_eagle(cfg, ecfg, jax.random.PRNGKey(4))
+    step = jax.jit(eagle.make_eagle_train_step(cfg, lr=2e-2))
+    draft, l0 = step(draft, params, tokens)
+    for _ in range(5):
+        draft, l = step(draft, params, tokens)
+    assert float(l) < float(l0)
