@@ -152,6 +152,8 @@ def _unpack_nibbles_bf16(p):
 
 
 def _int4_kernel(nblk, x_ref, w_ref, sl_ref, sh_ref, lo_ref, hi_ref, accl, acch):
+    # Scales come in TRANSPOSED per-tile blocks [nblk, TO] so the grid
+    # slices them statically (Mosaic wants last-dim tiles of 128 / full).
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -163,18 +165,18 @@ def _int4_kernel(nblk, x_ref, w_ref, sl_ref, sh_ref, lo_ref, hi_ref, accl, acch)
     tk = lo.shape[1]
     bsz = tk // nblk
     # Per-block scales applied via block-partial dots: the MXU does the
-    # contraction per K-block and the [N, TO] partial picks up scale[:, blk]
+    # contraction per K-block and the [N, TO] partial picks up scale[blk]
     # — no elementwise multiply over the big weight tile.
     for b in range(nblk):
         xs = x_ref[:, b * bsz : (b + 1) * bsz]
         accl[:] += jax.lax.dot_general(
             xs, lo[:, b * bsz : (b + 1) * bsz],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) * sl_ref[:, b].astype(jnp.float32)[None, :]
+        ) * sl_ref[b, :].astype(jnp.float32)[None, :]
         acch[:] += jax.lax.dot_general(
             xs, hi[:, b * bsz : (b + 1) * bsz],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) * sh_ref[:, b].astype(jnp.float32)[None, :]
+        ) * sh_ref[b, :].astype(jnp.float32)[None, :]
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -198,14 +200,16 @@ def qmm_int4(
         gk = K // tk
     nblk = tk // bsz
     kern = functools.partial(_int4_kernel, nblk)
+    sl_t = scale_lo.astype(jnp.float32).T  # [nb_total, O2]
+    sh_t = scale_hi.astype(jnp.float32).T
     lo, hi = pl.pallas_call(
         kern,
         grid=(go, gk),
         in_specs=[
             pl.BlockSpec((N, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((to, tk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((to, nblk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((to, nblk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, to), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, to), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((N, to), lambda i, j: (0, i), memory_space=pltpu.VMEM),
@@ -220,7 +224,7 @@ def qmm_int4(
             pltpu.VMEM((N, to), jnp.float32),
         ],
         interpret=_interpret(),
-    )(x, packed, scale_lo.astype(jnp.float32), scale_hi.astype(jnp.float32))
+    )(x, packed, sl_t, sh_t)
     return jnp.concatenate([lo, hi], axis=1)
 
 
@@ -257,18 +261,16 @@ def _nvfp4_kernel(nblk, x_ref, w_ref, sl_ref, sh_ref, gs_ref, lo_ref, hi_ref, ac
     hi = _fp4_decode_bf16((p32 >> 4) & 0xF).astype(jnp.bfloat16)
     tk = lo.shape[1]
     bsz = tk // nblk
-    sl = sl_ref[:].astype(jnp.float32)
-    sh = sh_ref[:].astype(jnp.float32)
     for b in range(nblk):
         xs = x_ref[:, b * bsz : (b + 1) * bsz]
         accl[:] += jax.lax.dot_general(
             xs, lo[:, b * bsz : (b + 1) * bsz],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) * sl[:, b][None, :]
+        ) * sl_ref[b, :].astype(jnp.float32)[None, :]
         acch[:] += jax.lax.dot_general(
             xs, hi[:, b * bsz : (b + 1) * bsz],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) * sh[:, b][None, :]
+        ) * sh_ref[b, :].astype(jnp.float32)[None, :]
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -302,14 +304,16 @@ def qmm_nvfp4(
     nblk = tk // bsz
     kern = functools.partial(_nvfp4_kernel, nblk)
     gs2 = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+    sl_t = scale_lo.astype(jnp.float32).T  # [nb_total, O2]
+    sh_t = scale_hi.astype(jnp.float32).T
     lo, hi = pl.pallas_call(
         kern,
         grid=(go, gk),
         in_specs=[
             pl.BlockSpec((N, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((to, tk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((to, nblk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((to, nblk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, to), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, to), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -325,7 +329,7 @@ def qmm_nvfp4(
             pltpu.VMEM((N, to), jnp.float32),
         ],
         interpret=_interpret(),
-    )(x, packed, scale_lo.astype(jnp.float32), scale_hi.astype(jnp.float32), gs2)
+    )(x, packed, sl_t, sh_t, gs2)
     return jnp.concatenate([lo, hi], axis=1)
 
 
