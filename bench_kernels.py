@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Kernel microbenchmarks: fused dequant-matmul GB/s at llama-8B shapes.
+
+Timing methodology for the remote-relay TPU: N iterations chained inside ONE
+jit via lax.fori_loop with a data dependency (output perturbs input), so
+neither dispatch overhead nor any relay-side caching pollutes the number.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.ops.pallas import qmm
+
+    O, K = 14336, 4096
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    ITERS = 16
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(B, K)), jnp.bfloat16)
+
+    def chain(fn_one):
+        """Run fn_one ITERS times with a forced dependency chain, in one jit."""
+
+        def run(x):
+            def body(i, x):
+                y = fn_one(x)  # [B, O]
+                # fold output back into x (tiny VPU work, forces ordering)
+                delta = (y[:, :1] * 1e-6).astype(x.dtype)
+                return x + delta
+            return jax.lax.fori_loop(0, ITERS, body, x)
+
+        return jax.jit(run)
+
+    results = {}
+
+    def measure(name, fn_one, weight_bytes):
+        try:
+            f = chain(fn_one)
+            r = f(x0)
+            jax.block_until_ready(r)  # compile + first
+            t0 = time.time()
+            r = f(x0)
+            jax.block_until_ready(r)
+            dt = (time.time() - t0) / ITERS
+            gbs = weight_bytes / dt / 1e9
+            results[name] = {"us": round(dt * 1e6, 1), "GBps": round(gbs, 1)}
+            print(f"{name:16s} {dt*1e6:9.1f} us  {gbs:8.1f} GB/s", file=sys.stderr, flush=True)
+        except Exception as e:
+            results[name] = {"error": str(e)[:160]}
+            print(f"{name:16s} FAIL {str(e)[:160]}", file=sys.stderr, flush=True)
+
+    Wb = jnp.asarray(rng.normal(size=(O, K)) * 0.02, jnp.bfloat16)
+    measure("bf16_xla", lambda x: x @ Wb.T, O * K * 2)
+
+    W8 = jnp.asarray(rng.integers(-127, 127, size=(O, K), dtype=np.int8))
+    s8 = jnp.full((O, 1), 1e-3, jnp.float32)
+    measure("int8_pallas", lambda x: qmm.qmm_int8(x, W8, s8), O * K)
+    measure(
+        "int8_xla",
+        lambda x: x @ (W8.astype(jnp.bfloat16) * s8.astype(jnp.bfloat16)).T,
+        O * K,
+    )
+
+    Wp = jnp.asarray(rng.integers(0, 256, size=(O // 2, K), dtype=np.uint8))
+    sl = jnp.full((O // 2, K // 128), 1e-3, jnp.float32)
+    measure("int4_pallas", lambda x: qmm.qmm_int4(x, Wp, sl, sl), O * K // 2)
+
+    slf4 = jnp.full((O // 2, K // 16), 1.0, jnp.float32)
+    gs = jnp.asarray(1e-3, jnp.float32)
+    measure("nvfp4_pallas", lambda x: qmm.qmm_nvfp4(x, Wp, slf4, slf4, gs), O * K // 2)
+
+    Wf8 = jnp.asarray((rng.normal(size=(O, K)) * 0.1).astype(np.float32)).astype(jnp.float8_e4m3fn)
+    measure("fp8_pallas", lambda x: qmm.qmm_fp8(x, Wf8, s8), O * K)
+
+    print(json.dumps({"bs": B, "shapes": [O, K], **results}))
+
+
+if __name__ == "__main__":
+    main()

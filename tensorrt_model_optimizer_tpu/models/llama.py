@@ -299,8 +299,13 @@ def _qsite(x, site_cfg: QuantizerConfig, st, calib: bool):
     return Q.quantize(x, site_cfg, st), st
 
 
-def _linear(x, w, name, layout: QuantLayout, lstate, calib):
-    """Quantized linear: y = q_in(x) @ q_w(w)^T (QuantLinear.forward analog)."""
+def _linear(x, w, name, layout: QuantLayout, lstate, calib, adapters=None):
+    """Quantized linear: y = q_in(x) @ q_w(w)^T (QuantLinear.forward analog).
+
+    `adapters` optionally carries per-layer LoRA factors {name: {"A", "B",
+    "scale"}}; the low-rank path stays unquantized (QLoRA semantics,
+    reference `quantization/plugins/peft.py`).
+    """
     wcfg = layout.get(f"{name}.weight")
     icfg = layout.get(f"{name}.input")
     sub = dict(lstate.get(name, {})) if lstate is not None else {}
@@ -318,20 +323,24 @@ def _linear(x, w, name, layout: QuantLayout, lstate, calib):
         else:
             w_eff = Q.quantize(w, wcfg, wst)
     y = x @ w_eff.T.astype(x.dtype)
+    if adapters is not None and name in adapters:
+        ad = adapters[name]
+        lo = (x @ ad["A"].T.astype(x.dtype)) @ ad["B"].T.astype(x.dtype)
+        y = y + lo * ad["scale"].astype(y.dtype)
     return y, (sub if sub else None)
 
 
-def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib):
+def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib, adapters=None):
     h, hd = cfg.hidden_size, cfg.hd
     nH, nKV = cfg.num_attention_heads, cfg.num_key_value_heads
     B, T, _ = x.shape
     new_state = {}
 
-    q, s = _linear(x, lp["self_attn.q_proj"], "self_attn.q_proj", layout, lstate, calib)
+    q, s = _linear(x, lp["self_attn.q_proj"], "self_attn.q_proj", layout, lstate, calib, adapters)
     if s: new_state["self_attn.q_proj"] = s
-    k, s = _linear(x, lp["self_attn.k_proj"], "self_attn.k_proj", layout, lstate, calib)
+    k, s = _linear(x, lp["self_attn.k_proj"], "self_attn.k_proj", layout, lstate, calib, adapters)
     if s: new_state["self_attn.k_proj"] = s
-    v, s = _linear(x, lp["self_attn.v_proj"], "self_attn.v_proj", layout, lstate, calib)
+    v, s = _linear(x, lp["self_attn.v_proj"], "self_attn.v_proj", layout, lstate, calib, adapters)
     if s: new_state["self_attn.v_proj"] = s
 
     q = q.reshape(B, T, nH, hd)
@@ -373,32 +382,33 @@ def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib):
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all)
     ctx = ctx.reshape(B, T, nH * hd)
 
-    out, s = _linear(ctx, lp["self_attn.o_proj"], "self_attn.o_proj", layout, lstate, calib)
+    out, s = _linear(ctx, lp["self_attn.o_proj"], "self_attn.o_proj", layout, lstate, calib, adapters)
     if s: new_state["self_attn.o_proj"] = s
     return out, new_state, new_cache, ctx
 
 
-def _mlp(x, lp, lstate, layout, calib):
+def _mlp(x, lp, lstate, layout, calib, adapters=None):
     new_state = {}
-    g, s = _linear(x, lp["mlp.gate_proj"], "mlp.gate_proj", layout, lstate, calib)
+    g, s = _linear(x, lp["mlp.gate_proj"], "mlp.gate_proj", layout, lstate, calib, adapters)
     if s: new_state["mlp.gate_proj"] = s
-    u, s = _linear(x, lp["mlp.up_proj"], "mlp.up_proj", layout, lstate, calib)
+    u, s = _linear(x, lp["mlp.up_proj"], "mlp.up_proj", layout, lstate, calib, adapters)
     if s: new_state["mlp.up_proj"] = s
     y = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
-    d, s = _linear(y, lp["mlp.down_proj"], "mlp.down_proj", layout, lstate, calib)
+    d, s = _linear(y, lp["mlp.down_proj"], "mlp.down_proj", layout, lstate, calib, adapters)
     if s: new_state["mlp.down_proj"] = s
     return d, new_state, y
 
 
 def _decoder_layer(
-    cfg, layout, calib, x, lp, lstate, positions, mask, cache_kv, capture_tokens=0
+    cfg, layout, calib, x, lp, lstate, positions, mask, cache_kv, capture_tokens=0,
+    adapters=None,
 ):
     captures = {}
     h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
     if capture_tokens:
         captures["attn_in"] = _grab(h, capture_tokens)
     attn, st_a, new_cache, o_in = _attention(
-        cfg, h, lp, lstate, layout, positions, mask, cache_kv, calib
+        cfg, h, lp, lstate, layout, positions, mask, cache_kv, calib, adapters
     )
     if capture_tokens:
         captures["o_in"] = _grab(o_in, capture_tokens)
@@ -406,7 +416,7 @@ def _decoder_layer(
     h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
     if capture_tokens:
         captures["mlp_in"] = _grab(h, capture_tokens)
-    mlp_out, st_m, down_in = _mlp(h, lp, lstate, layout, calib)
+    mlp_out, st_m, down_in = _mlp(h, lp, lstate, layout, calib, adapters)
     if capture_tokens:
         captures["down_in"] = _grab(down_in, capture_tokens)
     x = x + mlp_out
@@ -434,6 +444,7 @@ def forward(
     cache: Optional[dict] = None,
     positions: Optional[jax.Array] = None,
     capture_tokens: int = 0,
+    adapters: Optional[dict] = None,
 ):
     """Forward pass.
 
@@ -473,11 +484,11 @@ def forward(
 
     def scan_body(carry, per_layer):
         x = carry
-        lp, lstate, ck, cv = per_layer
+        lp, lstate, ck, cv, ad = per_layer
         cache_kv = (ck, cv, cache["pos"]) if cache is not None else None
         x, new_state, new_cache, caps = _decoder_layer(
             cfg, layout, calib, x, lp, lstate, positions, mask, cache_kv,
-            capture_tokens,
+            capture_tokens, ad,
         )
         ys = (
             new_state,
@@ -491,7 +502,7 @@ def forward(
     per_layer_state = _strip_global(lstate_stacked)
     ck = cache["k"] if cache is not None else jnp.zeros((L, 0), cfg.dtype)
     cv = cache["v"] if cache is not None else jnp.zeros((L, 0), cfg.dtype)
-    xs = (layer_params, per_layer_state, ck, cv)
+    xs = (layer_params, per_layer_state, ck, cv, adapters)
     x, (new_lstate, new_ck, new_cv, captures) = jax.lax.scan(scan_body, x, xs)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
