@@ -138,22 +138,38 @@ def main():
     log(f"packed model built: format={FORMAT} bytes={cm_bytes(cm)/1e9:.2f} GB")
 
     # Decode-only throughput: start from a cache pre-positioned at PREFILL
-    # (contents irrelevant for throughput; avoids a second large compile).
+    # (contents irrelevant for throughput). Compile ONE decode step (the
+    # layer scan); loop steps at host level — the remote compiler chokes on
+    # scan-of-scan, and per-dispatch overhead (~100 us) is part of honest
+    # serving latency anyway.
+    from functools import partial
+
+    from tensorrt_model_optimizer_tpu.serve.engine import _model_step
+
     cache = eng.init_cache(BATCH, MAXLEN)
     cache["pos"] = jnp.asarray(PREFILL, jnp.int32)
-    first = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(BATCH, 1), dtype=np.int32))
-    decode = jax.jit(lambda f, c: eng.decode(f, c, STEPS))
-    t0 = time.time()
-    toks, cache2 = decode(first, cache)
-    jax.block_until_ready(toks)  # compile + first run
-    prefill_compile_s = time.time() - t0
-    log(f"decode compile+first: {prefill_compile_s:.1f}s")
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(BATCH, 1), dtype=np.int32))
+    step = jax.jit(partial(_model_step, cfg, eng.ecfg, cm, eng.backend))
+
+    def one(tok, cache):
+        B = tok.shape[0]
+        positions = jnp.broadcast_to(cache["pos"][None, None], (B, 1)).astype(jnp.int32)
+        logits, cache = step(cm.params, cm.qstate, tok, cache, positions)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], cache
 
     t0 = time.time()
-    toks, cache3 = decode(first, cache)
-    jax.block_until_ready(toks)
+    tok2, cache = one(tok, cache)
+    jax.block_until_ready(tok2)
+    prefill_compile_s = time.time() - t0
+    log(f"decode-step compile+first: {prefill_compile_s:.1f}s")
+
+    tok = tok2
+    t0 = time.time()
+    for _ in range(STEPS):
+        tok, cache = one(tok, cache)
+    jax.block_until_ready(tok)
     dt = time.time() - t0
-    log(f"decode run: {dt*1e3:.1f} ms for {STEPS} steps")
+    log(f"decode: {dt*1e3:.1f} ms for {STEPS} steps")
 
     tok_s = BATCH * STEPS / dt
     baseline = BASELINES_BS8.get(FORMAT, 599.7)
