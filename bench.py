@@ -181,6 +181,7 @@ def main():
         "step_ms": round(dt / STEPS * 1e3, 2),
         "compile_s": round(prefill_compile_s, 1),
         "format": FORMAT, "bs": BATCH, "prefill": PREFILL, "steps": STEPS,
+        "hw": jax.devices()[0].device_kind,
         "baseline": f"H200 TRT-LLM {FORMAT} BS8 ({baseline} tok/s)",
     }))
 

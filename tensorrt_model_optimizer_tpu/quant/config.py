@@ -170,6 +170,11 @@ INT4_AWQ_CFG = _preset(
     None,
     {"method": "awq_lite", "alpha_step": 0.1},
 )
+INT4_GPTQ_CFG = _preset(
+    INT4_PER_BLOCK_128,
+    None,
+    {"method": "gptq", "block_size": 128},
+)
 W4A8_AWQ_BETA_CFG = _preset(
     W4A8_SEQUENTIAL,
     FP8_PER_TENSOR,
@@ -208,6 +213,7 @@ PRESETS: dict[str, QuantizeConfig] = {
     "FP8_2D_BLOCKWISE_WEIGHT_ONLY_CFG": FP8_2D_BLOCKWISE_WEIGHT_ONLY_CFG,
     "INT4_BLOCKWISE_WEIGHT_ONLY_CFG": INT4_BLOCKWISE_WEIGHT_ONLY_CFG,
     "INT4_AWQ_CFG": INT4_AWQ_CFG,
+    "INT4_GPTQ_CFG": INT4_GPTQ_CFG,
     "W4A8_AWQ_BETA_CFG": W4A8_AWQ_BETA_CFG,
     "NVFP4_DEFAULT_CFG": NVFP4_DEFAULT_CFG,
     "NVFP4_WEIGHT_ONLY_CFG": NVFP4_WEIGHT_ONLY_CFG,

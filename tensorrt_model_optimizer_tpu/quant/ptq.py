@@ -89,6 +89,12 @@ def quantize(
         params, qstate = _sequential_calibrate(
             model_cfg, params, layout, qstate, batches, algo, capture_tokens
         )
+    if method == "gptq":
+        if not batches:
+            raise ValueError("gptq calibration requires calib_batches")
+        params, qstate = _gptq_calibrate(
+            model_cfg, params, layout, qstate, batches, algo, capture_tokens
+        )
 
     # Max pass: collect weight amax + act/KV amax (post-fold so stats match
     # what the quantizers see at runtime).
@@ -254,6 +260,61 @@ def _sequential_calibrate(model_cfg, params, layout, qstate, batches, algo, capt
             sub["input"] = ist.replace(pre_quant_scale=pqs)
             qstate[m] = sub
 
+    new_params = dict(params)
+    new_params["layers"] = new_layers
+    return new_params, qstate
+
+
+def _gptq_calibrate(model_cfg, params, layout, qstate, batches, algo, capture_tokens):
+    """Hessian-compensated weight update (`model_calib.py:2192`): replace
+    each weight with its GPTQ fake-quantized version; the weight quantizer's
+    amax is pinned to the ORIGINAL weights' grid so requantization is
+    idempotent."""
+    from . import quantizer as Q
+    from .calib import gptq as gptq_mod
+
+    _, _, samples = _capture_stats(
+        model_cfg, params, layout, qstate, batches, capture_tokens
+    )
+    block = algo.get("block_size", 128) if isinstance(algo, dict) else 128
+    new_layers = dict(params["layers"])
+    qstate = dict(qstate)
+    for cap_key, members in CAPTURE_GROUPS.items():
+        if cap_key not in samples:
+            continue
+        X = samples[cap_key]  # [L, n, K]
+        for m in members:
+            wcfg = layout.get(f"{m}.weight")
+            if not wcfg.enable:
+                continue
+            w = new_layers[m]
+            run = jax.jit(
+                jax.vmap(lambda wl, xl: gptq_mod.gptq_calibrate_weight(wl, xl, wcfg, block))
+            )
+            # amax from the ORIGINAL weights (compact form for the state)
+            sub = dict(qstate.get(m, {}))
+            st = sub.get("weight", Q.QuantizerState())
+            base = wcfg.sequential[0] if wcfg.sequential else wcfg
+            if base.block is not None and base.block.sizes:
+                amax = jax.vmap(
+                    lambda wl: numerics.block_amax_compact(
+                        jnp.abs(wl.astype(jnp.float32)), base.block.sizes
+                    )
+                )(w)
+            elif base.axis is not None:
+                kept = tuple(a % 2 for a in base.axis)
+                red = tuple(i for i in range(2) if i not in kept)
+                amax = jax.vmap(
+                    lambda wl: jnp.max(jnp.abs(wl.astype(jnp.float32)), axis=red, keepdims=True)
+                )(w)
+            else:
+                amax = jax.vmap(lambda wl: jnp.max(jnp.abs(wl.astype(jnp.float32))))(w)
+            if wcfg.sequential:
+                sub["weight"] = st.replace(amax=(amax,) + ((None,) * (len(wcfg.sequential) - 1)))
+            else:
+                sub["weight"] = st.replace(amax=amax)
+            qstate[m] = sub
+            new_layers[m] = run(w, X)
     new_params = dict(params)
     new_params["layers"] = new_layers
     return new_params, qstate

@@ -188,3 +188,35 @@ class TestPTQ:
         model = ptq.quantize(cfg, params, "FP8_DEFAULT_CFG", batches)
         text = ptq.print_quant_summary(model)
         assert "weight" in text and "bits=(4, 3)" in text
+
+
+class TestGPTQ:
+    def test_gptq_engine_reduces_output_error(self):
+        from tensorrt_model_optimizer_tpu.quant.calib import gptq
+        from tensorrt_model_optimizer_tpu.sparsity.sparsegpt import hessian_from_acts
+        from tensorrt_model_optimizer_tpu.quant.config import INT4_PER_BLOCK_64
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(256, 64)).astype(np.float32)
+        X[:, 1] = X[:, 0] * 0.95 + 0.05 * X[:, 1]  # correlation
+        X = jnp.asarray(X)
+        w = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+        wq = gptq.gptq_calibrate_weight(w, X, INT4_PER_BLOCK_64, block=16)
+        # plain round-to-nearest on the same grid
+        amax = gptq.amax_grid_for(w, INT4_PER_BLOCK_64)
+        rtn = numerics.fake_quant_int(w, amax, 4)
+        ref = X @ w.T
+        e_gptq = float(jnp.mean((X @ wq.T - ref) ** 2))
+        e_rtn = float(jnp.mean((X @ rtn.T - ref) ** 2))
+        assert e_gptq <= e_rtn
+
+    def test_gptq_ptq_end_to_end(self, tiny, batches):
+        cfg, params = tiny
+        model = ptq.quantize(cfg, params, "INT4_GPTQ_CFG", batches)
+        logits, _, _ = model.forward(batches[0])
+        assert np.all(np.isfinite(np.asarray(logits)))
+        # weights were replaced with on-grid values
+        assert not np.allclose(
+            np.asarray(model.params["layers"]["mlp.down_proj"]),
+            np.asarray(params["layers"]["mlp.down_proj"]),
+        )
