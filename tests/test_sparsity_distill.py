@@ -113,3 +113,40 @@ class TestDistill:
         step = jax.jit(distillation.make_distill_step(cfg, layout=layout))
         s, loss = step(params, params, batches[0], qs)
         assert np.isfinite(float(loss))
+
+
+class TestAttentionSparsity:
+    def _qkv(self):
+        rng = np.random.default_rng(0)
+        mk = lambda: jnp.asarray(rng.normal(size=(2, 32, 4, 16)).astype(np.float32))
+        return mk(), mk(), mk()
+
+    def test_threshold_zero_is_exact(self):
+        from tensorrt_model_optimizer_tpu.sparsity import attention_sparsity as asp
+        import math
+
+        q, k, v = self._qkv()
+        out, sp = asp.skip_softmax_attention(q, k, v, threshold=1e-30)
+        # reference full attention
+        s = jnp.einsum("bqnd,bknd->bnqk", q, k) / math.sqrt(16)
+        cm = jnp.where(jnp.arange(32)[None, :] <= jnp.arange(32)[:, None], 0.0, -np.inf)
+        p = jax.nn.softmax(s + cm[None, None], axis=-1)
+        ref = jnp.einsum("bnqk,bknd->bqnd", p.astype(v.dtype), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+        assert float(sp) == 0.0
+
+    def test_higher_threshold_more_sparsity(self):
+        from tensorrt_model_optimizer_tpu.sparsity import attention_sparsity as asp
+
+        q, k, v = self._qkv()
+        _, sp_lo = asp.skip_softmax_attention(q, k, v, 1e-6, block_q=8, block_k=8)
+        _, sp_hi = asp.skip_softmax_attention(q, k, v, 0.5, block_q=8, block_k=8)
+        assert float(sp_hi) > float(sp_lo)
+
+    def test_calibrate_threshold(self):
+        from tensorrt_model_optimizer_tpu.sparsity import attention_sparsity as asp
+
+        q, k, v = self._qkv()
+        th = asp.calibrate_threshold(q, k, v, target_sparsity=0.3)
+        _, sp = asp.skip_softmax_attention(q, k, v, th)
+        assert float(sp) <= 0.3 + 1e-6
