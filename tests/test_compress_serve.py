@@ -179,3 +179,49 @@ class TestEngine:
         lx, _ = eng_x.prefill(prompt, cache_x)
         lp, _ = eng_p.prefill(prompt, cache_p)
         np.testing.assert_allclose(np.asarray(lx), np.asarray(lp), rtol=5e-2, atol=5e-1)
+
+
+class TestEngineTP:
+    def test_tensor_parallel_prefill(self, tiny_ptq, mesh8):
+        """Packed weights sharded column/row-parallel over the mesh; the XLA
+        dequant backend partitions under GSPMD — logits match unsharded."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT8_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+        prompt = batches[0][:, :8]
+        cache = eng.init_cache(2, 32)
+        ref, _ = eng.prefill(prompt, cache)
+
+        col = P(None, "tensor", None)  # packed q [L, O, K] int8: shard O
+        row = P(None, None, "tensor")
+        specs = {
+            "self_attn.q_proj": col, "self_attn.k_proj": col, "self_attn.v_proj": col,
+            "mlp.gate_proj": col, "mlp.up_proj": col,
+            "self_attn.o_proj": row, "mlp.down_proj": row,
+        }
+        sharded_layers = {}
+        for name, arrs in cm.params["layers"].items():
+            if name in specs and isinstance(arrs, dict):
+                spec = specs[name]
+                sharded_layers[name] = {
+                    "q": jax.device_put(arrs["q"], NamedSharding(mesh8, spec)),
+                    "scale": jax.device_put(
+                        arrs["scale"],
+                        NamedSharding(mesh8, P(None, "tensor", None) if spec == col else P(None, None, None)),
+                    ),
+                }
+            else:
+                sharded_layers[name] = arrs
+        import dataclasses as dc
+
+        params2 = dict(cm.params)
+        params2["layers"] = sharded_layers
+        cm2 = dc.replace(cm, params=params2)
+        eng2 = serve_engine.Engine(cm2, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+        cache2 = eng2.init_cache(2, 32)
+        with jax.set_mesh(mesh8):
+            out, _ = eng2.prefill(prompt, cache2)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=5e-3, atol=5e-2)
