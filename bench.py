@@ -63,20 +63,22 @@ def synth_packed_layers(cfg, fmt, rng):
                 "global_scale": jnp.full((L,), 0.01, jnp.float32),
             }
             kinds[name] = "nvfp4"
-        elif fmt in ("int8", "fp8"):
+        elif fmt == "int8":
             q = rng.integers(-127, 127, size=(L, O, K), dtype=np.int8)
-            if fmt == "int8":
-                layers[name] = {
-                    "q": jnp.asarray(q),
-                    "scale": jnp.full((L, O, 1), 0.001, jnp.float32),
-                }
-            else:
-                import jax
+            layers[name] = {
+                "q": jnp.asarray(q),
+                "scale": jnp.full((L, O, 1), 0.001, jnp.float32),
+            }
+            kinds[name] = fmt
+        elif fmt == "fp8":
+            # valid-e4m3 bit patterns directly (bits 0..126 = finite positives)
+            import ml_dtypes
 
-                layers[name] = {
-                    "q": jnp.asarray(q.astype(np.float32) / 32.0).astype(jnp.float8_e4m3fn),
-                    "scale": jnp.full((L, O, 1), 0.01, jnp.float32),
-                }
+            bits = rng.integers(0, 127, size=(L, O, K), dtype=np.uint8)
+            layers[name] = {
+                "q": jnp.asarray(bits.view(ml_dtypes.float8_e4m3fn)),
+                "scale": jnp.full((L, O, 1), 0.01, jnp.float32),
+            }
             kinds[name] = fmt
         else:  # bf16
             layers[name] = {
