@@ -105,3 +105,40 @@ def fake_quant_mx_ste(
 def pass_through(fn, x):
     """Apply `fn` forward with identity backward (pass_through_bwd mode)."""
     return _identity_bwd_wrap(fn)(x)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fake_quant_int_lsq(x, amax, num_bits=8):
+    """INT fake quant with the LSQ gradient wrt amax (learned scale,
+    reference `lsq` algorithm, `model_calib.py:2296`): inside the range
+    d y/d amax = (round(v) - v)/bound; at the clip boundary ±1."""
+    return numerics.fake_quant_int(x, amax, num_bits)
+
+
+def _lsq_fwd(x, amax, num_bits):
+    return numerics.fake_quant_int(x, amax, num_bits), (x, amax)
+
+
+def _lsq_bwd(num_bits, res, g):
+    x, amax = res
+    bound = float(2 ** (num_bits - 1) - 1)
+    x32 = x.astype(jnp.float32)
+    a32 = jnp.maximum(amax.astype(jnp.float32), 1e-12)
+    scale = a32 / bound
+    v = x32 / scale
+    inside = jnp.abs(v) <= bound
+    dx = g * inside.astype(g.dtype)
+    # dq/damax per element; reduce over the axes amax broadcasts over
+    dq_da = jnp.where(inside, (jnp.round(v) - v) / bound, jnp.sign(v))
+    ga = (g.astype(jnp.float32) * dq_da)
+    # sum over broadcasted dims to match amax's shape
+    extra = ga.ndim - amax.ndim
+    if extra > 0:
+        ga = jnp.sum(ga, axis=tuple(range(extra)))
+    for ax in range(amax.ndim):
+        if amax.shape[ax] == 1 and ga.shape[ax] != 1:
+            ga = jnp.sum(ga, axis=ax, keepdims=True)
+    return dx, ga.astype(jnp.float32).reshape(amax.shape)
+
+
+fake_quant_int_lsq.defvjp(_lsq_fwd, _lsq_bwd)

@@ -175,6 +175,16 @@ INT4_GPTQ_CFG = _preset(
     None,
     {"method": "gptq", "block_size": 128},
 )
+INT4_SVDQUANT_CFG = _preset(
+    INT4_PER_BLOCK_128,
+    None,
+    {"method": "svdquant", "rank": 16},
+)
+NVFP4_SVDQUANT_CFG = _preset(
+    NVFP4_BLOCK16,
+    NVFP4_BLOCK16,
+    {"method": "svdquant", "rank": 32},
+)
 W4A8_AWQ_BETA_CFG = _preset(
     W4A8_SEQUENTIAL,
     FP8_PER_TENSOR,
@@ -214,6 +224,8 @@ PRESETS: dict[str, QuantizeConfig] = {
     "INT4_BLOCKWISE_WEIGHT_ONLY_CFG": INT4_BLOCKWISE_WEIGHT_ONLY_CFG,
     "INT4_AWQ_CFG": INT4_AWQ_CFG,
     "INT4_GPTQ_CFG": INT4_GPTQ_CFG,
+    "INT4_SVDQUANT_CFG": INT4_SVDQUANT_CFG,
+    "NVFP4_SVDQUANT_CFG": NVFP4_SVDQUANT_CFG,
     "W4A8_AWQ_BETA_CFG": W4A8_AWQ_BETA_CFG,
     "NVFP4_DEFAULT_CFG": NVFP4_DEFAULT_CFG,
     "NVFP4_WEIGHT_ONLY_CFG": NVFP4_WEIGHT_ONLY_CFG,

@@ -48,11 +48,14 @@ class QuantizedModel:
     layout: llama.QuantLayout
     qstate: llama.QuantState
     quant_cfg: QuantizeConfig
+    # SVDQuant low-rank branch (peft-adapter layout), None otherwise
+    adapters: Optional[dict] = None
 
     def forward(self, tokens, **kw):
         return llama.forward(
             self.model_cfg, self.params, tokens,
-            layout=self.layout, qstate=self.qstate, **kw,
+            layout=self.layout, qstate=self.qstate,
+            adapters=self.adapters, **kw,
         )
 
 
@@ -95,6 +98,19 @@ def quantize(
         params, qstate = _gptq_calibrate(
             model_cfg, params, layout, qstate, batches, algo, capture_tokens
         )
+    adapters = None
+    if method == "svdquant":
+        from .calib import svdquant as svdq_mod
+
+        rank = algo.get("rank", 16) if isinstance(algo, dict) else 16
+        names = [
+            n for n in llama.PROJ_NAMES if layout.get(f"{n}.weight").enable
+        ]
+        new_layers, adapters = svdq_mod.svdquant_weights(
+            params["layers"], names, rank
+        )
+        params = dict(params)
+        params["layers"] = new_layers
 
     # Max pass: collect weight amax + act/KV amax (post-fold so stats match
     # what the quantizers see at runtime).
@@ -117,7 +133,7 @@ def quantize(
     if method == "mse":
         qstate = _mse_refine_weights(model_cfg, params, layout, qstate)
 
-    return QuantizedModel(model_cfg, params, layout, qstate, qcfg)
+    return QuantizedModel(model_cfg, params, layout, qstate, qcfg, adapters)
 
 
 def calibrate(model: QuantizedModel, calib_batches: Iterable[jax.Array]) -> QuantizedModel:

@@ -220,3 +220,51 @@ class TestGPTQ:
             np.asarray(model.params["layers"]["mlp.down_proj"]),
             np.asarray(params["layers"]["mlp.down_proj"]),
         )
+
+
+class TestSVDQuantLSQ:
+    def test_svd_split_reconstructs(self):
+        from tensorrt_model_optimizer_tpu.quant.calib import svdquant
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+        A, B, resid = svdquant.svd_split(w, rank=8)
+        np.testing.assert_allclose(
+            np.asarray(B @ A + resid), np.asarray(w), rtol=1e-4, atol=1e-4)
+
+    def test_svdquant_ptq_beats_plain(self, tiny, batches):
+        cfg, params = tiny
+        ref, _, _ = llama.forward(cfg, params, batches[0])
+        plain = ptq.quantize(cfg, params, "INT4_BLOCKWISE_WEIGHT_ONLY_CFG", batches)
+        svdq = ptq.quantize(cfg, params, "INT4_SVDQUANT_CFG", batches)
+        assert svdq.adapters is not None
+        lp, _, _ = plain.forward(batches[0])
+        ls, _, _ = svdq.forward(batches[0])
+        e_p = float(jnp.mean((lp - ref) ** 2))
+        e_s = float(jnp.mean((ls - ref) ** 2))
+        assert e_s < e_p  # low-rank branch absorbs the dominant directions
+
+    def test_lsq_gradient_flows_to_amax(self):
+        from tensorrt_model_optimizer_tpu.ops import ste
+
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(64,)).astype(np.float32) * 3)
+        amax = jnp.asarray(1.0)
+        g = jax.grad(lambda a: jnp.sum(ste.fake_quant_int_lsq(x, a, 8) ** 2))(amax)
+        assert np.isfinite(float(g)) and float(g) != 0.0
+
+    def test_lsq_training_improves_mse(self):
+        from tensorrt_model_optimizer_tpu.ops import ste
+
+        rng = np.random.default_rng(2)
+        x = np.append(rng.normal(size=511), 20.0).astype(np.float32)  # outlier
+        x = jnp.asarray(x)
+        amax = jnp.asarray(20.0)  # max-calibrated: wasteful
+
+        def loss(a):
+            return jnp.mean((ste.fake_quant_int_lsq(x, a, 4) - x) ** 2)
+
+        l0 = float(loss(amax))
+        for _ in range(100):
+            amax = amax - 0.5 * jax.grad(loss)(amax)
+        assert float(loss(amax)) < l0
+        assert float(amax) < 20.0
