@@ -188,6 +188,116 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
     return logits, new_cache
 
 
+def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
+                      positions, k_amax_l, v_amax_l):
+    """Paged attention for ONE layer, decode (T=1). Returns ctx [B, 1, nH*hd]
+    and the updated (k_pages, v_pages) for this layer."""
+    import math as _math
+
+    from . import paged_cache as pc
+
+    B = x_q.shape[0]
+    nH, nKV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+    page = layer_kp.shape[1]
+    kv_dtype = ecfg.kv_dtype
+    # write new token kv at seq_lens positions
+    pos = cache.seq_lens
+    pidx = pos // page
+    poff = pos % page
+    page_ids = jnp.maximum(
+        jnp.take_along_axis(cache.block_table, pidx[:, None], axis=1)[:, 0], 0
+    )
+    ks = _kv_store(k_new, kv_dtype, k_amax_l).astype(layer_kp.dtype)
+    vs = _kv_store(v_new, kv_dtype, v_amax_l).astype(layer_vp.dtype)
+    layer_kp = layer_kp.at[page_ids, poff].set(ks[:, 0])
+    layer_vp = layer_vp.at[page_ids, poff].set(vs[:, 0])
+
+    bt = jnp.maximum(cache.block_table, 0)
+    k_all = layer_kp[bt].reshape(B, -1, nKV, hd)
+    v_all = layer_vp[bt].reshape(B, -1, nKV, hd)
+    k_all = _kv_load(k_all, cfg.dtype, kv_dtype, k_amax_l)
+    v_all = _kv_load(v_all, cfg.dtype, kv_dtype, v_amax_l)
+    S = k_all.shape[1]
+    mask = jnp.where(
+        jnp.arange(S)[None, :] <= pos[:, None], 0.0, -1e9
+    )[:, None, None, :].astype(jnp.float32)
+
+    rep = nH // nKV
+    k_all = jnp.repeat(k_all, rep, axis=2)
+    v_all = jnp.repeat(v_all, rep, axis=2)
+    scores = jnp.einsum("bqnd,bknd->bnqk", x_q, k_all, preferred_element_type=jnp.float32)
+    scores = scores / _math.sqrt(hd) + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(x_q.dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B, 1, nH * hd)
+    return ctx, layer_kp, layer_vp
+
+
+def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
+                      active):
+    """One decode step over paged KV for all slots. tokens [B, 1]."""
+    from . import paged_cache as pc
+
+    B = tokens.shape[0]
+    x = params["embed_tokens"][tokens].astype(cfg.dtype)
+    positions = cache.seq_lens[:, None]
+    kinds = cm.kinds
+    k_amax = _kv_amax_from(qstate, "k")
+    v_amax = _kv_amax_from(qstate, "v")
+    L = cfg.num_hidden_layers
+    ka = k_amax if k_amax is not None else jnp.zeros((L,))
+    va = v_amax if v_amax is not None else jnp.zeros((L,))
+    act_state = {
+        name: {"input": sub["input"]}
+        for name, sub in (qstate or {}).items()
+        if isinstance(sub, dict) and "input" in sub
+    }
+    nH, nKV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+
+    def body(carry, per_layer):
+        x = carry
+        lp, lstate, kp, vp, ka_l, va_l = per_layer
+
+        def ist(name):
+            return (lstate or {}).get(name, {}).get("input")
+
+        h = llama.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        h2 = h.reshape(B, -1)
+        q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"))
+        k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"))
+        v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"))
+        q = llama.rope(q.reshape(B, 1, nH, hd), positions, cfg.rope_theta)
+        k = llama.rope(k.reshape(B, 1, nKV, hd), positions, cfg.rope_theta)
+        v = v.reshape(B, 1, nKV, hd)
+        ctx, kp, vp = _paged_layer_attn(
+            cfg, ecfg, q, k, v, kp, vp, cache, positions, ka_l, va_l
+        )
+        attn = _qlinear(ctx.reshape(B, -1), "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"))
+        x = x + attn.reshape(B, 1, -1)
+        h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        h2 = h.reshape(B, -1)
+        g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"))
+        u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"))
+        y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
+        d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"))
+        x = x + d.reshape(B, 1, -1)
+        return x, (kp, vp)
+
+    xs = (params["layers"], act_state, cache.k_pages, cache.v_pages, ka, va)
+    x, (new_kp, new_vp) = jax.lax.scan(body, x, xs)
+    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head_w = params.get("lm_head", params["embed_tokens"])
+    logits = (x[:, -1] @ head_w.T.astype(x.dtype)).astype(jnp.float32)
+    import dataclasses as _dc
+
+    new_cache = _dc.replace(
+        cache,
+        k_pages=new_kp,
+        v_pages=new_vp,
+        seq_lens=cache.seq_lens + active.astype(jnp.int32),
+    )
+    return logits, new_cache
+
+
 class Engine:
     """Generation engine over a compressed model."""
 
@@ -257,3 +367,92 @@ class Engine:
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
         toks, cache = self.decode(first, cache, max_new_tokens - 1)
         return jnp.concatenate([first, toks], axis=1)
+
+    # ---------------- paged KV + continuous batching ----------------
+
+    def init_paged_cache(self, n_pages: int, page_size: int, max_slots: int,
+                         max_pages_per_seq: int):
+        from . import paged_cache as pc
+
+        cfg = self.cfg
+        dtype = self.ecfg.kv_dtype or cfg.dtype
+        return pc.init_paged(
+            cfg.num_hidden_layers, n_pages, page_size,
+            cfg.num_key_value_heads, cfg.hd, max_slots, max_pages_per_seq,
+            dtype,
+        )
+
+    def prefill_into_slot(self, cache, slot: int, tokens: jax.Array):
+        """Prefill one sequence into its slot's pages.
+
+        Runs the dense prefill then scatters k/v into the slot's pages (the
+        batched paged-prefill kernel is the round-2 hot path)."""
+        import dataclasses as _dc
+
+        T = tokens.shape[1]
+        dense = self.init_cache(1, max_len=T)
+        logits, dense = self.prefill(tokens, dense)
+        page = cache.page_size
+        pos = jnp.arange(T)
+        bt_row = jnp.maximum(cache.block_table[slot], 0)
+        page_ids = bt_row[pos // page]
+        poff = pos % page
+        k = dense["k"][:, 0]  # [L, T, n_kv, hd]
+        v = dense["v"][:, 0]
+        kp = cache.k_pages.at[:, page_ids, poff].set(k.astype(cache.k_pages.dtype))
+        vp = cache.v_pages.at[:, page_ids, poff].set(v.astype(cache.v_pages.dtype))
+        cache = _dc.replace(
+            cache,
+            k_pages=kp,
+            v_pages=vp,
+            seq_lens=cache.seq_lens.at[slot].set(T),
+        )
+        return logits, cache
+
+    def paged_step(self, tokens: jax.Array, cache, active: jax.Array):
+        """One continuous-batching decode step (jitted on first use)."""
+        if getattr(self, "_paged_fn", None) is None:
+            self._paged_fn = jax.jit(
+                partial(_paged_model_step, self.cfg, self.ecfg, self.cm, self.backend)
+            )
+        return self._paged_fn(self.cm.params, self.cm.qstate, tokens, cache, active)
+
+    def serve(self, requests, n_pages=64, page_size=16, max_slots=4,
+              max_pages_per_seq=16):
+        """Continuous batching over a request list. Returns {rid: tokens}."""
+        import numpy as np
+
+        from .scheduler import Scheduler
+
+        sched = Scheduler(max_slots, n_pages, page_size, max_pages_per_seq)
+        for r in requests:
+            sched.submit(r)
+        cache = self.init_paged_cache(n_pages, page_size, max_slots, max_pages_per_seq)
+        last_tok = np.zeros((max_slots, 1), np.int32)
+        while sched.has_work:
+            cache, admissions = sched.admit(cache)
+            for slot, req in admissions:
+                logits, cache = self.prefill_into_slot(
+                    cache, slot, jnp.asarray(req.prompt[None, :])
+                )
+                first = int(jnp.argmax(logits[0]))
+                req.output.append(first)
+                last_tok[slot, 0] = first
+                if len(req.output) >= req.max_new_tokens or (
+                    req.eos_token is not None and first == req.eos_token
+                ):
+                    req.done = True
+            active = sched.active_mask()
+            if not active.any():
+                cache = sched.retire(cache)
+                continue
+            logits, cache = self.paged_step(
+                jnp.asarray(last_tok), cache, jnp.asarray(active)
+            )
+            nxt = np.asarray(jnp.argmax(logits, axis=-1))
+            sched.record_tokens(nxt)
+            for i in range(max_slots):
+                if active[i]:
+                    last_tok[i, 0] = int(nxt[i])
+            cache = sched.retire(cache)
+        return {r.rid: r.output for r in requests}

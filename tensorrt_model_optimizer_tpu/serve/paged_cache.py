@@ -1,0 +1,103 @@
+"""Paged KV cache: page-pool storage + block tables (vLLM-style, TPU-first).
+
+The reference delegates paged KV to TRT-LLM/vLLM; here it's native. Layout:
+
+  pages:       [L, n_pages, page_size, n_kv, hd]  (quantized dtype ok)
+  block_table: [max_seqs, max_pages_per_seq] int32 (page ids, -1 = unused)
+  seq_lens:    [max_seqs] int32
+
+All shapes static; allocation/free is host-side (the scheduler owns the free
+list), while append/gather run jitted. Attention gathers a sequence's pages
+into a contiguous view — a Pallas scalar-prefetch kernel replaces the gather
+on the serving hot path (round 2); the jnp path is exact and tested.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class PagedKV:
+    k_pages: jax.Array  # [L, n_pages, page, n_kv, hd]
+    v_pages: jax.Array
+    block_table: jax.Array  # [max_seqs, max_pages]
+    seq_lens: jax.Array  # [max_seqs]
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def max_pages(self) -> int:
+        return self.block_table.shape[1]
+
+
+jax.tree_util.register_dataclass(PagedKV)
+
+
+def init_paged(
+    n_layers: int,
+    n_pages: int,
+    page_size: int,
+    n_kv: int,
+    hd: int,
+    max_seqs: int,
+    max_pages_per_seq: int,
+    dtype=jnp.bfloat16,
+) -> PagedKV:
+    return PagedKV(
+        k_pages=jnp.zeros((n_layers, n_pages, page_size, n_kv, hd), dtype),
+        v_pages=jnp.zeros((n_layers, n_pages, page_size, n_kv, hd), dtype),
+        block_table=jnp.full((max_seqs, max_pages_per_seq), -1, jnp.int32),
+        seq_lens=jnp.zeros((max_seqs,), jnp.int32),
+    )
+
+
+def append_token_kv(cache: PagedKV, k: jax.Array, v: jax.Array) -> PagedKV:
+    """Write one token's k/v for every active sequence.
+
+    k, v: [L, B, n_kv, hd] (B = max_seqs slots; inactive slots write to their
+    current position harmlessly as long as their block_table page is valid —
+    the scheduler keeps a scratch page mapped for idle slots).
+    """
+    L, B, n_kv, hd = k.shape
+    page = cache.page_size
+    pos = cache.seq_lens  # [B] position to write
+    pidx = pos // page
+    poff = pos % page
+    page_ids = jnp.take_along_axis(cache.block_table, pidx[:, None], axis=1)[:, 0]
+    page_ids = jnp.maximum(page_ids, 0)
+
+    def upd(pages, x):
+        # pages [L, n_pages, page, n_kv, hd]; x [L, B, n_kv, hd]
+        return pages.at[:, page_ids, poff].set(x.astype(pages.dtype))
+
+    return PagedKV(
+        k_pages=upd(cache.k_pages, k),
+        v_pages=upd(cache.v_pages, v),
+        block_table=cache.block_table,
+        seq_lens=cache.seq_lens + 1,
+    )
+
+
+def gather_sequence_kv(cache: PagedKV, layer_k, layer_v, out_dtype=None):
+    """Gather per-sequence contiguous K/V: [B, max_pages*page, n_kv, hd].
+
+    layer_k/layer_v: [n_pages, page, n_kv, hd] (one layer's pages).
+    Positions beyond seq_len must be masked by the caller.
+    """
+    bt = jnp.maximum(cache.block_table, 0)  # [B, P]
+    k = layer_k[bt]  # [B, P, page, n_kv, hd]
+    v = layer_v[bt]
+    B, P, pg, n_kv, hd = k.shape
+    k = k.reshape(B, P * pg, n_kv, hd)
+    v = v.reshape(B, P * pg, n_kv, hd)
+    if out_dtype is not None:
+        k = k.astype(out_dtype)
+        v = v.astype(out_dtype)
+    return k, v

@@ -1,0 +1,58 @@
+"""Paged KV cache + continuous batching tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.quant import compress, ptq
+from tensorrt_model_optimizer_tpu.serve import engine as serve_engine
+from tensorrt_model_optimizer_tpu.serve.scheduler import Request
+
+
+@pytest.fixture(scope="module")
+def eng():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    model = ptq.quantize(cfg, params, "INT8_DEFAULT_CFG", batches)
+    cm = compress.compress(model)
+    return serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=64, backend="xla"))
+
+
+def test_paged_matches_dense(eng):
+    """Single request through paged serving == dense-cache greedy decode."""
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(0, 256, size=(8,)).astype(np.int32)
+    dense_out = eng.generate(jnp.asarray(prompt[None, :]), max_new_tokens=6)
+    req = Request(rid=0, prompt=prompt, max_new_tokens=6)
+    outs = eng.serve([req], n_pages=32, page_size=8, max_slots=2, max_pages_per_seq=8)
+    np.testing.assert_array_equal(np.asarray(dense_out[0]), np.asarray(outs[0]))
+
+
+def test_multiple_requests_batched(eng):
+    rng = np.random.default_rng(3)
+    reqs = [
+        Request(rid=i, prompt=rng.integers(0, 256, size=(6 + i,)).astype(np.int32),
+                max_new_tokens=5)
+        for i in range(3)
+    ]
+    outs = eng.serve(reqs, n_pages=48, page_size=8, max_slots=2, max_pages_per_seq=8)
+    assert set(outs) == {0, 1, 2}
+    for i, r in enumerate(reqs):
+        assert len(outs[i]) == 5
+        # each matches its own dense decode
+        dense = eng.generate(jnp.asarray(r.prompt[None, :]), max_new_tokens=5)
+        np.testing.assert_array_equal(np.asarray(dense[0]), np.asarray(outs[i]))
+
+
+def test_eos_stops_early(eng):
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, 256, size=(8,)).astype(np.int32)
+    dense = eng.generate(jnp.asarray(prompt[None, :]), max_new_tokens=8)
+    eos = int(dense[0, 2])  # stop at the 3rd generated token
+    req = Request(rid=0, prompt=prompt, max_new_tokens=8, eos_token=eos)
+    outs = eng.serve([req], n_pages=32, page_size=8, max_slots=1, max_pages_per_seq=8)
+    assert outs[0][-1] == eos and len(outs[0]) <= 3
