@@ -55,3 +55,51 @@ def make_train_step(model_cfg, layout, lr: float = 1e-4):
         return new_params, loss
 
     return train_step
+
+
+def make_optax_train_step(
+    model_cfg,
+    layout,
+    optimizer=None,
+    train_amax: bool = False,
+    masks: Optional[dict] = None,
+):
+    """Full QAT trainer step (the QATTrainer analog): optax optimizer,
+    optional LSQ amax training (sites with `learn_amax=True` receive amax
+    gradients), optional sparsity-mask re-projection after each update.
+
+    Returns (step_fn, init_fn): init_fn(params, qstate) -> opt_state;
+    step_fn(params, qstate, opt_state, tokens) -> (params, qstate, opt_state,
+    loss).
+    """
+    import optax
+
+    optimizer = optimizer or optax.adam(1e-4)
+
+    def loss_fn(params, qstate, tokens):
+        return qat_loss(model_cfg, layout, params, qstate, tokens)
+
+    def init_fn(params, qstate):
+        trainables = (params, qstate) if train_amax else params
+        return optimizer.init(trainables)
+
+    def step_fn(params, qstate, opt_state, tokens):
+        if train_amax:
+            loss, grads = jax.value_and_grad(
+                lambda pq: loss_fn(pq[0], pq[1], tokens)
+            )((params, qstate))
+            updates, opt_state = optimizer.update(grads, opt_state, (params, qstate))
+            params, qstate = optax.apply_updates((params, qstate), updates)
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, qstate, tokens)
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        if masks is not None:
+            from ..sparsity import sparsify as sp
+
+            params = sp.reapply(params, masks)
+        return params, qstate, opt_state, loss
+
+    return step_fn, init_fn

@@ -65,6 +65,7 @@ class QuantizerConfig:
     bias_corr: bool = False
     constant_amax: Optional[float] = None
     pass_through_bwd: bool = False
+    learn_amax: bool = False  # LSQ: amax receives gradients (QAT)
     calibrator: str = "max"
     sequential: Optional[tuple["QuantizerConfig", ...]] = None
     backend: Optional[str] = None
@@ -341,4 +342,6 @@ def _fake_quant_dispatch(x, cfg: QuantizerConfig, state: QuantizerState):
     if cfg.is_fp:
         e, m = cfg.num_bits
         return ste.fake_quant_fp_ste(x, amax_b, e, m)
+    if cfg.learn_amax:
+        return ste.fake_quant_int_lsq(x, amax_b, cfg.num_bits)
     return ste.fake_quant_int_ste(x, amax_b, cfg.num_bits, cfg.unsigned, cfg.narrow_range)
