@@ -1,0 +1,157 @@
+"""Deploy path: load an exported unified checkpoint into the serving engine.
+
+The reference hands its unified checkpoints to TRT-LLM/vLLM; here the
+deployment engine is ours, so this loader closes the loop:
+`export_hf_checkpoint(...)` -> directory -> `load_quantized_checkpoint` ->
+CompressedModel -> Engine. Handles the layout conversion from the exported
+adjacent-nibble packing to the engine's plane packing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..export import hf_export
+from ..models import hf_loader, llama
+from ..quant import quantizer as Q
+from ..quant.compress import CompressedModel
+from ..quant.config import get_preset
+
+
+def _adjacent_to_plane(packed_adj: np.ndarray) -> np.ndarray:
+    """[O, K/2] adjacent-packed nibbles -> [O/2, K] plane-packed bytes."""
+    O = packed_adj.shape[0]
+    lo = packed_adj & 0xF
+    hi = (packed_adj >> 4) & 0xF
+    codes = np.empty((O, packed_adj.shape[1] * 2), np.uint8)
+    codes[:, 0::2] = lo
+    codes[:, 1::2] = hi
+    top = codes[O // 2 :]
+    bot = codes[: O // 2]
+    return ((top << 4) | bot).astype(np.uint8)
+
+
+def load_quantized_checkpoint(path: str) -> CompressedModel:
+    """Build a CompressedModel from an exported checkpoint directory."""
+    with open(os.path.join(path, "hf_quant_config.json")) as f:
+        qc = json.load(f)["quantization"]
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = hf_loader.config_from_hf(json.load(f))
+    tensors = hf_export.load_exported(path)
+    algo = qc["quant_algo"]
+    L = cfg.num_hidden_layers
+
+    def stack(fmt, dtype=None):
+        arrs = [tensors[fmt.format(i=i)] for i in range(L)]
+        out = jnp.stack([jnp.asarray(a) for a in arrs])
+        return out.astype(dtype) if dtype else out
+
+    layers: dict = {
+        "input_layernorm": stack("model.layers.{i}.input_layernorm.weight", cfg.dtype),
+        "post_attention_layernorm": stack(
+            "model.layers.{i}.post_attention_layernorm.weight", cfg.dtype
+        ),
+    }
+    kinds: dict[str, str] = {}
+    qstate: dict = {}
+    for name, hf_fmt in hf_export.PROJ_TO_HF.items():
+        base = hf_fmt + ".{suffix}"
+
+        def t(i, suffix):
+            return tensors[hf_fmt.format(i=i) + "." + suffix]
+
+        if algo == "NVFP4":
+            packed = np.stack([_adjacent_to_plane(t(i, "weight")) for i in range(L)])
+            ws = np.stack([np.asarray(t(i, "weight_scale")) for i in range(L)])
+            O2 = packed.shape[1]
+            layers[name] = {
+                "packed": jnp.asarray(packed),
+                "scale_lo": jnp.asarray(ws[:, :O2]).astype(jnp.float8_e4m3fn)
+                if ws.dtype != np.dtype("uint8") else jnp.asarray(ws[:, :O2]),
+                "scale_hi": jnp.asarray(ws[:, O2:]).astype(jnp.float8_e4m3fn)
+                if ws.dtype != np.dtype("uint8") else jnp.asarray(ws[:, O2:]),
+                "global_scale": jnp.asarray(
+                    np.stack([np.asarray(t(i, "weight_scale_2")).reshape(()) for i in range(L)])
+                ),
+            }
+            kinds[name] = "nvfp4"
+        elif algo in ("W4A16_AWQ", "W4A8_AWQ"):
+            packed = np.stack([_adjacent_to_plane(t(i, "weight")) for i in range(L)])
+            ws = np.stack([np.asarray(t(i, "weight_scale")) for i in range(L)])
+            O2 = packed.shape[1]
+            layers[name] = {
+                "packed": jnp.asarray(packed),
+                "scale_lo": jnp.asarray(ws[:, :O2], dtype=np.float32),
+                "scale_hi": jnp.asarray(ws[:, O2:], dtype=np.float32),
+            }
+            kinds[name] = "int4"
+        elif algo == "FP8":
+            layers[name] = {
+                "q": stack(base.replace(".{suffix}", ".weight")),
+                "scale": jnp.asarray(
+                    np.stack([np.asarray(t(i, "weight_scale")).reshape(-1, 1)[:1] for i in range(L)])
+                ),
+            }
+            kinds[name] = "fp8"
+        elif algo in ("W8A8_SQ_PER_CHANNEL", "INT8"):
+            layers[name] = {
+                "q": stack(base.replace(".{suffix}", ".weight")),
+                "scale": jnp.asarray(
+                    np.stack([np.asarray(t(i, "weight_scale")).reshape(-1, 1) for i in range(L)])
+                ),
+            }
+            kinds[name] = "int8"
+        else:
+            layers[name] = {"w": stack(base.replace(".{suffix}", ".weight"), cfg.dtype)}
+            kinds[name] = "bf16"
+
+        # activation-side state: pre_quant_scale + input_scale
+        pqs_key = hf_fmt.format(i=0) + ".pre_quant_scale"
+        if pqs_key in tensors:
+            pqs = jnp.stack(
+                [jnp.asarray(tensors[hf_fmt.format(i=i) + ".pre_quant_scale"]) for i in range(L)]
+            )
+            qstate.setdefault(name, {})["input"] = Q.QuantizerState(
+                pre_quant_scale=pqs.astype(jnp.float32)
+            )
+
+    params = {
+        "embed_tokens": jnp.asarray(tensors["model.embed_tokens.weight"]).astype(cfg.dtype),
+        "layers": layers,
+        "norm": jnp.asarray(tensors["model.norm.weight"]).astype(cfg.dtype),
+    }
+    if "lm_head.weight" in tensors:
+        params["lm_head"] = jnp.asarray(tensors["lm_head.weight"]).astype(cfg.dtype)
+
+    # layout: act/KV quantizer configs from the recorded algo
+    preset = {
+        "NVFP4": "NVFP4_DEFAULT_CFG",
+        "W4A16_AWQ": "INT4_AWQ_CFG",
+        "W4A8_AWQ": "W4A8_AWQ_BETA_CFG",
+        "FP8": "FP8_DEFAULT_CFG",
+        "W8A8_SQ_PER_CHANNEL": "INT8_SMOOTHQUANT_CFG",
+        "INT8": "INT8_DEFAULT_CFG",
+    }.get(algo)
+    layout = (
+        llama.build_layout(cfg, get_preset(preset))
+        if preset
+        else llama.QuantLayout(sites=())
+    )
+    # amax state for static act quantizers from input_scale
+    for name, hf_fmt in hf_export.PROJ_TO_HF.items():
+        icfg = layout.get(f"{name}.input")
+        key0 = hf_fmt.format(i=0) + ".input_scale"
+        if icfg.enable and not icfg.dynamic and key0 in tensors:
+            div = 6.0 * 448.0 if algo == "NVFP4" else (448.0 if icfg.is_fp else 127.0)
+            amax = jnp.stack(
+                [jnp.asarray(tensors[hf_fmt.format(i=i) + ".input_scale"]).reshape(()) * div
+                 for i in range(L)]
+            )
+            sub = qstate.setdefault(name, {})
+            ist = sub.get("input", Q.QuantizerState())
+            sub["input"] = ist.replace(amax=amax)
+    return CompressedModel(cfg, params, kinds, layout, qstate)

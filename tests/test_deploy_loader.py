@@ -1,0 +1,50 @@
+"""Export -> load -> serve roundtrip (the deploy loop)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.export import hf_export
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.quant import compress, ptq
+from tensorrt_model_optimizer_tpu.serve import engine as serve_engine
+from tensorrt_model_optimizer_tpu.serve import loader
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    return cfg, params, batches
+
+
+@pytest.mark.parametrize("preset,algo", [
+    ("INT8_SMOOTHQUANT_CFG", "W8A8_SQ_PER_CHANNEL"),
+    ("FP8_DEFAULT_CFG", "FP8"),
+    ("NVFP4_WEIGHT_ONLY_CFG", "NVFP4"),
+    ("INT4_AWQ_CFG", "W4A16_AWQ"),
+])
+def test_roundtrip(tiny, tmp_path, preset, algo):
+    cfg, params, batches = tiny
+    model = ptq.quantize(cfg, params, preset, batches)
+    out_dir = str(tmp_path / preset)
+    qc = hf_export.export_hf_checkpoint(model, out_dir)
+    assert qc["quantization"]["quant_algo"] == algo
+
+    cm = loader.load_quantized_checkpoint(out_dir)
+    eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+    prompt = batches[0][:, :8]
+    cache = eng.init_cache(2, 32)
+    logits, _ = eng.prefill(prompt, cache)
+
+    # reference: the fake-quant model's last-position logits
+    ref, _, _ = model.forward(prompt)
+    a = np.asarray(logits).ravel()
+    b = np.asarray(ref[:, -1]).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    # export stores unquantized tensors (embed/lm_head/norms) as fp16 —
+    # the fp32 test model picks up that cast noise on top of quant error
+    assert corr > 0.95, f"{preset}: corr={corr}"
