@@ -80,10 +80,12 @@ def synth_packed_layers(cfg, fmt, rng):
                 "scale": jnp.full((L, O, 1), 0.01, jnp.float32),
             }
             kinds[name] = fmt
-        else:  # bf16
-            layers[name] = {
-                "w": jnp.asarray(rng.normal(scale=0.01, size=(L, O, K)).astype(np.float32), cfg.dtype)
-            }
+        else:  # bf16 — synthesize small-magnitude bit patterns (fast path;
+            # sampling 8B normals in numpy takes many minutes)
+            import ml_dtypes
+
+            bits = rng.integers(0, 0x3C00, size=(L, O, K), dtype=np.uint16)
+            layers[name] = {"w": jnp.asarray(bits.view(ml_dtypes.bfloat16))}
             kinds[name] = "bf16"
     return layers, kinds
 
@@ -173,6 +175,22 @@ def main():
     dt = time.time() - t0
     log(f"decode: {dt*1e3:.1f} ms for {STEPS} steps")
 
+    # TTFT: prefill latency for the PREFILL-token prompt (baseline scenario
+    # uses 2048-in; set BENCH_PREFILL=2048 for the full number)
+    ttft_ms = None
+    if os.environ.get("BENCH_TTFT", "1") == "1":
+        prompt = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, size=(BATCH, PREFILL), dtype=np.int32)
+        )
+        pc = eng.init_cache(BATCH, MAXLEN)
+        logits, _ = eng.prefill(prompt, pc)
+        jax.block_until_ready(logits)  # compile
+        t0 = time.time()
+        logits, _ = eng.prefill(prompt, pc)
+        jax.block_until_ready(logits)
+        ttft_ms = (time.time() - t0) * 1e3
+        log(f"prefill({PREFILL}) TTFT: {ttft_ms:.1f} ms")
+
     tok_s = BATCH * STEPS / dt
     baseline = BASELINES_BS8.get(FORMAT, 599.7)
     print(json.dumps({
@@ -184,6 +202,7 @@ def main():
         "compile_s": round(prefill_compile_s, 1),
         "format": FORMAT, "bs": BATCH, "prefill": PREFILL, "steps": STEPS,
         "hw": jax.devices()[0].device_kind,
+        **({"ttft_ms": round(ttft_ms, 1)} if ttft_ms is not None else {}),
         "baseline": f"H200 TRT-LLM {FORMAT} BS8 ({baseline} tok/s)",
     }))
 
