@@ -80,17 +80,39 @@ def _identity_bwd_wrap(fn):
     return wrapped
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _nvfp4_ste_with_amax(x, global_amax, block_size, axis):
+    return numerics.fake_quant_nvfp4(x, block_size, global_amax, axis)
+
+
+def _nvfp4_fwd(x, global_amax, block_size, axis):
+    return numerics.fake_quant_nvfp4(x, block_size, global_amax, axis), global_amax
+
+
+def _nvfp4_bwd(block_size, axis, global_amax, g):
+    return g, jnp.zeros_like(global_amax)
+
+
+_nvfp4_ste_with_amax.defvjp(_nvfp4_fwd, _nvfp4_bwd)
+
+
 def fake_quant_nvfp4_ste(
     x: jax.Array,
     block_size: int = 16,
     global_amax: Optional[jax.Array] = None,
     axis: int = -1,
 ) -> jax.Array:
-    """NVFP4 fake quant with identity STE backward (dynamic block scales)."""
-    fn = _identity_bwd_wrap(
-        lambda t: numerics.fake_quant_nvfp4(t, block_size, global_amax, axis)
-    )
-    return fn(x)
+    """NVFP4 fake quant with identity STE backward (dynamic block scales).
+
+    The global amax is an explicit custom_vjp argument — closing over a
+    traced amax inside the vjp closure leaks tracers under jax.grad.
+    """
+    if global_amax is None:
+        fn = _identity_bwd_wrap(
+            lambda t: numerics.fake_quant_nvfp4(t, block_size, None, axis)
+        )
+        return fn(x)
+    return _nvfp4_ste_with_amax(x, global_amax, block_size, axis)
 
 
 def fake_quant_mx_ste(
