@@ -20,6 +20,7 @@ from .llama import LlamaConfig, PROJ_NAMES
 
 def config_from_hf(d: dict) -> LlamaConfig:
     return LlamaConfig(
+        attention_bias=d.get("attention_bias", d.get("model_type") == "qwen2"),
         vocab_size=d["vocab_size"],
         hidden_size=d["hidden_size"],
         intermediate_size=d["intermediate_size"],
@@ -103,6 +104,11 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16) -> tuple[LlamaConfig, dict
     }
     for ours, fmt in hf_names.items():
         layers[ours] = stack(fmt)
+    if cfg.attention_bias:
+        for proj in ("q_proj", "k_proj", "v_proj"):
+            layers[f"self_attn.{proj}__bias"] = stack(
+                "model.layers.{i}.self_attn." + proj + ".bias"
+            )
     params = {
         "embed_tokens": get("model.embed_tokens.weight"),
         "layers": layers,

@@ -51,6 +51,7 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 4096
+    attention_bias: bool = False  # Qwen2-style q/k/v biases
     dtype: Any = jnp.bfloat16
 
     @property
@@ -147,6 +148,10 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
     for i, name in enumerate(PROJ_NAMES):
         o, inp = shapes[name]
         layers[name] = winit(jax.random.fold_in(keys[0], i), (L, o, inp), inp)
+    if cfg.attention_bias:
+        for name in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
+            o, _ = shapes[name]
+            layers[name + "__bias"] = jnp.zeros((L, o), cfg.dtype)
     params: Params = {
         "embed_tokens": winit(keys[1], (cfg.vocab_size, h), h),
         "layers": layers,
@@ -170,19 +175,23 @@ def param_specs(cfg: LlamaConfig) -> Params:
     """
     col = P(None, "tensor", None)
     row = P(None, None, "tensor")
+    layers = {
+        "input_layernorm": P(None, None),
+        "post_attention_layernorm": P(None, None),
+        "self_attn.q_proj": col,
+        "self_attn.k_proj": col,
+        "self_attn.v_proj": col,
+        "self_attn.o_proj": row,
+        "mlp.gate_proj": col,
+        "mlp.up_proj": col,
+        "mlp.down_proj": row,
+    }
+    if cfg.attention_bias:
+        for name in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
+            layers[name + "__bias"] = P(None, "tensor")
     return {
         "embed_tokens": P("tensor", None),
-        "layers": {
-            "input_layernorm": P(None, None),
-            "post_attention_layernorm": P(None, None),
-            "self_attn.q_proj": col,
-            "self_attn.k_proj": col,
-            "self_attn.v_proj": col,
-            "self_attn.o_proj": row,
-            "mlp.gate_proj": col,
-            "mlp.up_proj": col,
-            "mlp.down_proj": row,
-        },
+        "layers": layers,
         "norm": P(None),
         **({} if cfg.tie_word_embeddings else {"lm_head": P("tensor", None)}),
     }
@@ -299,8 +308,9 @@ def _qsite(x, site_cfg: QuantizerConfig, st, calib: bool):
     return Q.quantize(x, site_cfg, st), st
 
 
-def _linear(x, w, name, layout: QuantLayout, lstate, calib, adapters=None):
-    """Quantized linear: y = q_in(x) @ q_w(w)^T (QuantLinear.forward analog).
+def _linear(x, w, name, layout: QuantLayout, lstate, calib, adapters=None,
+            bias=None):
+    """Quantized linear: y = q_in(x) @ q_w(w)^T (+ bias) (QuantLinear analog).
 
     `adapters` optionally carries per-layer LoRA factors {name: {"A", "B",
     "scale"}}; the low-rank path stays unquantized (QLoRA semantics,
@@ -323,6 +333,8 @@ def _linear(x, w, name, layout: QuantLayout, lstate, calib, adapters=None):
         else:
             w_eff = Q.quantize(w, wcfg, wst)
     y = x @ w_eff.T.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
     if adapters is not None and name in adapters:
         ad = adapters[name]
         lo = (x @ ad["A"].T.astype(x.dtype)) @ ad["B"].T.astype(x.dtype)
@@ -336,11 +348,11 @@ def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib, ada
     B, T, _ = x.shape
     new_state = {}
 
-    q, s = _linear(x, lp["self_attn.q_proj"], "self_attn.q_proj", layout, lstate, calib, adapters)
+    q, s = _linear(x, lp["self_attn.q_proj"], "self_attn.q_proj", layout, lstate, calib, adapters, lp.get("self_attn.q_proj__bias"))
     if s: new_state["self_attn.q_proj"] = s
-    k, s = _linear(x, lp["self_attn.k_proj"], "self_attn.k_proj", layout, lstate, calib, adapters)
+    k, s = _linear(x, lp["self_attn.k_proj"], "self_attn.k_proj", layout, lstate, calib, adapters, lp.get("self_attn.k_proj__bias"))
     if s: new_state["self_attn.k_proj"] = s
-    v, s = _linear(x, lp["self_attn.v_proj"], "self_attn.v_proj", layout, lstate, calib, adapters)
+    v, s = _linear(x, lp["self_attn.v_proj"], "self_attn.v_proj", layout, lstate, calib, adapters, lp.get("self_attn.v_proj__bias"))
     if s: new_state["self_attn.v_proj"] = s
 
     q = q.reshape(B, T, nH, hd)

@@ -27,9 +27,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tile sizes (empirically tuned on the v5e pool; see bench_kernels.py)
+# Tile sizes (empirically tuned on the v5e pool: tools/tune_qmm.py sweep —
+# blockdot TO=256/TK=1024 = 7.5 us vs 9-12 us at TK=2048 for the int4 kernel)
 TILE_O = 256
-TILE_K = 2048
+TILE_K = 1024
 
 
 def pallas_supported() -> bool:
@@ -249,6 +250,11 @@ def _fp4_decode_bf16(nib32):
 
 
 def _nvfp4_kernel(nblk, x_ref, w_ref, sl_ref, sh_ref, gs_ref, lo_ref, hi_ref, accl, acch):
+    # Block-partial-dot strategy (scales transposed [nblk, TO], statically
+    # sliced per grid step). NOTE a faster elementwise variant needs a
+    # K-permuted pack layout: pltpu.repeat TILES its input (s0 s1 .. s0 s1)
+    # rather than element-repeating, so scales only align if block index
+    # varies fastest along K — round-2 layout change (see memory notes).
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -300,6 +306,11 @@ def qmm_nvfp4(
     go, gk, to, tk = _grid_dims(O2, K, TILE_O, TILE_K)
     if tk % bsz:
         tk = bsz
+        gk = K // tk
+    # nvfp4 prefers larger K tiles than int4 (16-wide blocks -> many partial
+    # dots; 2048 measured best: tools/tune_qmm.py)
+    if K % 2048 == 0:
+        tk = 2048
         gk = K // tk
     nblk = tk // bsz
     kern = functools.partial(_nvfp4_kernel, nblk)

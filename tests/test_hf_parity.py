@@ -60,3 +60,35 @@ def test_quantized_hf_model_runs(hf_ckpt):
     model = ptq.quantize(cfg, params, "FP8_DEFAULT_CFG", batches)
     logits, _, _ = model.forward(batches[0])
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+@pytest.fixture(scope="module")
+def qwen_ckpt(tmp_path_factory):
+    path = tmp_path_factory.mktemp("qwen_tiny")
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = transformers.Qwen2ForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(str(path), safe_serialization=True)
+    return str(path), model
+
+
+def test_qwen2_logits_match(qwen_ckpt):
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import hf_loader, llama
+
+    path, hf_model = qwen_ckpt
+    cfg, params = hf_loader.load_hf_checkpoint(path, dtype=jnp.float32)
+    assert cfg.attention_bias
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 128, size=(2, 12))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(tokens)).logits.float().numpy()
+    ours, _, _ = llama.forward(cfg, params, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
