@@ -61,3 +61,29 @@ def test_search_state_checkpoint(tmp_path):
     st.save(p)
     st2 = searcher.SearchState.load(p)
     assert st2.best_config == {"x": 1} and st2.best_score == 0.5
+
+
+def test_dependency_groups_consistent():
+    import jax
+
+    from tensorrt_model_optimizer_tpu.models import llama
+    from tensorrt_model_optimizer_tpu.opt import dependency
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    assert dependency.validate_groups(params, cfg) == []
+
+
+def test_dependency_detects_mismatch():
+    import jax
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import llama
+    from tensorrt_model_optimizer_tpu.opt import dependency
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    # corrupt one tied dimension
+    params["layers"]["mlp.up_proj"] = params["layers"]["mlp.up_proj"][:, :, :32]
+    probs = dependency.validate_groups(params, cfg)
+    assert any("mlp.up_proj" in p for p in probs)
