@@ -141,6 +141,24 @@ def _candidate_delta_score(x, w, g, wcfg) -> jax.Array:
     return jnp.mean(tok**2, axis=-1)  # [L]
 
 
+def _candidate_kl_score(x, w, wcfg) -> jax.Array:
+    """KL-div scoring mode (`AutoQuantizeKLDivSearcher`): output divergence
+    of the quantized projection, softmax over the feature dim as a local
+    distribution proxy — gradient-free (for when backward is unavailable)."""
+    if not wcfg.enable:
+        return jnp.zeros(w.shape[0])
+    qfn = lambda t: Q.quantize(t, _dynamic_like(wcfg), None)
+    x32 = x.astype(jnp.float32)
+    y0 = jnp.einsum("lni,loi->lno", x32, w.astype(jnp.float32))
+    y1 = jnp.einsum("lni,loi->lno", x32, qfn(w.astype(jnp.float32)))
+    p = jax.nn.softmax(y0, axis=-1)
+    kl = jnp.sum(
+        p * (jax.nn.log_softmax(y0, axis=-1) - jax.nn.log_softmax(y1, axis=-1)),
+        axis=-1,
+    )
+    return jnp.mean(kl, axis=-1)  # [L]
+
+
 def auto_quantize(
     model_cfg: llama.LlamaConfig,
     params: llama.Params,
@@ -148,6 +166,7 @@ def auto_quantize(
     calib_batches: Iterable[jax.Array],
     effective_bits: float = 6.0,
     capture_tokens: int = 64,
+    score_method: str = "gradient",  # "gradient" (Taylor) | "kl_div"
 ) -> AutoQuantizeResult:
     """Search per-(layer, group) formats under the effective-bits budget."""
     batches = list(calib_batches)
@@ -183,8 +202,11 @@ def auto_quantize(
             for m in members:
                 wcfg = cand.resolve(f"model.layers.0.{m}.weight_quantizer")
                 w = params["layers"][m]
-                gm = stackg(m)
-                total = total + jax.jit(_candidate_delta_score, static_argnums=3)(X, w, gm, wcfg)
+                if score_method == "kl_div":
+                    total = total + jax.jit(_candidate_kl_score, static_argnums=2)(X, w, wcfg)
+                else:
+                    gm = stackg(m)
+                    total = total + jax.jit(_candidate_delta_score, static_argnums=3)(X, w, gm, wcfg)
                 bits = min(bits, wcfg.fake_bits if wcfg.enable else 16.0)
             s_per_cand.append(np.asarray(total))
             c_per_cand.append(bits * n_params_group / 8.0)

@@ -56,3 +56,14 @@ def test_tighter_budget_prefers_cheap_format(tiny):
     n4 = sum(v == 0 for c in res4.choice for v in c.values())
     n8 = sum(v == 0 for c in res8.choice for v in c.values())
     assert n4 >= n8  # tighter budget -> more int4 groups
+
+
+def test_kl_div_scoring(tiny):
+    cfg, params, batches = tiny
+    res = auto.auto_quantize(
+        cfg, params, ["INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "FP8_DEFAULT_CFG"],
+        batches, effective_bits=6.0, capture_tokens=16, score_method="kl_div")
+    assert res.effective_bits <= 6.0 + 1e-6
+    logits, _ = llama.forward_unrolled(
+        cfg, params, batches[0], res.layer_layouts, res.qstate_list)
+    assert np.all(np.isfinite(np.asarray(logits)))

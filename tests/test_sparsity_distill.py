@@ -150,3 +150,24 @@ class TestAttentionSparsity:
         th = asp.calibrate_threshold(q, k, v, target_sparsity=0.3)
         _, sp = asp.skip_softmax_attention(q, k, v, th)
         assert float(sp) <= 0.3 + 1e-6
+
+
+class TestLossBalancers:
+    def test_static(self):
+        from tensorrt_model_optimizer_tpu.distill import loss_balancers as lb
+
+        bal = lb.StaticLossBalancer(weights=(0.7, 0.3))
+        out = bal([jnp.asarray(1.0), jnp.asarray(2.0)])
+        assert float(out) == pytest.approx(1.3)
+
+    def test_dynamic_normalizes_scales(self):
+        from tensorrt_model_optimizer_tpu.distill import loss_balancers as lb
+
+        st = lb.init_dynamic_balancer(2)
+        # one term 1000x larger; after a few updates contributions equalize
+        for _ in range(300):
+            total, st = lb.dynamic_balance(
+                [jnp.asarray(1000.0), jnp.asarray(1.0)], st, decay=0.9)
+        ratio = float(st.ema[0] / st.ema[1])
+        assert 500 < ratio < 2000
+        assert float(total) == pytest.approx(1.0, rel=0.2)
