@@ -66,6 +66,7 @@ class QuantizerConfig:
     constant_amax: Optional[float] = None
     pass_through_bwd: bool = False
     learn_amax: bool = False  # LSQ: amax receives gradients (QAT)
+    rotate: bool = False  # Hadamard (RHT) rotation before quant
     calibrator: str = "max"
     sequential: Optional[tuple["QuantizerConfig", ...]] = None
     backend: Optional[str] = None
@@ -213,6 +214,10 @@ def collect(x: jax.Array, cfg: QuantizerConfig, state: QuantizerState) -> Quanti
         # amax must describe what the quantizer actually sees at runtime
         # (the SmoothQuant/AWQ-scaled tensor).
         x = x * state.pre_quant_scale.astype(x.dtype)
+    if cfg.rotate:
+        from ..ops.hadamard import blocked_fwht
+
+        x = blocked_fwht(x, -1)
     if cfg.sequential:
         old = state.amax if isinstance(state.amax, tuple) else (None,) * len(cfg.sequential)
         new = []
@@ -266,6 +271,12 @@ def quantize(
         # Applied even when the format is disabled: W4A16 AWQ keeps the
         # activation-side scale with act quantization off.
         x = x * state.pre_quant_scale.astype(x.dtype)
+    if cfg.rotate:
+        # RHT: orthonormal Hadamard flattens outliers; exact when the paired
+        # weight site rotates its input dim too ((xH)(WH)^T = xW^T).
+        from ..ops.hadamard import blocked_fwht
+
+        x = blocked_fwht(x, -1)
     if not cfg.enable:
         return x
 
