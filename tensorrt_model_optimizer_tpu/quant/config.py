@@ -195,6 +195,10 @@ NVFP4_WEIGHT_ONLY_CFG = _preset(NVFP4_BLOCK16, None, "max")
 NVFP4_AWQ_LITE_CFG = _preset(
     NVFP4_BLOCK16, NVFP4_BLOCK16, {"method": "awq_lite", "alpha_step": 0.1}
 )
+NVFP4_ACT_HEADROOM_CFG = _preset(
+    NVFP4_BLOCK16, NVFP4_BLOCK16,
+    {"method": "nvfp4_act_headroom", "percentile": 99.0, "headroom": 1.5},
+)
 MXFP4_DEFAULT_CFG = _preset(MXFP4_BLOCK32, MXFP4_BLOCK32, "max")
 MXFP4_WEIGHT_ONLY_CFG = _preset(MXFP4_BLOCK32, None, "max")
 MXFP8_DEFAULT_CFG = _preset(MXFP8_E4M3_BLOCK32, MXFP8_E4M3_BLOCK32, "max")
@@ -230,6 +234,7 @@ PRESETS: dict[str, QuantizeConfig] = {
     "NVFP4_DEFAULT_CFG": NVFP4_DEFAULT_CFG,
     "NVFP4_WEIGHT_ONLY_CFG": NVFP4_WEIGHT_ONLY_CFG,
     "NVFP4_AWQ_LITE_CFG": NVFP4_AWQ_LITE_CFG,
+    "NVFP4_ACT_HEADROOM_CFG": NVFP4_ACT_HEADROOM_CFG,
     "NVFP4_KV_CFG": NVFP4_KV_CFG,
     "MXFP4_DEFAULT_CFG": MXFP4_DEFAULT_CFG,
     "MXFP4_WEIGHT_ONLY_CFG": MXFP4_WEIGHT_ONLY_CFG,

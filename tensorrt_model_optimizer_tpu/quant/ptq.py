@@ -130,6 +130,10 @@ def quantize(
         params, qstate = _awq_clip_refine(
             model_cfg, params, layout, qstate, batches, algo, capture_tokens
         )
+    if method == "nvfp4_act_headroom":
+        qstate = _nvfp4_headroom_refine(
+            model_cfg, params, layout, qstate, batches, algo
+        )
     if method == "mse":
         qstate = _mse_refine_weights(model_cfg, params, layout, qstate)
 
@@ -371,6 +375,48 @@ def _awq_clip_refine(model_cfg, params, layout, qstate, batches, algo, capture_t
                 sub["weight"] = st.replace(amax=best_amax)
             qstate[m] = sub
     return params, qstate
+
+
+def _nvfp4_headroom_refine(model_cfg, params, layout, qstate, batches, algo):
+    """Percentile-anchored NVFP4 activation global scale
+    (`nvfp4_act_headroom_calibrate`, `model_calib.py:568`): instead of the
+    all-time max, the act global amax anchors at a per-batch-amax percentile
+    times a headroom factor — robust to single-batch outliers."""
+    import numpy as _np
+
+    pct = algo.get("percentile", 99.0) if isinstance(algo, dict) else 99.0
+    headroom = algo.get("headroom", 1.5) if isinstance(algo, dict) else 1.5
+
+    # per-batch per-site act amax via calib passes on fresh state
+    per_batch: dict[str, list] = {}
+    fresh = llama.init_quant_state(model_cfg, layout)
+    step = jax.jit(
+        lambda p, t, q: llama.forward(
+            model_cfg, p, t, layout=layout, qstate=q, calib=True
+        )[1]
+    )
+    for b in batches:
+        qs_b = step(params, b, fresh)
+        for name, sub in qs_b.items():
+            if not isinstance(sub, dict) or "input" not in sub:
+                continue
+            ist = sub["input"]
+            if ist.amax is None:
+                continue
+            per_batch.setdefault(name, []).append(_np.asarray(ist.amax))
+
+    qstate = dict(qstate)
+    for name, vals in per_batch.items():
+        icfg = layout.get(f"{name}.input")
+        if not (icfg.enable and icfg.block is not None and icfg.block.scale_bits):
+            continue  # only two-level (NVFP4-style) act sites
+        arr = _np.stack(vals)  # [n_batches, L, ...]
+        anchored = _np.percentile(arr, pct, axis=0) * headroom
+        sub = dict(qstate.get(name, {}))
+        ist = sub.get("input", Q.QuantizerState())
+        sub["input"] = ist.replace(amax=jnp.asarray(anchored, jnp.float32))
+        qstate[name] = sub
+    return qstate
 
 
 def _mse_refine_weights(model_cfg, params, layout, qstate):

