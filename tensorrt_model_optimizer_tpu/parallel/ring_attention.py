@@ -82,7 +82,7 @@ def ring_attention(q, k, v, axis_name: str, causal: bool = True):
 def ring_attention_sharded(q, k, v, mesh, axis_name: str = "context", causal=True):
     """Convenience wrapper: shard_map over the sequence dimension."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(None, axis_name, None, None)
     fn = shard_map(
