@@ -44,3 +44,40 @@ def mse_amax_search(
     losses = jax.lax.map(loss_for, ratios)  # [n_steps, ...amax-shaped]
     best = jnp.argmin(losses, axis=0)
     return amax0 * ratios[best]
+
+
+def local_hessian_amax_search(
+    x: jax.Array,  # [n_tok, K] calibration activations
+    w: jax.Array,  # [O, K]
+    amax0: jax.Array,  # [O, K/bsz] block amax (max-calibrated)
+    quant_with_amax: Callable[[jax.Array, jax.Array], jax.Array],
+    block_size: int,
+    n_steps: int = 8,
+    start: float = 0.5,
+) -> jax.Array:
+    """Hessian-weighted block-scale search (`local_hessian_calibrate`,
+    `model_calib.py:1005`): pick each block's amax shrink ratio minimizing
+    the output-space error  || X (W - Q(W))^T ||^2  — equivalently the
+    (W-Q)^T H (W-Q) objective with H = X^T X — per (row, block)."""
+    x32 = x.astype(jnp.float32)
+    w32 = w.astype(jnp.float32)
+    O, K = w32.shape
+    bsz = min(block_size, K)
+    nblk = K // bsz
+    ratios = jnp.linspace(start, 1.0, n_steps)
+    # per-block output-energy loss: sum over tokens of (x_blk @ dW_blk^T)^2,
+    # accumulated per block independently (blocks' errors are approximately
+    # separable, like the reference's per-block search)
+    xb = x32.reshape(-1, nblk, bsz)
+
+    def loss_for(r):
+        amax = amax0 * r
+        full = jnp.repeat(amax, bsz, axis=-1)
+        dw = (w32 - quant_with_amax(w32, full)).reshape(O, nblk, bsz)
+        # err_b[o, blk] = sum_t (sum_k x[t,blk,k] dw[o,blk,k])^2
+        e = jnp.einsum("tbk,obk->obt", xb, dw)
+        return jnp.sum(e * e, axis=-1)  # [O, nblk]
+
+    losses = jax.lax.map(loss_for, ratios)
+    best = jnp.argmin(losses, axis=0)
+    return amax0 * ratios[best]

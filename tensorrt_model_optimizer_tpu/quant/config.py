@@ -175,6 +175,11 @@ INT4_GPTQ_CFG = _preset(
     None,
     {"method": "gptq", "block_size": 128},
 )
+INT4_LOCAL_HESSIAN_CFG = _preset(
+    INT4_PER_BLOCK_128,
+    None,
+    {"method": "local_hessian"},
+)
 INT4_SVDQUANT_CFG = _preset(
     INT4_PER_BLOCK_128,
     None,
@@ -228,6 +233,7 @@ PRESETS: dict[str, QuantizeConfig] = {
     "INT4_BLOCKWISE_WEIGHT_ONLY_CFG": INT4_BLOCKWISE_WEIGHT_ONLY_CFG,
     "INT4_AWQ_CFG": INT4_AWQ_CFG,
     "INT4_GPTQ_CFG": INT4_GPTQ_CFG,
+    "INT4_LOCAL_HESSIAN_CFG": INT4_LOCAL_HESSIAN_CFG,
     "INT4_SVDQUANT_CFG": INT4_SVDQUANT_CFG,
     "NVFP4_SVDQUANT_CFG": NVFP4_SVDQUANT_CFG,
     "W4A8_AWQ_BETA_CFG": W4A8_AWQ_BETA_CFG,

@@ -136,6 +136,10 @@ def quantize(
         )
     if method == "mse":
         qstate = _mse_refine_weights(model_cfg, params, layout, qstate)
+    if method == "local_hessian":
+        params, qstate = _local_hessian_refine(
+            model_cfg, params, layout, qstate, batches, algo, capture_tokens
+        )
 
     return QuantizedModel(model_cfg, params, layout, qstate, qcfg, adapters)
 
@@ -417,6 +421,47 @@ def _nvfp4_headroom_refine(model_cfg, params, layout, qstate, batches, algo):
         sub["input"] = ist.replace(amax=jnp.asarray(anchored, jnp.float32))
         qstate[name] = sub
     return qstate
+
+
+def _local_hessian_refine(model_cfg, params, layout, qstate, batches, algo, capture_tokens):
+    """Hessian-weighted block-amax refinement (`model_calib.py:1005`)."""
+    _, _, samples = _capture_stats(
+        model_cfg, params, layout, qstate, batches, capture_tokens
+    )
+    qstate = dict(qstate)
+    for cap_key, members in CAPTURE_GROUPS.items():
+        if cap_key not in samples:
+            continue
+        for m in members:
+            wcfg = layout.get(f"{m}.weight")
+            base = wcfg.sequential[0] if wcfg.sequential else wcfg
+            if not wcfg.enable or base.is_fp or base.block is None:
+                continue
+            bsz = dict(base.block.sizes).get(-1, 128)
+            w = params["layers"][m]
+            bsz = min(bsz, w.shape[-1])
+            st = qstate.get(m, {}).get("weight")
+            if st is None or st.amax is None:
+                continue
+            amax0 = st.amax[0] if isinstance(st.amax, tuple) else st.amax
+
+            def qa(wx, amax_full, b=base.num_bits):
+                return numerics.fake_quant_int(wx, amax_full, b)
+
+            refine = jax.jit(jax.vmap(
+                lambda xl, wl, al: mse_mod.local_hessian_amax_search(
+                    xl, wl, al, qa, bsz
+                )
+            ))
+            best = refine(samples[cap_key], w, amax0)
+            sub = dict(qstate.get(m, {}))
+            if isinstance(st.amax, tuple):
+                am = list(st.amax); am[0] = best
+                sub["weight"] = st.replace(amax=tuple(am))
+            else:
+                sub["weight"] = st.replace(amax=best)
+            qstate[m] = sub
+    return params, qstate
 
 
 def _mse_refine_weights(model_cfg, params, layout, qstate):

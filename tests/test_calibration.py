@@ -284,3 +284,30 @@ class TestNVFP4Headroom:
         assert not np.isclose(a_head, a_max) or a_head <= a_max * 1.5
         logits, _, _ = head.forward(batches[0])
         assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestLocalHessian:
+    def test_engine_reduces_output_error(self):
+        from tensorrt_model_optimizer_tpu.quant.calib import mse as mse_mod
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32))
+        w = rng.normal(size=(8, 64)).astype(np.float32)
+        w[0, 3] = 25.0  # block-range-wasting outlier
+        w = jnp.asarray(w)
+        bsz = 32
+        amax0 = numerics.block_amax_compact(w, ((-1, bsz),))
+        qa = lambda wx, am: numerics.fake_quant_int(wx, am, 4)
+        best = mse_mod.local_hessian_amax_search(x, w, amax0, qa, bsz)
+        full0 = numerics.expand_block_scale(amax0, w.shape, ((-1, bsz),))
+        fullb = numerics.expand_block_scale(best, w.shape, ((-1, bsz),))
+        ref = x @ w.T
+        e0 = float(jnp.mean((x @ qa(w, full0).T - ref) ** 2))
+        eb = float(jnp.mean((x @ qa(w, fullb).T - ref) ** 2))
+        assert eb <= e0
+
+    def test_ptq_end_to_end(self, tiny, batches):
+        cfg, params = tiny
+        model = ptq.quantize(cfg, params, "INT4_LOCAL_HESSIAN_CFG", batches)
+        logits, _, _ = model.forward(batches[0])
+        assert np.all(np.isfinite(np.asarray(logits)))
