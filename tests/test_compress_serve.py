@@ -225,3 +225,18 @@ class TestEngineTP:
         with jax.set_mesh(mesh8):
             out, _ = eng2.prefill(prompt, cache2)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=5e-3, atol=5e-2)
+
+
+class TestProfiling:
+    def test_profile_matmuls_and_latency(self, tiny_ptq):
+        from tensorrt_model_optimizer_tpu.serve import profiling
+
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT8_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=64, backend="xla"))
+        prof = profiling.profile_matmuls(eng, batch=2, iters=2)
+        assert set(prof) == set(llama.PROJ_NAMES)
+        assert all(v["us"] > 0 for v in prof.values())
+        lat = profiling.get_latency(eng, batch=2, prefill=8, steps=2)
+        assert lat["step_ms"] > 0 and lat["tok_s"] > 0
