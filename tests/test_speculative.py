@@ -64,3 +64,29 @@ def test_eagle_training_reduces_loss(tiny):
     for _ in range(5):
         draft, l = step(draft, params, tokens)
     assert float(l) < float(l0)
+
+
+def test_medusa_export_roundtrip(tiny, tmp_path):
+    from tensorrt_model_optimizer_tpu.export import spec_export
+
+    cfg, params, tokens = tiny
+    mcfg = medusa.MedusaConfig(num_heads=2)
+    heads = medusa.init_medusa(cfg, mcfg, jax.random.PRNGKey(5))
+    out = str(tmp_path / "medusa")
+    info = spec_export.export_medusa(heads, cfg, out)
+    assert info["num_medusa_heads"] == 2
+    loaded = spec_export.load_medusa(out)
+    b0, h0 = medusa.medusa_logits(cfg, params, heads, tokens[:1, :8])
+    b1, h1 = medusa.medusa_logits(cfg, params, loaded, tokens[:1, :8])
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), rtol=1e-5, atol=1e-5)
+
+
+def test_eagle_export(tiny, tmp_path):
+    from tensorrt_model_optimizer_tpu.export import spec_export
+
+    cfg, params, tokens = tiny
+    draft = eagle.init_eagle(cfg, eagle.EagleConfig(), jax.random.PRNGKey(6))
+    info = spec_export.export_eagle(draft, cfg, str(tmp_path / "eagle"))
+    assert info["speculative_algo"] == "EAGLE"
+    import os
+    assert os.path.exists(tmp_path / "eagle" / "eagle_draft.safetensors")
