@@ -206,6 +206,7 @@ NVFP4_ACT_HEADROOM_CFG = _preset(
 )
 MXFP4_DEFAULT_CFG = _preset(MXFP4_BLOCK32, MXFP4_BLOCK32, "max")
 MXFP4_WEIGHT_ONLY_CFG = _preset(MXFP4_BLOCK32, None, "max")
+MXFP6_DEFAULT_CFG = _preset(MXFP6_E3M2_BLOCK32, MXFP6_E3M2_BLOCK32, "max")
 MXFP8_DEFAULT_CFG = _preset(MXFP8_E4M3_BLOCK32, MXFP8_E4M3_BLOCK32, "max")
 NF4_WEIGHT_ONLY_CFG = _preset(NF4_BLOCK64, None, "max")
 W4A16_NVFP4_CFG = NVFP4_WEIGHT_ONLY_CFG
@@ -244,6 +245,7 @@ PRESETS: dict[str, QuantizeConfig] = {
     "NVFP4_KV_CFG": NVFP4_KV_CFG,
     "MXFP4_DEFAULT_CFG": MXFP4_DEFAULT_CFG,
     "MXFP4_WEIGHT_ONLY_CFG": MXFP4_WEIGHT_ONLY_CFG,
+    "MXFP6_DEFAULT_CFG": MXFP6_DEFAULT_CFG,
     "MXFP8_DEFAULT_CFG": MXFP8_DEFAULT_CFG,
     "NF4_WEIGHT_ONLY_CFG": NF4_WEIGHT_ONLY_CFG,
     "FP8_KV_CFG": FP8_KV_CFG,
