@@ -47,6 +47,27 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None)
     matmuls (XLA fuses what it can).
     """
     icfg = cm.layout.get(f"{name}.input")
+    if kind == "int8" and icfg.enable and not icfg.is_fp:
+        # W8A8 on the native int8 MXU: per-token dynamic act quant, int8 x
+        # int8 -> int32, rescale by (act_scale * weight_scale). Exact
+        # real-quant semantics of the fake-quant pair (per-token acts).
+        if ist is not None and ist.pre_quant_scale is not None:
+            x = x * ist.pre_quant_scale.astype(x.dtype)
+        x32 = x.astype(jnp.float32)
+        if icfg.dynamic or icfg.per_token or ist is None or ist.amax is None:
+            a_amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)  # per token
+        else:
+            a_amax = jnp.broadcast_to(
+                ist.amax.astype(jnp.float32).reshape(1, -1)[:, :1], (x.shape[0], 1)
+            )
+        a_scale = jnp.where(a_amax == 0, 1.0, a_amax / 127.0)
+        x8 = jnp.clip(jnp.round(x32 / a_scale), -128, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x8, arrays["q"], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * a_scale * arrays["scale"].reshape(1, -1)
+        return y.astype(x.dtype)
     if icfg.enable or (ist is not None and ist.pre_quant_scale is not None):
         x = Q.quantize(x, icfg, ist)
     if backend == "pallas" and kind in ("int8", "int4", "nvfp4", "fp8"):
