@@ -553,30 +553,56 @@ def forward_unrolled(
     layer_layouts: list[QuantLayout],
     qstate_list: Optional[list] = None,
     calib: bool = False,
+    cache: Optional[dict] = None,
 ):
     """Forward with a distinct quant layout per layer (AutoQuantize result).
 
     Python-unrolled over layers (mixed static formats can't ride one scan);
     used for eval/serving of mixed-precision models, not training loops.
     Quantizer state is a per-layer list (shapes differ across layers).
+    With `cache` (same dict layout as `forward`), runs incremental decode.
+    Returns (logits, new_states[, new_cache]).
     """
     B, T = tokens.shape
-    positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T)).astype(jnp.int32)
+    start = cache["pos"] if cache is not None else 0
+    positions = jnp.broadcast_to(
+        start + jnp.arange(T)[None, :], (B, T)
+    ).astype(jnp.int32)
     x = params["embed_tokens"][tokens].astype(cfg.dtype)
-    mask = jnp.where(
-        jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e9
-    )[None, None, :, :].astype(jnp.float32)
+    if cache is not None:
+        S = cache["k"].shape[2]
+        kpos = jnp.arange(S)[None, :]
+        qpos = positions[0][:, None]
+        mask = jnp.where(kpos <= qpos, 0.0, -1e9)[None, None, :, :].astype(jnp.float32)
+    else:
+        mask = jnp.where(
+            jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e9
+        )[None, None, :, :].astype(jnp.float32)
     new_states = []
+    new_k, new_v = [], []
     for i in range(cfg.num_hidden_layers):
         lp = slice_layer(params["layers"], i)
         lstate = qstate_list[i] if qstate_list else None
-        x, new_state, _, _ = _decoder_layer(
-            cfg, layer_layouts[i], calib, x, lp, lstate, positions, mask, None
+        cache_kv = (
+            (cache["k"][i], cache["v"][i], cache["pos"]) if cache is not None else None
+        )
+        x, new_state, ncache, _ = _decoder_layer(
+            cfg, layer_layouts[i], calib, x, lp, lstate, positions, mask, cache_kv
         )
         new_states.append(new_state)
+        if ncache is not None:
+            new_k.append(ncache[0])
+            new_v.append(ncache[1])
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head_w = params.get("lm_head", params["embed_tokens"])
     logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
+    if cache is not None:
+        new_cache = {
+            "k": jnp.stack(new_k),
+            "v": jnp.stack(new_v),
+            "pos": cache["pos"] + T,
+        }
+        return logits, new_states, new_cache
     return logits, new_states
 
 

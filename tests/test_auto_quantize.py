@@ -67,3 +67,25 @@ def test_kl_div_scoring(tiny):
     logits, _ = llama.forward_unrolled(
         cfg, params, batches[0], res.layer_layouts, res.qstate_list)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_mixed_precision_decode_with_cache(tiny):
+    """AutoQuantize result decodes incrementally == full-context forward."""
+    cfg, params, batches = tiny
+    res = auto.auto_quantize(
+        cfg, params, ["INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "FP8_DEFAULT_CFG"],
+        batches, effective_bits=6.0, capture_tokens=16)
+    tokens = batches[0]
+    full, _ = llama.forward_unrolled(
+        cfg, params, tokens, res.layer_layouts, res.qstate_list)
+    cache = llama.init_cache(cfg, batch=tokens.shape[0], max_len=32)
+    logits, _, cache = llama.forward_unrolled(
+        cfg, params, tokens[:, :12], res.layer_layouts, res.qstate_list,
+        cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(full[:, 11]), np.asarray(logits[:, -1]), rtol=2e-3, atol=2e-3)
+    logits, _, cache = llama.forward_unrolled(
+        cfg, params, tokens[:, 12:13], res.layer_layouts, res.qstate_list,
+        cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(full[:, 12]), np.asarray(logits[:, 0]), rtol=2e-3, atol=2e-3)
