@@ -28,7 +28,7 @@ MAXLEN = int(os.environ.get("BENCH_MAXLEN", "512"))
 
 # Reference numbers (H200 TP1, examples/benchmark.md:23-25), keyed by the
 # closest comparable format at BS8.
-BASELINES_BS8 = {"int4": 599.7, "nvfp4": 599.7, "fp8": 1051.2, "int8": 1051.2, "bf16": 803.1}
+BASELINES_BS8 = {"int4": 599.7, "nvfp4": 599.7, "fp8": 1051.2, "int8": 1051.2, "w8a8": 1051.2, "bf16": 803.1}
 
 
 def synth_packed_layers(cfg, fmt, rng):
@@ -63,13 +63,13 @@ def synth_packed_layers(cfg, fmt, rng):
                 "global_scale": jnp.full((L,), 0.01, jnp.float32),
             }
             kinds[name] = "nvfp4"
-        elif fmt == "int8":
+        elif fmt in ("int8", "w8a8"):
             q = rng.integers(-127, 127, size=(L, O, K), dtype=np.int8)
             layers[name] = {
                 "q": jnp.asarray(q),
                 "scale": jnp.full((L, O, 1), 0.001, jnp.float32),
             }
-            kinds[name] = fmt
+            kinds[name] = "int8"
         elif fmt == "fp8":
             # valid-e4m3 bit patterns directly (bits 0..126 = finite positives)
             import ml_dtypes
@@ -133,10 +133,21 @@ def main():
 
     preset = {"int4": "INT4_AWQ_CFG", "nvfp4": "NVFP4_WEIGHT_ONLY_CFG",
               "fp8": "FP8_DEFAULT_CFG", "int8": "INT8_DEFAULT_CFG",
-              "bf16": "INT4_AWQ_CFG"}[FORMAT]
-    layout = llama.build_layout(cfg, get_preset(preset))
-    # weight-only serving: act quantizers off for the throughput benchmark
-    cm = CompressedModel(cfg, params, kinds, llama.QuantLayout(sites=()), {})
+              "w8a8": "INT8_DEFAULT_CFG", "bf16": "INT4_AWQ_CFG"}[FORMAT]
+    if FORMAT == "w8a8":
+        # act quantizers ON: drives the native int8-MXU W8A8 path
+        from tensorrt_model_optimizer_tpu.quant.quantizer import QuantizerState
+
+        layout = llama.build_layout(cfg, get_preset(preset))
+        qstate = {
+            name: {"input": QuantizerState(
+                amax=jnp.full((cfg.num_hidden_layers,), 3.0, jnp.float32))}
+            for name in llama.PROJ_NAMES
+        }
+        cm = CompressedModel(cfg, params, kinds, layout, qstate)
+    else:
+        # weight-only serving: act quantizers off for the throughput benchmark
+        cm = CompressedModel(cfg, params, kinds, llama.QuantLayout(sites=()), {})
 
     eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=MAXLEN, backend="pallas"))
     log(f"packed model built: format={FORMAT} bytes={cm_bytes(cm)/1e9:.2f} GB")
