@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
 from typing import Any, Optional
 
 import jax

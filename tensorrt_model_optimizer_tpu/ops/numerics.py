@@ -34,8 +34,6 @@ import jax
 import jax.numpy as jnp
 
 from .formats import (
-    BlockSpec,
-    E4M3,
     fp_emax,
     fp_max_representable,
     int_max_bound,

@@ -13,8 +13,6 @@ P + M - 1 schedule ticks; bubble fraction (P-1)/(P+M-1).
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Optional
 
 import jax

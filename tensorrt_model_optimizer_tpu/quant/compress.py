@@ -199,9 +199,7 @@ def compress(model: QuantizedModel) -> CompressedModel:
         wcfg = model.layout.get(f"{name}.weight")
         st = model.qstate.get(name, {}).get("weight")
         w = model.params["layers"][name]
-        kind, arrays = jax.jit(
-            lambda w, st, c=wcfg: compress_weight(w, c, st), static_argnames=()
-        )(w, st) if False else compress_weight(w, wcfg, st)
+        kind, arrays = compress_weight(w, wcfg, st)
         kinds[name] = kind
         new_layers[name] = arrays
     params = dict(model.params)

@@ -11,7 +11,7 @@ Python.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Iterable, Optional, Sequence
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp

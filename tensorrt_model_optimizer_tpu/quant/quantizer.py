@@ -27,9 +27,6 @@ import jax.numpy as jnp
 from ..ops import numerics, ste
 from ..ops.formats import BlockSpec, NumBits
 
-_UNSET = object()
-
-
 @dataclasses.dataclass(frozen=True)
 class QuantizerConfig:
     """Static description of one quantization site.
