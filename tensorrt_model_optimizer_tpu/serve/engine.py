@@ -36,6 +36,9 @@ class EngineConfig:
     max_seq_len: int = 2048
     backend: str = "auto"  # "auto" | "pallas" | "xla"
     kv_dtype: Any = None  # None = model dtype; jnp.int8/float8_e4m3fn for quantized cache
+    # paged decode attention via the Pallas kernel (scalar-prefetched block
+    # tables); False = jnp gather path
+    paged_attention_kernel: bool = False
 
 
 def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None):
@@ -232,6 +235,35 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
     vs = _kv_store(v_new, kv_dtype, v_amax_l).astype(layer_vp.dtype)
     layer_kp = layer_kp.at[page_ids, poff].set(ks[:, 0])
     layer_vp = layer_vp.at[page_ids, poff].set(vs[:, 0])
+
+    if ecfg.paged_attention_kernel:
+        # Pallas kernel path: pages stream via scalar-prefetched block
+        # tables. Quantized-KV scales fold exactly: k_scale into q (scores
+        # are linear in k), v_scale into the context output.
+        from ..ops.pallas import paged_attention as pa_kernel
+
+        qk = x_q[:, 0]  # [B, nH, hd]
+        if kv_dtype == jnp.int8:
+            k_sc = (k_amax_l if k_amax_l is not None else 448.0) / 127.0
+            v_sc = (v_amax_l if v_amax_l is not None else 448.0) / 127.0
+        elif kv_dtype == jnp.float8_e4m3fn:
+            k_sc = jnp.maximum(
+                (k_amax_l if k_amax_l is not None else jnp.asarray(448.0)).astype(jnp.float32), 1e-12
+            ) / 448.0
+            v_sc = jnp.maximum(
+                (v_amax_l if v_amax_l is not None else jnp.asarray(448.0)).astype(jnp.float32), 1e-12
+            ) / 448.0
+        else:
+            k_sc = v_sc = None
+        if k_sc is not None:
+            qk = (qk.astype(jnp.float32) * k_sc).astype(qk.dtype)
+        # pages pass RAW (int8/fp8 stay packed; the kernel converts per tile)
+        ctx = pa_kernel.paged_attention_decode(
+            qk, layer_kp, layer_vp, cache.block_table, pos + 1
+        )
+        if v_sc is not None:
+            ctx = (ctx.astype(jnp.float32) * v_sc).astype(x_q.dtype)
+        return ctx.reshape(B, 1, nH * hd).astype(x_q.dtype), layer_kp, layer_vp
 
     bt = jnp.maximum(cache.block_table, 0)
     k_all = layer_kp[bt].reshape(B, -1, nKV, hd)

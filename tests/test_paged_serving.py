@@ -56,3 +56,21 @@ def test_eos_stops_early(eng):
     req = Request(rid=0, prompt=prompt, max_new_tokens=8, eos_token=eos)
     outs = eng.serve([req], n_pages=32, page_size=8, max_slots=1, max_pages_per_seq=8)
     assert outs[0][-1] == eos and len(outs[0]) <= 3
+
+
+def test_paged_kernel_engine_matches_gather(eng):
+    """Engine with the Pallas paged-attention kernel (interpret on CPU)
+    produces the same tokens as the jnp gather path."""
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, 256, size=(8,)).astype(np.int32)
+    req_a = Request(rid=0, prompt=prompt, max_new_tokens=5)
+    outs_a = eng.serve([req_a], n_pages=32, page_size=8, max_slots=2, max_pages_per_seq=8)
+
+    eng_k = serve_engine.Engine(
+        eng.cm,
+        serve_engine.EngineConfig(max_seq_len=64, backend="xla",
+                                  paged_attention_kernel=True),
+    )
+    req_b = Request(rid=0, prompt=prompt, max_new_tokens=5)
+    outs_b = eng_k.serve([req_b], n_pages=32, page_size=8, max_slots=2, max_pages_per_seq=8)
+    np.testing.assert_array_equal(np.asarray(outs_a[0]), np.asarray(outs_b[0]))
