@@ -8,7 +8,9 @@ the whole [B, maxP*page] view).
 
 Grid (B, maxP); for a fixed sequence b the page index i runs sequentially,
 carrying a streaming-softmax state (m, l, acc) in VMEM scratch. GQA handled
-by computing per-kv-head blocks of `rep` query heads at once.
+by computing per-kv-head blocks of `rep` query heads at once. Pages are
+kv-head-major [n_pages, n_kv, page, hd] so every dot is a statically-sliced
+2D matmul (Mosaic rejects batched dots with re-positioned batch dims).
 """
 
 from __future__ import annotations
@@ -41,23 +43,31 @@ def _kernel(page, n_kv, rep, hd, bt_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(n_valid > 0)
     def _():
-        # q: [n_kv * rep, hd]; k/v page: [page, n_kv, hd]
-        q = q_ref[0].astype(jnp.float32).reshape(n_kv, rep, hd)
-        k = k_ref[0].astype(jnp.float32)  # [page, n_kv, hd]
-        v = v_ref[0].astype(jnp.float32)
-        s = jnp.einsum("nrd,pnd->nrp", q, k) / math.sqrt(hd)  # [n_kv, rep, page]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, page), 2)
-        s = jnp.where(pos < n_valid, s, -1e30)
-        m_prev = m_ref[:].reshape(n_kv, rep, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m_prev - m_new)[..., 0]
-        l_new = l_ref[:].reshape(n_kv, rep) * corr + jnp.sum(p, axis=-1)
-        pv = jnp.einsum("nrp,pnd->nrd", p, v)
-        acc_new = acc_ref[:].reshape(n_kv, rep, hd) * corr[..., None] + pv
-        m_ref[:] = m_new.reshape(n_kv * rep, 1)
-        l_ref[:] = l_new.reshape(n_kv * rep, 1)
-        acc_ref[:] = acc_new.reshape(n_kv * rep, hd)
+        # q: [n_kv * rep, hd]; k/v page: [n_kv, page, hd] (kv-head-major)
+        q = q_ref[0].astype(jnp.float32)  # [n_kv*rep, hd]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
+        for n in range(n_kv):  # static loop: 2D dots per kv head
+            qn = q[n * rep : (n + 1) * rep]  # [rep, hd]
+            kn = k_ref[0, n].astype(jnp.float32)  # [page, hd]
+            vn = v_ref[0, n].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qn, kn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / math.sqrt(hd)  # [rep, page]
+            s = jnp.where(pos < n_valid, s, -1e30)
+            rows = slice(n * rep, (n + 1) * rep)
+            m_prev = m_ref[rows, :]  # [rep, 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)  # [rep, 1]
+            l_new = l_ref[rows, :] * corr + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p, vn, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [rep, hd]
+            acc_ref[rows, :] = acc_ref[rows, :] * corr + pv
+            m_ref[rows, :] = m_new
+            l_ref[rows, :] = l_new
 
     @pl.when(i == n_pages - 1)
     def _():
@@ -67,7 +77,7 @@ def _kernel(page, n_kv, rep, hd, bt_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
 
 def paged_attention_decode(
     q: jax.Array,  # [B, n_heads, hd] single query token per sequence
-    k_pages: jax.Array,  # [n_pages, page, n_kv, hd]
+    k_pages: jax.Array,  # [n_pages, n_kv, page, hd] (kv-head-major)
     v_pages: jax.Array,
     block_table: jax.Array,  # [B, max_pages] int32 (-1 = unused)
     seq_lens: jax.Array,  # [B] int32 (length INCLUDING the current token)
@@ -75,7 +85,7 @@ def paged_attention_decode(
 ) -> jax.Array:
     """Streaming-softmax attention over paged KV. Returns [B, n_heads, hd]."""
     B, n_heads, hd = q.shape
-    n_pages_total, page, n_kv, _ = k_pages.shape
+    n_pages_total, n_kv, page, _ = k_pages.shape
     rep = n_heads // n_kv
     max_pages = block_table.shape[1]
     if interpret is None:
@@ -94,11 +104,11 @@ def paged_attention_decode(
         in_specs=[
             pl.BlockSpec((1, n_kv * rep, hd), lambda b, i, bt, ln: (b, 0, 0)),
             pl.BlockSpec(
-                (1, page, n_kv, hd),
+                (1, n_kv, page, hd),
                 lambda b, i, bt, ln: (bt[b * max_pages + i], 0, 0, 0),
             ),
             pl.BlockSpec(
-                (1, page, n_kv, hd),
+                (1, n_kv, page, hd),
                 lambda b, i, bt, ln: (bt[b * max_pages + i], 0, 0, 0),
             ),
         ],

@@ -222,7 +222,7 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
 
     B = x_q.shape[0]
     nH, nKV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
-    page = layer_kp.shape[1]
+    page = layer_kp.shape[2]
     kv_dtype = ecfg.kv_dtype
     # write new token kv at seq_lens positions
     pos = cache.seq_lens
@@ -233,8 +233,9 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
     )
     ks = _kv_store(k_new, kv_dtype, k_amax_l).astype(layer_kp.dtype)
     vs = _kv_store(v_new, kv_dtype, v_amax_l).astype(layer_vp.dtype)
-    layer_kp = layer_kp.at[page_ids, poff].set(ks[:, 0])
-    layer_vp = layer_vp.at[page_ids, poff].set(vs[:, 0])
+    # pages are [n_pages, n_kv, page, hd]; new token kv is [B, 1, n_kv, hd]
+    layer_kp = layer_kp.at[page_ids, :, poff].set(ks[:, 0])
+    layer_vp = layer_vp.at[page_ids, :, poff].set(vs[:, 0])
 
     if ecfg.paged_attention_kernel:
         # Pallas kernel path: pages stream via scalar-prefetched block
@@ -266,8 +267,8 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
         return ctx.reshape(B, 1, nH * hd).astype(x_q.dtype), layer_kp, layer_vp
 
     bt = jnp.maximum(cache.block_table, 0)
-    k_all = layer_kp[bt].reshape(B, -1, nKV, hd)
-    v_all = layer_vp[bt].reshape(B, -1, nKV, hd)
+    k_all = jnp.swapaxes(layer_kp[bt], 2, 3).reshape(B, -1, nKV, hd)
+    v_all = jnp.swapaxes(layer_vp[bt], 2, 3).reshape(B, -1, nKV, hd)
     k_all = _kv_load(k_all, cfg.dtype, kv_dtype, k_amax_l)
     v_all = _kv_load(v_all, cfg.dtype, kv_dtype, v_amax_l)
     S = k_all.shape[1]
@@ -452,8 +453,12 @@ class Engine:
         poff = pos % page
         k = dense["k"][:, 0]  # [L, T, n_kv, hd]
         v = dense["v"][:, 0]
-        kp = cache.k_pages.at[:, page_ids, poff].set(k.astype(cache.k_pages.dtype))
-        vp = cache.v_pages.at[:, page_ids, poff].set(v.astype(cache.v_pages.dtype))
+        # non-adjacent advanced indices (pages axis 1, offset axis 3) put the
+        # broadcast T dim first: slice shape [T, L, n_kv, hd]
+        kp = cache.k_pages.at[:, page_ids, :, poff].set(
+            jnp.swapaxes(k, 0, 1).astype(cache.k_pages.dtype))
+        vp = cache.v_pages.at[:, page_ids, :, poff].set(
+            jnp.swapaxes(v, 0, 1).astype(cache.v_pages.dtype))
         cache = _dc.replace(
             cache,
             k_pages=kp,

@@ -2,7 +2,9 @@
 
 The reference delegates paged KV to TRT-LLM/vLLM; here it's native. Layout:
 
-  pages:       [L, n_pages, page_size, n_kv, hd]  (quantized dtype ok)
+  pages:       [L, n_pages, n_kv, page_size, hd]  (kv-head-major: the
+               Pallas decode kernel slices per-kv-head 2D tiles statically;
+               quantized dtype ok)
   block_table: [max_seqs, max_pages_per_seq] int32 (page ids, -1 = unused)
   seq_lens:    [max_seqs] int32
 
@@ -23,14 +25,14 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class PagedKV:
-    k_pages: jax.Array  # [L, n_pages, page, n_kv, hd]
+    k_pages: jax.Array  # [L, n_pages, n_kv, page, hd]
     v_pages: jax.Array
     block_table: jax.Array  # [max_seqs, max_pages]
     seq_lens: jax.Array  # [max_seqs]
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[2]
+        return self.k_pages.shape[3]
 
     @property
     def max_pages(self) -> int:
@@ -51,8 +53,8 @@ def init_paged(
     dtype=jnp.bfloat16,
 ) -> PagedKV:
     return PagedKV(
-        k_pages=jnp.zeros((n_layers, n_pages, page_size, n_kv, hd), dtype),
-        v_pages=jnp.zeros((n_layers, n_pages, page_size, n_kv, hd), dtype),
+        k_pages=jnp.zeros((n_layers, n_pages, n_kv, page_size, hd), dtype),
+        v_pages=jnp.zeros((n_layers, n_pages, n_kv, page_size, hd), dtype),
         block_table=jnp.full((max_seqs, max_pages_per_seq), -1, jnp.int32),
         seq_lens=jnp.zeros((max_seqs,), jnp.int32),
     )
@@ -74,8 +76,12 @@ def append_token_kv(cache: PagedKV, k: jax.Array, v: jax.Array) -> PagedKV:
     page_ids = jnp.maximum(page_ids, 0)
 
     def upd(pages, x):
-        # pages [L, n_pages, page, n_kv, hd]; x [L, B, n_kv, hd]
-        return pages.at[:, page_ids, poff].set(x.astype(pages.dtype))
+        # pages [L, n_pages, n_kv, page, hd]; x [L, B, n_kv, hd].
+        # Non-adjacent advanced indices put the broadcast (B) dim first:
+        # target slice shape is [B, L, n_kv, hd].
+        return pages.at[:, page_ids, :, poff].set(
+            jnp.swapaxes(x, 0, 1).astype(pages.dtype)
+        )
 
     return PagedKV(
         k_pages=upd(cache.k_pages, k),
@@ -88,15 +94,15 @@ def append_token_kv(cache: PagedKV, k: jax.Array, v: jax.Array) -> PagedKV:
 def gather_sequence_kv(cache: PagedKV, layer_k, layer_v, out_dtype=None):
     """Gather per-sequence contiguous K/V: [B, max_pages*page, n_kv, hd].
 
-    layer_k/layer_v: [n_pages, page, n_kv, hd] (one layer's pages).
+    layer_k/layer_v: [n_pages, n_kv, page, hd] (one layer's pages).
     Positions beyond seq_len must be masked by the caller.
     """
     bt = jnp.maximum(cache.block_table, 0)  # [B, P]
-    k = layer_k[bt]  # [B, P, page, n_kv, hd]
+    k = layer_k[bt]  # [B, P, n_kv, page, hd]
     v = layer_v[bt]
-    B, P, pg, n_kv, hd = k.shape
-    k = k.reshape(B, P * pg, n_kv, hd)
-    v = v.reshape(B, P * pg, n_kv, hd)
+    B, P, n_kv, pg, hd = k.shape
+    k = jnp.swapaxes(k, 2, 3).reshape(B, P * pg, n_kv, hd)
+    v = jnp.swapaxes(v, 2, 3).reshape(B, P * pg, n_kv, hd)
     if out_dtype is not None:
         k = k.astype(out_dtype)
         v = v.astype(out_dtype)

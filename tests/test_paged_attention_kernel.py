@@ -12,7 +12,7 @@ from tensorrt_model_optimizer_tpu.ops.pallas import paged_attention as pa
 
 def ref_paged_attention(q, k_pages, v_pages, block_table, seq_lens):
     B, n_heads, hd = q.shape
-    _, page, n_kv, _ = k_pages.shape
+    _, n_kv, page, _ = k_pages.shape
     rep = n_heads // n_kv
     outs = []
     for b in range(B):
@@ -20,8 +20,8 @@ def ref_paged_attention(q, k_pages, v_pages, block_table, seq_lens):
         ks, vs = [], []
         for i in range((S + page - 1) // page):
             pid = int(block_table[b, i])
-            ks.append(np.asarray(k_pages[pid]))
-            vs.append(np.asarray(v_pages[pid]))
+            ks.append(np.asarray(k_pages[pid]).transpose(1, 0, 2))
+            vs.append(np.asarray(v_pages[pid]).transpose(1, 0, 2))
         k = np.concatenate(ks, axis=0)[:S]  # [S, n_kv, hd]
         v = np.concatenate(vs, axis=0)[:S]
         k = np.repeat(k, rep, axis=1)  # [S, n_heads, hd]
@@ -39,8 +39,8 @@ def test_kernel_matches_reference(seq_lens):
     rng = np.random.default_rng(0)
     B, n_heads, n_kv, hd, page, n_pages, maxP = 2, 4, 2, 16, 16, 12, 4
     q = jnp.asarray(rng.normal(size=(B, n_heads, hd)).astype(np.float32))
-    k_pages = jnp.asarray(rng.normal(size=(n_pages, page, n_kv, hd)).astype(np.float32))
-    v_pages = jnp.asarray(rng.normal(size=(n_pages, page, n_kv, hd)).astype(np.float32))
+    k_pages = jnp.asarray(rng.normal(size=(n_pages, n_kv, page, hd)).astype(np.float32))
+    v_pages = jnp.asarray(rng.normal(size=(n_pages, n_kv, page, hd)).astype(np.float32))
     # distinct pages per sequence
     bt = np.full((B, maxP), -1, np.int32)
     bt[0, :4] = [3, 5, 7, 9]
@@ -56,8 +56,8 @@ def test_gqa_repeat():
     rng = np.random.default_rng(1)
     B, n_heads, n_kv, hd, page = 1, 8, 2, 32, 8
     q = jnp.asarray(rng.normal(size=(B, n_heads, hd)).astype(np.float32))
-    k_pages = jnp.asarray(rng.normal(size=(4, page, n_kv, hd)).astype(np.float32))
-    v_pages = jnp.asarray(rng.normal(size=(4, page, n_kv, hd)).astype(np.float32))
+    k_pages = jnp.asarray(rng.normal(size=(4, n_kv, page, hd)).astype(np.float32))
+    v_pages = jnp.asarray(rng.normal(size=(4, n_kv, page, hd)).astype(np.float32))
     bt = np.asarray([[1, 2, -1, -1]], np.int32)
     lens = np.asarray([13], np.int32)
     out = pa.paged_attention_decode(q, k_pages, v_pages, jnp.asarray(bt), jnp.asarray(lens))
