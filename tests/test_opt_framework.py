@@ -87,3 +87,23 @@ def test_dependency_detects_mismatch():
     params["layers"]["mlp.up_proj"] = params["layers"]["mlp.up_proj"][:, :, :32]
     probs = dependency.validate_groups(params, cfg)
     assert any("mlp.up_proj" in p for p in probs)
+
+
+def test_model_registry():
+    from tensorrt_model_optimizer_tpu.models import registry
+
+    assert set(registry.families()) >= {"llama", "mixtral", "dit"}
+    fam = registry.for_hf_model_type("qwen2")
+    assert fam.name == "llama"
+    with pytest.raises(KeyError):
+        registry.get("nope")
+    # custom registration end-to-end
+    from tensorrt_model_optimizer_tpu.models import llama as lm
+
+    registry.register(registry.ModelFamily(
+        name="my_llama", config_cls=lm.LlamaConfig,
+        init_params=lm.init_params, forward=lm.forward,
+        build_layout=lm.build_layout, init_quant_state=lm.init_quant_state,
+        hf_model_types=("my_llama",),
+    ))
+    assert registry.for_hf_model_type("my_llama").name == "my_llama"
