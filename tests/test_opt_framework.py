@@ -107,3 +107,13 @@ def test_model_registry():
         hf_model_types=("my_llama",),
     ))
     assert registry.for_hf_model_type("my_llama").name == "my_llama"
+
+
+def test_make_mesh():
+    from tensorrt_model_optimizer_tpu.parallel import mesh as mesh_mod
+
+    m = mesh_mod.make_mesh(data=2, tensor=4)
+    assert m.shape["data"] == 2 and m.shape["tensor"] == 4
+    assert m.shape["pipe"] == 1
+    with pytest.raises(ValueError):
+        mesh_mod.make_mesh(data=3)

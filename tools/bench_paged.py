@@ -79,7 +79,9 @@ def main():
     t0 = time.time()
     for _ in range(steps):
         logits, cache = eng.paged_step(tok, cache, active)
-    jax.block_until_ready(logits)
+        # serialize: next step's token depends on this step's logits
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+    jax.block_until_ready(tok)
     dt = (time.time() - t0) / steps
     print(json.dumps({
         "metric": f"llama3.1-8b-int4-paged-decode-tok/s-slots{slots}-ctx{ctx}",
