@@ -233,9 +233,13 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
     )
     ks = _kv_store(k_new, kv_dtype, k_amax_l).astype(layer_kp.dtype)
     vs = _kv_store(v_new, kv_dtype, v_amax_l).astype(layer_vp.dtype)
-    # pages are [n_pages, n_kv, page, hd]; new token kv is [B, 1, n_kv, hd]
-    layer_kp = layer_kp.at[page_ids, :, poff].set(ks[:, 0])
-    layer_vp = layer_vp.at[page_ids, :, poff].set(vs[:, 0])
+    # pages are [n_pages, n_kv, page, hd]; new token kv is [B, 1, n_kv, hd].
+    # unique_indices + drop mode let XLA lower the scatter without the
+    # serialized general-scatter path (each slot owns a distinct page).
+    layer_kp = layer_kp.at[page_ids, :, poff].set(
+        ks[:, 0], unique_indices=True, mode="drop")
+    layer_vp = layer_vp.at[page_ids, :, poff].set(
+        vs[:, 0], unique_indices=True, mode="drop")
 
     if ecfg.paged_attention_kernel:
         # Pallas kernel path: pages stream via scalar-prefetched block
