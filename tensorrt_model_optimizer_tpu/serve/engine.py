@@ -213,35 +213,37 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
 
 
 def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
-                      positions, k_amax_l, v_amax_l):
-    """Paged attention for ONE layer, decode (T=1). Returns ctx [B, 1, nH*hd]
-    and the updated (k_pages, v_pages) for this layer."""
+                      positions, k_amax_l, v_amax_l, write_mask=None):
+    """Paged attention for ONE layer, T tokens per slot (T=1 decode, T>1
+    chunked prefill). Returns ctx [B, T, nH*hd] + updated pages."""
     import math as _math
 
     from . import paged_cache as pc
 
-    B = x_q.shape[0]
+    B, T = x_q.shape[0], x_q.shape[1]
     nH, nKV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
     page = layer_kp.shape[2]
     kv_dtype = ecfg.kv_dtype
-    # write new token kv at seq_lens positions
+    # write the T new tokens' kv at positions seq_lens .. seq_lens+T-1
     pos = cache.seq_lens
-    pidx = pos // page
-    poff = pos % page
+    tok_pos = pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
+    pidx = tok_pos // page
+    poff = tok_pos % page
     page_ids = jnp.maximum(
-        jnp.take_along_axis(cache.block_table, pidx[:, None], axis=1)[:, 0], 0
-    )
+        jnp.take_along_axis(cache.block_table, jnp.minimum(pidx, cache.block_table.shape[1] - 1), axis=1), 0
+    )  # [B, T]
+    if write_mask is not None:
+        # non-writing slots target the scratch page (page 0)
+        page_ids = jnp.where(write_mask[:, None], page_ids, 0)
     ks = _kv_store(k_new, kv_dtype, k_amax_l).astype(layer_kp.dtype)
     vs = _kv_store(v_new, kv_dtype, v_amax_l).astype(layer_vp.dtype)
-    # pages are [n_pages, n_kv, page, hd]; new token kv is [B, 1, n_kv, hd].
-    # unique_indices + drop mode let XLA lower the scatter without the
-    # serialized general-scatter path (each slot owns a distinct page).
-    layer_kp = layer_kp.at[page_ids, :, poff].set(
-        ks[:, 0], unique_indices=True, mode="drop")
-    layer_vp = layer_vp.at[page_ids, :, poff].set(
-        vs[:, 0], unique_indices=True, mode="drop")
+    # unique indices (each (slot, t) owns a distinct page/offset pair)
+    layer_kp = layer_kp.at[page_ids.reshape(-1), :, poff.reshape(-1)].set(
+        ks.reshape(B * T, nKV, hd), unique_indices=True, mode="drop")
+    layer_vp = layer_vp.at[page_ids.reshape(-1), :, poff.reshape(-1)].set(
+        vs.reshape(B * T, nKV, hd), unique_indices=True, mode="drop")
 
-    if ecfg.paged_attention_kernel:
+    if ecfg.paged_attention_kernel and T == 1:
         # Pallas kernel path: pages stream via scalar-prefetched block
         # tables. Quantized-KV scales fold exactly: k_scale into q (scores
         # are linear in k), v_scale into the context output.
@@ -264,7 +266,7 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
             qk = (qk.astype(jnp.float32) * k_sc).astype(qk.dtype)
         # pages pass RAW (int8/fp8 stay packed; the kernel converts per tile)
         ctx = pa_kernel.paged_attention_decode(
-            qk, layer_kp, layer_vp, cache.block_table, pos + 1
+            qk, layer_kp, layer_vp, cache.block_table, pos + T
         )
         if v_sc is not None:
             ctx = (ctx.astype(jnp.float32) * v_sc).astype(x_q.dtype)
@@ -276,9 +278,10 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
     k_all = _kv_load(k_all, cfg.dtype, kv_dtype, k_amax_l)
     v_all = _kv_load(v_all, cfg.dtype, kv_dtype, v_amax_l)
     S = k_all.shape[1]
+    # query qi (global position pos+qi) sees keys at positions <= pos+qi
     mask = jnp.where(
-        jnp.arange(S)[None, :] <= pos[:, None], 0.0, -1e9
-    )[:, None, None, :].astype(jnp.float32)
+        jnp.arange(S)[None, None, :] <= tok_pos[:, :, None], 0.0, -1e9
+    )[:, None, :, :].astype(jnp.float32)
 
     rep = nH // nKV
     k_all = jnp.repeat(k_all, rep, axis=2)
@@ -286,18 +289,19 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
     scores = jnp.einsum("bqnd,bknd->bnqk", x_q, k_all, preferred_element_type=jnp.float32)
     scores = scores / _math.sqrt(hd) + mask
     probs = jax.nn.softmax(scores, axis=-1).astype(x_q.dtype)
-    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B, 1, nH * hd)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B, T, nH * hd)
     return ctx, layer_kp, layer_vp
 
 
 def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
                       active):
-    """One decode step over paged KV for all slots. tokens [B, 1]."""
+    """One step over paged KV for all slots. tokens [B, T] (T=1 decode;
+    T>1 = chunked prefill writing the chunk's kv into pages)."""
     from . import paged_cache as pc
 
-    B = tokens.shape[0]
+    B, T = tokens.shape
     x = params["embed_tokens"][tokens].astype(cfg.dtype)
-    positions = cache.seq_lens[:, None]
+    positions = cache.seq_lens[:, None] + jnp.arange(T)[None, :]
     kinds = cm.kinds
     k_amax = _kv_amax_from(qstate, "k")
     v_amax = _kv_amax_from(qstate, "v")
@@ -319,25 +323,26 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
             return (lstate or {}).get(name, {}).get("input")
 
         h = llama.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-        h2 = h.reshape(B, -1)
+        h2 = h.reshape(B * T, -1)
         q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"))
         k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"))
         v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"))
-        q = llama.rope(q.reshape(B, 1, nH, hd), positions, cfg.rope_theta)
-        k = llama.rope(k.reshape(B, 1, nKV, hd), positions, cfg.rope_theta)
-        v = v.reshape(B, 1, nKV, hd)
+        q = llama.rope(q.reshape(B, T, nH, hd), positions, cfg.rope_theta)
+        k = llama.rope(k.reshape(B, T, nKV, hd), positions, cfg.rope_theta)
+        v = v.reshape(B, T, nKV, hd)
         ctx, kp, vp = _paged_layer_attn(
-            cfg, ecfg, q, k, v, kp, vp, cache, positions, ka_l, va_l
+            cfg, ecfg, q, k, v, kp, vp, cache, positions, ka_l, va_l,
+            write_mask=active,
         )
-        attn = _qlinear(ctx.reshape(B, -1), "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"))
-        x = x + attn.reshape(B, 1, -1)
+        attn = _qlinear(ctx.reshape(B * T, -1), "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"))
+        x = x + attn.reshape(B, T, -1)
         h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        h2 = h.reshape(B, -1)
+        h2 = h.reshape(B * T, -1)
         g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"))
         u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"))
         y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
         d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"))
-        x = x + d.reshape(B, 1, -1)
+        x = x + d.reshape(B, T, -1)
         return x, (kp, vp)
 
     xs = (params["layers"], act_state, cache.k_pages, cache.v_pages, ka, va)
@@ -351,7 +356,7 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
         cache,
         k_pages=new_kp,
         v_pages=new_vp,
-        seq_lens=cache.seq_lens + active.astype(jnp.int32),
+        seq_lens=cache.seq_lens + T * active.astype(jnp.int32),
     )
     return logits, new_cache
 
@@ -472,12 +477,36 @@ class Engine:
         return logits, cache
 
     def paged_step(self, tokens: jax.Array, cache, active: jax.Array):
-        """One continuous-batching decode step (jitted on first use)."""
-        if getattr(self, "_paged_fn", None) is None:
-            self._paged_fn = jax.jit(
+        """One continuous-batching step (jitted per token-width T)."""
+        if getattr(self, "_paged_fns", None) is None:
+            self._paged_fns = {}
+        T = tokens.shape[1]
+        if T not in self._paged_fns:
+            self._paged_fns[T] = jax.jit(
                 partial(_paged_model_step, self.cfg, self.ecfg, self.cm, self.backend)
             )
-        return self._paged_fn(self.cm.params, self.cm.qstate, tokens, cache, active)
+        return self._paged_fns[T](self.cm.params, self.cm.qstate, tokens, cache, active)
+
+    def prefill_chunked(self, cache, slot: int, tokens: jax.Array, chunk: int = 64):
+        """Paged chunked prefill: stream the prompt into the slot's pages in
+        fixed-size chunks (+ single-token steps for the remainder) — no dense
+        cache materialized (compare `prefill_into_slot`). Returns
+        (last_logits [V], cache)."""
+        import numpy as np
+
+        B = cache.block_table.shape[0]
+        T = tokens.shape[1]
+        onehot = jnp.zeros((B,), bool).at[slot].set(True)
+        row = jnp.zeros((B, 1), jnp.int32)
+        logits = None
+        done = 0
+        while done < T:
+            step_t = chunk if T - done >= chunk else 1
+            seg = jax.lax.dynamic_slice_in_dim(tokens, done, step_t, axis=1)
+            toks = jnp.broadcast_to(row, (B, step_t)).at[slot].set(seg[0])
+            logits, cache = self.paged_step(toks, cache, onehot)
+            done += step_t
+        return logits[slot], cache
 
     def serve(self, requests, n_pages=64, page_size=16, max_slots=4,
               max_pages_per_seq=16):

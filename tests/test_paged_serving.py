@@ -74,3 +74,29 @@ def test_paged_kernel_engine_matches_gather(eng):
     req_b = Request(rid=0, prompt=prompt, max_new_tokens=5)
     outs_b = eng_k.serve([req_b], n_pages=32, page_size=8, max_slots=2, max_pages_per_seq=8)
     np.testing.assert_array_equal(np.asarray(outs_a[0]), np.asarray(outs_b[0]))
+
+
+def test_chunked_prefill_matches_dense(eng):
+    """Chunked paged prefill == dense prefill + scatter, token for token."""
+    rng = np.random.default_rng(9)
+    prompt = jnp.asarray(rng.integers(0, 256, size=(1, 21)).astype(np.int32))
+    # dense-prefill route
+    cache_a = eng.init_paged_cache(n_pages=32, page_size=8, max_slots=2, max_pages_per_seq=8)
+    import dataclasses as dc
+    bt = np.full((2, 8), -1, np.int32); bt[0, :5] = [1, 2, 3, 4, 5]; bt[1, :] = 0
+    cache_a = dc.replace(cache_a, block_table=jnp.asarray(bt))
+    logits_a, cache_a = eng.prefill_into_slot(cache_a, 0, prompt)
+
+    cache_b = eng.init_paged_cache(n_pages=32, page_size=8, max_slots=2, max_pages_per_seq=8)
+    cache_b = dc.replace(cache_b, block_table=jnp.asarray(bt))
+    logits_b, cache_b = eng.prefill_chunked(cache_b, 0, prompt, chunk=8)
+    np.testing.assert_allclose(
+        np.asarray(logits_a[0]), np.asarray(logits_b), rtol=2e-4, atol=2e-4)
+    assert int(cache_b.seq_lens[0]) == 21
+    # decode continues identically from both caches
+    tok = jnp.argmax(logits_b)[None, None].astype(jnp.int32)
+    toks2 = jnp.zeros((2, 1), jnp.int32).at[0].set(tok[0])
+    act = jnp.asarray([True, False])
+    la, _ = eng.paged_step(toks2, cache_a, act)
+    lb, _ = eng.paged_step(toks2, cache_b, act)
+    np.testing.assert_allclose(np.asarray(la[0]), np.asarray(lb[0]), rtol=2e-4, atol=2e-4)
