@@ -1,0 +1,55 @@
+"""Puzzletron-lite tests: library, MIP assembly, stitched model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.puzzletron import puzzle
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny(num_hidden_layers=4)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    return cfg, params, batches
+
+
+def test_library_built_and_scored(setup):
+    cfg, params, batches = setup
+    lib = puzzle.build_and_score_library(cfg, params, batches)
+    assert len(lib) == 4
+    names = {c.name for c in lib[0]}
+    assert names == {"full", "ffn50", "kv50", "noop"}
+    full = next(c for c in lib[0] if c.name == "full")
+    assert full.score == pytest.approx(0.0, abs=1e-9)  # full layer == itself
+    noop = next(c for c in lib[0] if c.name == "noop")
+    assert noop.score > 0 and noop.cost == 0
+
+
+def test_mip_respects_budget(setup):
+    cfg, params, batches = setup
+    lib = puzzle.build_and_score_library(cfg, params, batches)
+    res = puzzle.run_puzzle(lib, param_budget_ratio=0.6)
+    assert res.total_params <= 0.6 * res.full_params + 1
+    assert len(res.choices) == 4
+    # tight budget forces at least one non-full choice
+    assert any(c != "full" for c in res.choices)
+
+
+def test_stitched_model_runs(setup):
+    cfg, params, batches = setup
+    lib = puzzle.build_and_score_library(cfg, params, batches)
+    res = puzzle.run_puzzle(lib, param_budget_ratio=0.7)
+    logits = puzzle.forward_hetero(cfg, params, res, batches[0])
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    # generous budget keeps everything full == exact match with base model
+    res_full = puzzle.run_puzzle(lib, param_budget_ratio=1.0)
+    assert all(c == "full" for c in res_full.choices)
+    ref, _, _ = llama.forward(cfg, params, batches[0])
+    out_full = puzzle.forward_hetero(cfg, params, res_full, batches[0])
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(ref), rtol=2e-4, atol=2e-4)
