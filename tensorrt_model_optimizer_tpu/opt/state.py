@@ -174,6 +174,49 @@ def _ensure_slots(qstate, saved: dict) -> llama.QuantState:
     return out
 
 
+def save_sharded(model: ptq.QuantizedModel, path: str) -> None:
+    """Multi-host sharded save via orbax (the Megatron dist-ckpt analog,
+    `opt/plugins/mcore_dist_checkpointing.py:112`): each host writes only its
+    shards; the replayable modelopt state rides alongside."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "modelopt_state.json"), "w") as f:
+        json.dump(modelopt_state(model).to_json(), f, indent=1)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        os.path.join(path, "arrays"),
+        {"params": model.params, "qstate": model.qstate},
+    )
+    ckptr.wait_until_finished()
+
+
+def restore_sharded(
+    path: str,
+    shardings: Optional[Any] = None,
+) -> ptq.QuantizedModel:
+    """Restore a sharded checkpoint; `shardings` optionally maps the params
+    pytree to jax.sharding.Sharding objects for direct sharded placement."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "modelopt_state.json")) as f:
+        state = OptState.from_json(json.load(f))
+    (name, cfg_dict, meta) = state.modes[0]
+    model_cfg = _model_cfg_from_dict(meta["model_config"])
+    quant_cfg = qconfig.config_from_dict(cfg_dict)
+    ckptr = ocp.StandardCheckpointer()
+    if shardings is not None:
+        restored = ckptr.restore(os.path.join(path, "arrays"), shardings)
+    else:
+        restored = ckptr.restore(os.path.join(path, "arrays"))
+    layout = llama.build_layout(model_cfg, quant_cfg)
+    return ptq.QuantizedModel(
+        model_cfg, restored["params"], layout, restored["qstate"], quant_cfg
+    )
+
+
 # Register the quantize mode
 quant_registry.register(
     ModeDescriptor(

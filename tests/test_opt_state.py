@@ -53,3 +53,28 @@ def test_restore_with_external_params(quantized, tmp_path):
     restored = opt_state.restore(str(tmp_path / "ckpt2"), params=model.params)
     out, _, _ = restored.forward(batches[0])
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sharded_save_restore(quantized, tmp_path, mesh8):
+    """Orbax sharded roundtrip: TP-sharded params save/restore, forward parity."""
+    from jax.sharding import NamedSharding
+
+    model, batches = quantized
+    ref, _, _ = model.forward(batches[0])
+    # shard the params over the mesh before saving
+    import dataclasses as dc
+
+    from tensorrt_model_optimizer_tpu.models import llama as lm
+
+    specs = lm.param_specs(model.model_cfg)
+    sharded_layers = {
+        k: jax.device_put(v, NamedSharding(mesh8, specs["layers"][k]))
+        for k, v in model.params["layers"].items()
+    }
+    params2 = dict(model.params)
+    params2["layers"] = sharded_layers
+    model2 = dc.replace(model, params=params2)
+    opt_state.save_sharded(model2, str(tmp_path / "sharded"))
+    restored = opt_state.restore_sharded(str(tmp_path / "sharded"))
+    out, _, _ = restored.forward(batches[0])
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
