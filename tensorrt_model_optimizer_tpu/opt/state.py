@@ -212,9 +212,23 @@ def restore_sharded(
     else:
         restored = ckptr.restore(os.path.join(path, "arrays"))
     layout = llama.build_layout(model_cfg, quant_cfg)
+    qstate = _rewrap_qstate(restored["qstate"])
     return ptq.QuantizedModel(
-        model_cfg, restored["params"], layout, restored["qstate"], quant_cfg
+        model_cfg, restored["params"], layout, qstate, quant_cfg
     )
+
+
+def _rewrap_qstate(raw) -> llama.QuantState:
+    """Orbax restores dataclasses as plain dicts; rebuild QuantizerStates."""
+
+    def wrap(node):
+        if isinstance(node, dict) and set(node) <= {"amax", "pre_quant_scale", "bias", "aux"}:
+            return Q.QuantizerState(**node)
+        if isinstance(node, dict):
+            return {k: wrap(v) for k, v in node.items()}
+        return node
+
+    return {k: wrap(v) for k, v in raw.items()}
 
 
 # Register the quantize mode

@@ -76,5 +76,7 @@ def test_sharded_save_restore(quantized, tmp_path, mesh8):
     model2 = dc.replace(model, params=params2)
     opt_state.save_sharded(model2, str(tmp_path / "sharded"))
     restored = opt_state.restore_sharded(str(tmp_path / "sharded"))
-    out, _, _ = restored.forward(batches[0])
+    # arrays come back with their saved shardings; run under the mesh
+    with jax.set_mesh(mesh8):
+        out, _, _ = jax.jit(lambda t: restored.forward(t))(batches[0])
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
