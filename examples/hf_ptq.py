@@ -25,6 +25,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="tiny", help="'tiny' or an HF checkpoint dir")
     ap.add_argument("--qformat", default="FP8_DEFAULT_CFG")
+    ap.add_argument("--recipe", default=None,
+                    help="YAML recipe (builtin name or path); overrides --qformat")
+    ap.add_argument("--override", action="append", default=[],
+                    help="dotlist recipe overrides, e.g. calib.num_batches=2")
     ap.add_argument("--calib_data", default=None, help="tokens .npy/.bin or text file")
     ap.add_argument("--tokenizer", default=None, help="tokenizer dir for text data")
     ap.add_argument("--calib_batches", type=int, default=8)
@@ -43,6 +47,19 @@ def main():
     from tensorrt_model_optimizer_tpu.models import hf_loader, llama
     from tensorrt_model_optimizer_tpu.quant import ptq
     from tensorrt_model_optimizer_tpu.utils import dataset, evaluate
+
+    qformat = args.qformat
+    if args.recipe:
+        from tensorrt_model_optimizer_tpu.recipes import loader as recipe_loader
+
+        recipe = recipe_loader.load_recipe(args.recipe, args.override)
+        qformat = recipe.resolve_quant_config()
+        args.calib_batches = recipe.calib.num_batches
+        args.batch_size = recipe.calib.batch_size
+        args.calib_seq_len = recipe.calib.seq_len
+        args.export_path = args.export_path or recipe.export_path
+        args.save_state = args.save_state or recipe.save_state
+        print(f"[hf_ptq] recipe {args.recipe} -> preset {recipe.quant.preset}", flush=True)
 
     t0 = time.time()
     if args.model == "tiny":
@@ -72,7 +89,7 @@ def main():
         from tensorrt_model_optimizer_tpu.quant import auto
 
         res = auto.auto_quantize(
-            cfg, params, [args.qformat, "FP8_DEFAULT_CFG"], batches,
+            cfg, params, [qformat, "FP8_DEFAULT_CFG"], batches,
             effective_bits=args.auto_quantize_bits,
         )
         print(f"[hf_ptq] auto_quantize achieved {res.effective_bits:.2f} "
@@ -81,8 +98,9 @@ def main():
         print("[hf_ptq] mixed-precision forward OK", flush=True)
         return 0
 
-    model = ptq.quantize(cfg, params, args.qformat, batches)
-    print(f"[hf_ptq] quantized ({args.qformat}) in {time.time()-t0:.1f}s", flush=True)
+    model = ptq.quantize(cfg, params, qformat, batches)
+    label = args.recipe or args.qformat
+    print(f"[hf_ptq] quantized ({label}) in {time.time()-t0:.1f}s", flush=True)
 
     if args.eval_ppl:
         ppl_after = evaluate.perplexity(

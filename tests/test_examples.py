@@ -1,0 +1,47 @@
+"""Execute the example CLIs on tiny models (the reference's tests/examples)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+ENV = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+
+
+def run(args, timeout=420):
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=ENV,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_hf_ptq_with_recipe(tmp_path):
+    r = run(["examples/hf_ptq.py", "--model", "tiny",
+             "--recipe", "nvfp4_ptq.yaml",
+             "--override", "calib.num_batches=2",
+             "--override", "calib.seq_len=32",
+             "--export_path", str(tmp_path / "out")])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "exported NVFP4" in r.stdout
+    assert (tmp_path / "out" / "hf_quant_config.json").exists()
+
+
+def test_llm_qat(tmp_path):
+    r = run(["examples/llm_qat.py", "--steps", "3", "--qformat", "FP8_DEFAULT_CFG"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "done" in r.stdout
+
+
+def test_llm_sparsity():
+    r = run(["examples/llm_sparsity.py", "--method", "magnitude"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "ppl" in r.stdout
+
+
+def test_serve_demo():
+    r = run(["examples/serve_demo.py", "--num_requests", "2",
+             "--max_new_tokens", "3"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "request 1" in r.stdout
