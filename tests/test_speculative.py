@@ -90,3 +90,45 @@ def test_eagle_export(tiny, tmp_path):
     assert info["speculative_algo"] == "EAGLE"
     import os
     assert os.path.exists(tmp_path / "eagle" / "eagle_draft.safetensors")
+
+
+def test_dflash_training_reduces_loss(tiny):
+    from tensorrt_model_optimizer_tpu.speculative import dflash
+
+    cfg, params, tokens = tiny
+    dcfg = dflash.DFlashConfig(block_size=3)
+    draft = dflash.init_dflash(cfg, dcfg, jax.random.PRNGKey(7))
+    step = jax.jit(dflash.make_dflash_train_step(cfg, dcfg, lr=2e-2))
+    draft, l0 = step(draft, params, tokens)
+    for _ in range(5):
+        draft, l = step(draft, params, tokens)
+    assert float(l) < float(l0)
+
+
+def test_dflash_hard_label_mode(tiny):
+    from tensorrt_model_optimizer_tpu.speculative import dflash
+
+    cfg, params, tokens = tiny
+    dcfg = dflash.DFlashConfig(block_size=2, self_logit_distillation=False)
+    draft = dflash.init_dflash(cfg, dcfg, jax.random.PRNGKey(8))
+    step = jax.jit(dflash.make_dflash_train_step(cfg, dcfg))
+    draft, loss = step(draft, params, tokens)
+    assert np.isfinite(float(loss))
+
+
+def test_dflash_propose_verify(tiny):
+    from tensorrt_model_optimizer_tpu.speculative import dflash
+
+    cfg, params, tokens = tiny
+    dcfg = dflash.DFlashConfig(block_size=2)
+    draft = dflash.init_dflash(cfg, dcfg, jax.random.PRNGKey(9))
+    out, rate = dflash.propose_and_verify(cfg, params, draft, tokens[:1, :8], steps=5)
+    assert out.shape[1] >= 13 and 0.0 <= rate <= 1.0
+    # verified output == pure greedy
+    greedy = tokens[:1, :8]
+    for _ in range(out.shape[1] - 8):
+        lg, _, _ = llama.forward(cfg, params, greedy)
+        greedy = jnp.concatenate(
+            [greedy, jnp.argmax(lg[:, -1], axis=-1)[:, None].astype(jnp.int32)], axis=1)
+    n = min(out.shape[1], greedy.shape[1])
+    np.testing.assert_array_equal(np.asarray(out[:, :n]), np.asarray(greedy[:, :n]))
