@@ -1,0 +1,155 @@
+"""AutoNAS: convert -> search -> export over width/depth subnets.
+
+Re-creates the `mtn.convert/search/profile` surface (`nas/autonas.py`,
+`nas/algorithms.py:449,593`): the model becomes a SearchSpace of Hparams
+(per-layer FFN width, global depth), candidate subnets are materialized by
+importance-ordered slicing (minitron machinery), scored by calibration loss,
+and searched evolutionarily under a parameter/FLOPs constraint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..opt.hparam import Hparam, SearchSpace
+from ..opt.searcher import evolutionary_search
+from ..prune import minitron
+
+
+def profile(cfg: llama.LlamaConfig, seq_len: int = 1) -> dict:
+    """Params + decode FLOPs/token for a config (`mtn.profile`)."""
+    sh = llama._layer_shapes(cfg)
+    layer_params = sum(o * i for o, i in sh.values()) + 2 * cfg.hidden_size
+    total = (
+        layer_params * cfg.num_hidden_layers
+        + 2 * cfg.vocab_size * cfg.hidden_size
+        + cfg.hidden_size
+    )
+    flops = 2 * layer_params * cfg.num_hidden_layers * seq_len + 2 * cfg.vocab_size * cfg.hidden_size * seq_len
+    return {"params": int(total), "flops_per_token": int(flops)}
+
+
+def convert(
+    cfg: llama.LlamaConfig,
+    ffn_ratios=(0.5, 0.75, 1.0),
+    depth_choices: Optional[tuple[int, ...]] = None,
+) -> SearchSpace:
+    """Build the search space (the mtn.convert analog)."""
+    hparams = {}
+    base_I = cfg.intermediate_size
+    for i in range(cfg.num_hidden_layers):
+        hparams[f"layers.{i}.ffn"] = Hparam(
+            f"layers.{i}.ffn",
+            choices=tuple(sorted({max(int(base_I * r) // 8 * 8, 8) for r in ffn_ratios})),
+        )
+    depths = depth_choices or tuple(
+        sorted({cfg.num_hidden_layers, max(cfg.num_hidden_layers // 2, 1)})
+    )
+    hparams["depth"] = Hparam("depth", choices=depths)
+    return SearchSpace(hparams)
+
+
+def materialize(
+    cfg: llama.LlamaConfig,
+    params: llama.Params,
+    scores: minitron.ImportanceScores,
+    config: dict,
+) -> tuple[llama.LlamaConfig, llama.Params]:
+    """Slice the subnet described by a search-space config.
+
+    Per-layer FFN widths differ -> pad-to-max with zero channels so the
+    stacked scan still applies (zero channels are exact no-ops through
+    silu(0)*0 and down-proj zero columns).
+    """
+    L = cfg.num_hidden_layers
+    depth = config["depth"]
+    keep_layers = np.sort(np.argsort(-scores.layer)[:depth])
+    widths = [config[f"layers.{i}.ffn"] for i in keep_layers]
+    max_w = max(widths)
+
+    lay = params["layers"]
+    new_layers = {k: v[jnp.asarray(keep_layers)] for k, v in lay.items()}
+    gate, up, down = (
+        new_layers["mlp.gate_proj"],
+        new_layers["mlp.up_proj"],
+        new_layers["mlp.down_proj"],
+    )
+    g_out = jnp.zeros((depth, max_w, cfg.hidden_size), gate.dtype)
+    u_out = jnp.zeros_like(g_out)
+    d_out = jnp.zeros((depth, cfg.hidden_size, max_w), down.dtype)
+    for j, (li, w) in enumerate(zip(keep_layers, widths)):
+        keep = jnp.asarray(np.sort(np.argsort(-scores.ffn[li])[:w]))
+        g_out = g_out.at[j, :w].set(gate[j][keep])
+        u_out = u_out.at[j, :w].set(up[j][keep])
+        d_out = d_out.at[j, :, :w].set(down[j][:, keep])
+    new_layers["mlp.gate_proj"] = g_out
+    new_layers["mlp.up_proj"] = u_out
+    new_layers["mlp.down_proj"] = d_out
+
+    new_params = dict(params)
+    new_params["layers"] = new_layers
+    new_cfg = dataclasses.replace(
+        cfg, num_hidden_layers=depth, intermediate_size=max_w, head_dim=cfg.hd
+    )
+    return new_cfg, new_params
+
+
+def subnet_params(cfg: llama.LlamaConfig, config: dict) -> int:
+    """Parameter count of a subnet config (cheap constraint evaluation)."""
+    sh = llama._layer_shapes(cfg)
+    attn = sum(o * i for n, (o, i) in sh.items() if n.startswith("self_attn"))
+    depth = config["depth"]
+    # use the per-layer widths of the KEPT layers; approximation: assume the
+    # highest-importance layers are kept (consistent with materialize)
+    widths = sorted(
+        (config[f"layers.{i}.ffn"] for i in range(len(config) - 1)), reverse=True
+    )[:depth]
+    ffn = sum(3 * w * cfg.hidden_size for w in widths)
+    return attn * depth + ffn + 2 * cfg.vocab_size * cfg.hidden_size
+
+
+def search(
+    cfg: llama.LlamaConfig,
+    params: llama.Params,
+    space: SearchSpace,
+    batches: list[jax.Array],
+    param_budget_ratio: float = 0.8,
+    iterations: int = 20,
+    seed: int = 0,
+):
+    """Evolutionary subnet search under a parameter budget (mtn.search)."""
+    scores = minitron.importance(cfg, params, batches, capture_tokens=32)
+    full = profile(cfg)["params"]
+    budget = param_budget_ratio * full
+    from ..quant import qat
+
+    def score_fn(config) -> float:
+        sub_cfg, sub_params = materialize(cfg, params, scores, config)
+        total = 0.0
+        for b in batches[:2]:
+            total += float(qat.qat_loss(sub_cfg, llama.QuantLayout(sites=()),
+                                        sub_params, None, b))
+        return total
+
+    def sample(rng):
+        return space.sample(rng)
+
+    def mutate(c, rng):
+        keys = list(space.hparams)
+        k = keys[rng.integers(0, len(keys))]
+        c[k] = space.hparams[k].choices[rng.integers(0, len(space.hparams[k].choices))]
+        return c
+
+    state = evolutionary_search(
+        sample, mutate, score_fn,
+        satisfies=lambda c: subnet_params(cfg, c) <= budget,
+        iterations=iterations, population=6, seed=seed,
+    )
+    best_cfg, best_params = materialize(cfg, params, scores, state.best_config)
+    return state, best_cfg, best_params

@@ -1,0 +1,57 @@
+"""AutoNAS tests: convert/profile/materialize/search."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.nas import autonas
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny(num_hidden_layers=4)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    return cfg, params, batches
+
+
+def test_profile(setup):
+    cfg, params, _ = setup
+    p = autonas.profile(cfg)
+    assert p["params"] > 0 and p["flops_per_token"] > 0
+    smaller = autonas.profile(
+        llama.LlamaConfig.tiny(num_hidden_layers=2))
+    assert smaller["params"] < p["params"]
+
+
+def test_convert_space(setup):
+    cfg, _, _ = setup
+    space = autonas.convert(cfg)
+    assert "depth" in space.hparams
+    assert space.size() > 1
+
+
+def test_materialize_full_config_is_exact(setup):
+    from tensorrt_model_optimizer_tpu.prune import minitron
+
+    cfg, params, batches = setup
+    scores = minitron.importance(cfg, params, batches, capture_tokens=16)
+    full_config = {f"layers.{i}.ffn": cfg.intermediate_size for i in range(4)}
+    full_config["depth"] = 4
+    sub_cfg, sub_params = autonas.materialize(cfg, params, scores, full_config)
+    ref, _, _ = llama.forward(cfg, params, batches[0])
+    out, _, _ = llama.forward(sub_cfg, sub_params, batches[0])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_search(setup):
+    cfg, params, batches = setup
+    space = autonas.convert(cfg, ffn_ratios=(0.5, 1.0))
+    state, best_cfg, best_params = autonas.search(
+        cfg, params, space, batches, param_budget_ratio=0.9, iterations=6)
+    assert state.best_config is not None
+    logits, _, _ = llama.forward(best_cfg, best_params, batches[0])
+    assert np.all(np.isfinite(np.asarray(logits)))
