@@ -153,3 +153,42 @@ def search(
     )
     best_cfg, best_params = materialize(cfg, params, scores, state.best_config)
     return state, best_cfg, best_params
+
+
+def fastnas_prune(
+    cfg: llama.LlamaConfig,
+    params: llama.Params,
+    batches: list,
+    max_loss_increase: float = 0.05,
+    steps: int = 6,
+):
+    """FastNAS-style binary search (`prune/fastnas.py:327`): the smallest
+    uniform FFN ratio whose calibration loss stays within the budget."""
+    from ..opt.searcher import binary_search
+    from ..quant import qat
+
+    scores = minitron.importance(cfg, params, batches, capture_tokens=32)
+    base_loss = sum(
+        float(qat.qat_loss(cfg, llama.QuantLayout(sites=()), params, None, b))
+        for b in batches[:2]
+    )
+
+    def feasible(ratio: float) -> bool:
+        w = max(int(cfg.intermediate_size * ratio) // 8 * 8, 8)
+        config = {f"layers.{i}.ffn": w for i in range(cfg.num_hidden_layers)}
+        config["depth"] = cfg.num_hidden_layers
+        sub_cfg, sub_params = materialize(cfg, params, scores, config)
+        loss = sum(
+            float(qat.qat_loss(sub_cfg, llama.QuantLayout(sites=()), sub_params, None, b))
+            for b in batches[:2]
+        )
+        return loss <= base_loss * (1 + max_loss_increase)
+
+    # binary_search finds the largest feasible x; we want the smallest ratio
+    # that is still feasible -> search on (1 - ratio)
+    best_cut = binary_search(0.0, 0.9, lambda cut: feasible(1.0 - cut), steps=steps)
+    ratio = 1.0 - best_cut
+    w = max(int(cfg.intermediate_size * ratio) // 8 * 8, 8)
+    config = {f"layers.{i}.ffn": w for i in range(cfg.num_hidden_layers)}
+    config["depth"] = cfg.num_hidden_layers
+    return materialize(cfg, params, scores, config) + (ratio,)

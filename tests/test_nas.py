@@ -55,3 +55,12 @@ def test_search(setup):
     assert state.best_config is not None
     logits, _, _ = llama.forward(best_cfg, best_params, batches[0])
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_fastnas_prune(setup):
+    cfg, params, batches = setup
+    sub_cfg, sub_params, ratio = autonas.fastnas_prune(
+        cfg, params, batches, max_loss_increase=0.10, steps=4)
+    assert 0.1 <= ratio <= 1.0
+    logits, _, _ = llama.forward(sub_cfg, sub_params, batches[0])
+    assert np.all(np.isfinite(np.asarray(logits)))
