@@ -67,3 +67,24 @@ def test_rotated_pair_site_end_to_end():
     wr = quantize(w, wcfg, None)
     np.testing.assert_allclose(np.asarray(xr @ wr.T), np.asarray(x @ w.T),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_flash_wrapper_reference_path():
+    """CPU reference path of the flash wrapper matches plain attention."""
+    import math
+
+    from tensorrt_model_optimizer_tpu.ops.pallas import flash_wrapper as fw
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2, 16, 4, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 16, 2, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 16, 2, 8)).astype(np.float32))
+    out = fw.flash_attention(q, k, v, causal=True, force_reference=True)
+    # manual reference with GQA repeat
+    kr = jnp.repeat(k, 2, axis=2)
+    vr = jnp.repeat(v, 2, axis=2)
+    s = jnp.einsum("btnd,bsnd->bnts", q, kr) / math.sqrt(8)
+    mask = jnp.where(jnp.arange(16)[None, :] <= jnp.arange(16)[:, None], 0.0, -np.inf)
+    p = jax.nn.softmax(s + mask[None, None], axis=-1)
+    ref = jnp.einsum("bnts,bsnd->btnd", p, vr)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
