@@ -67,8 +67,10 @@ def compress_weight(
     if not cfg.enable:
         return "bf16", {"w": w.astype(jnp.bfloat16)}
 
-    if base.is_fp and base.block is not None and base.num_bits == (2, 1):
-        # NVFP4
+    if (base.is_fp and base.block is not None and base.num_bits == (2, 1)
+            and base.block.scale_bits == (4, 3)):
+        # NVFP4 (E4M3 block scales). MX formats (E8M0 scales) fall through
+        # to the generic path below.
         bsz = dict(base.block.sizes).get(-1, 16)
         bsz = min(bsz, w.shape[-1])
         g_amax = state.amax if state is not None and state.amax is not None else jnp.max(jnp.abs(w))
@@ -120,6 +122,15 @@ def compress_weight(
             "scale_lo": scale[..., : O // 2, :].astype(jnp.float32),
             "scale_hi": scale[..., O // 2 :, :].astype(jnp.float32),
         }
+
+    if base.is_fp and base.block is not None and base.block.scale_bits == (8, 0):
+        # MX formats: store the fake-quantized weight in bf16 (serving kind
+        # "bf16"); a packed MX serving layout is a round-2 item. Numerics
+        # stay exact: the stored values ARE the MX grid points.
+        e, m = base.num_bits
+        bsz = dict(base.block.sizes).get(-1, 32)
+        wq = numerics.fake_quant_mx(w.astype(jnp.float32), e, m, min(bsz, w.shape[-1]))
+        return "bf16", {"w": wq.astype(jnp.bfloat16)}
 
     if not base.is_fp and base.num_bits == 8:
         amax = state.amax if state is not None else None

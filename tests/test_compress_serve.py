@@ -240,3 +240,29 @@ class TestProfiling:
         assert all(v["us"] > 0 for v in prof.values())
         lat = profiling.get_latency(eng, batch=2, prefill=8, steps=2)
         assert lat["step_ms"] > 0 and lat["tok_s"] > 0
+
+
+class TestMoreFormats:
+    def test_w4a8_engine(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "W4A8_AWQ_BETA_CFG", batches)
+        cm = compress.compress(model)
+        assert cm.kinds["mlp.down_proj"] == "int4"
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+        prompt = batches[0][:, :8]
+        logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+        ref, _, _ = model.forward(prompt)
+        corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref[:, -1]).ravel())[0, 1]
+        assert corr > 0.95, corr
+
+    def test_mxfp4_compress_is_mx_grid(self, tiny_ptq):
+        from tensorrt_model_optimizer_tpu.quant.config import MXFP4_BLOCK32
+
+        cfg, params, batches = tiny_ptq
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+        kind, arrays = compress.compress_weight(w, MXFP4_BLOCK32, None)
+        assert kind == "bf16"
+        deq = np.asarray(arrays["w"], dtype=np.float32)
+        ref = np.asarray(numerics.fake_quant_mx(w, 2, 1, 32))
+        np.testing.assert_allclose(deq, ref, rtol=1e-2, atol=1e-3)
