@@ -131,6 +131,11 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"))
     k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"))
     v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"))
+    # Qwen2-style attention biases ride alongside the packed weights
+    if "self_attn.q_proj__bias" in lp:
+        q = q + lp["self_attn.q_proj__bias"].astype(q.dtype)
+        k = k + lp["self_attn.k_proj__bias"].astype(k.dtype)
+        v = v + lp["self_attn.v_proj__bias"].astype(v.dtype)
     q = q.reshape(B, T, nH, hd)
     k = k.reshape(B, T, nKV, hd)
     v = v.reshape(B, T, nKV, hd)
@@ -327,6 +332,10 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
         q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"))
         k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"))
         v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"))
+        if "self_attn.q_proj__bias" in lp:
+            q = q + lp["self_attn.q_proj__bias"].astype(q.dtype)
+            k = k + lp["self_attn.k_proj__bias"].astype(k.dtype)
+            v = v + lp["self_attn.v_proj__bias"].astype(v.dtype)
         q = llama.rope(q.reshape(B, T, nH, hd), positions, cfg.rope_theta)
         k = llama.rope(k.reshape(B, T, nKV, hd), positions, cfg.rope_theta)
         v = v.reshape(B, T, nKV, hd)

@@ -92,3 +92,31 @@ def test_qwen2_logits_match(qwen_ckpt):
         ref = hf_model(torch.tensor(tokens)).logits.float().numpy()
     ours, _, _ = llama.forward(cfg, params, jnp.asarray(tokens))
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_qwen2_ptq_and_serve(qwen_ckpt, tmp_path):
+    """Qwen2 (attention biases): full PTQ -> export -> engine loop."""
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.export import hf_export
+    from tensorrt_model_optimizer_tpu.models import hf_loader
+    from tensorrt_model_optimizer_tpu.quant import compress, ptq
+    from tensorrt_model_optimizer_tpu.serve import engine as serve_engine
+
+    path, _ = qwen_ckpt
+    cfg, params = hf_loader.load_hf_checkpoint(path, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    batches = [jnp.asarray(rng.integers(0, 128, size=(2, 12)))]
+    model = ptq.quantize(cfg, params, "INT8_DEFAULT_CFG", batches)
+    logits, _, _ = model.forward(batches[0])
+    assert np.all(np.isfinite(np.asarray(logits)))
+    hf_export.export_hf_checkpoint(model, str(tmp_path / "qwen_q"))
+    cm = compress.compress(model)
+    eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+    prompt = batches[0][:, :6]
+    el, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+    ref2, _, _ = model.forward(prompt)
+    corr = np.corrcoef(np.asarray(el).ravel(), np.asarray(ref2[:, -1]).ravel())[0, 1]
+    assert corr > 0.99, f"engine dropped biases? corr={corr}"
+    out = eng.generate(prompt, max_new_tokens=3)
+    assert out.shape == (2, 3)
