@@ -65,6 +65,9 @@ def _quant_algo(model: QuantizedModel) -> tuple[str, Optional[int]]:
         return "NONE", None
     if base.is_fp and base.num_bits == (2, 1):
         bsz = dict(base.block.sizes).get(-1, 16) if base.block else 16
+        # SVDQuant: low-rank residual branch present (quant_utils.py:553)
+        if model.adapters:
+            return "NVFP4_SVDQUANT", bsz
         return "NVFP4", bsz
     if base.is_fp and base.num_bits == (4, 3):
         return "FP8", None
@@ -224,9 +227,20 @@ def export_hf_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
             site = model.qstate.get(name, {})
             wst_all = site.get("weight")
             wst = jax.tree.map(lambda a: a[i], wst_all) if wst_all is not None else None
-            exported = _export_weight(layers[name][i], wcfg, wst, algo)
+            exported = _export_weight(
+                layers[name][i], wcfg, wst,
+                algo[: -len("_SVDQUANT")] if algo.endswith("_SVDQUANT") else algo,
+            )
             for suffix, arr in exported.items():
                 tensors[f"{prefix}.{suffix}"] = arr
+            # SVDQuant low-rank factors (`<module>.svdquant_lora_{a,b}`,
+            # convert_hf_config.py:214); adapter scale folds into lora_b.
+            if model.adapters and name in model.adapters:
+                ad = model.adapters[name]
+                tensors[f"{prefix}.svdquant_lora_a"] = to_np16(ad["A"][i])
+                tensors[f"{prefix}.svdquant_lora_b"] = to_np16(
+                    jnp.asarray(ad["B"][i]).astype(jnp.float32) * ad["scale"][i]
+                )
             # activation scales
             ist_all = site.get("input")
             icfg = model.layout.get(f"{name}.input")
@@ -234,7 +248,7 @@ def export_hf_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
                 ist = jax.tree.map(lambda a: a[i], ist_all)
                 if ist.amax is not None and icfg.enable:
                     a = np.asarray(ist.amax, np.float32).max()
-                    div = 6.0 * 448.0 if algo == "NVFP4" else (
+                    div = 6.0 * 448.0 if algo.startswith("NVFP4") else (
                         448.0 if icfg.is_fp else 127.0
                     )
                     tensors[f"{prefix}.input_scale"] = np.asarray(a / div, np.float32)
@@ -261,6 +275,8 @@ def export_hf_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
             "quant_algo": algo,
             "kv_cache_quant_algo": kv_algo,
             **({"group_size": group_size} if group_size else {}),
+            **({"lora_rank": int(next(iter(model.adapters.values()))["A"].shape[1])}
+               if model.adapters else {}),
             "exclude_modules": ["lm_head"],
         },
     }

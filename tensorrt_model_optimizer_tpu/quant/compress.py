@@ -192,6 +192,8 @@ class CompressedModel:
     kinds: dict[str, str]
     layout: llama.QuantLayout
     qstate: llama.QuantState  # act/KV quantizer state still applies
+    # SVDQuant low-rank branch (stays high-precision at serving)
+    adapters: "dict | None" = None
 
     @property
     def packed_bytes(self) -> int:
@@ -214,5 +216,12 @@ def compress(model: QuantizedModel) -> CompressedModel:
         kinds[name] = kind
         new_layers[name] = arrays
     params = dict(model.params)
+    if model.adapters:
+        # SVDQuant low-rank factors ride the layer scan as stacked [L, ...]
+        # leaves (jit args, not captured constants) under a reserved key.
+        new_layers["__adapters__"] = model.adapters
     params["layers"] = new_layers
-    return CompressedModel(model.model_cfg, params, kinds, model.layout, model.qstate)
+    return CompressedModel(
+        model.model_cfg, params, kinds, model.layout, model.qstate,
+        adapters=model.adapters,
+    )

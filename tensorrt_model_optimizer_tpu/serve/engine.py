@@ -41,7 +41,8 @@ class EngineConfig:
     paged_attention_kernel: bool = False
 
 
-def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None):
+def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
+             adapter=None):
     """Quantized matmul dispatch: y = q_act(x) @ dequant(W)^T.
 
     `x` is [B*T, K] 2-D. Input quantizers stay active on the real-quant path
@@ -74,9 +75,15 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None)
     if icfg.enable or (ist is not None and ist.pre_quant_scale is not None):
         x = Q.quantize(x, icfg, ist)
     if backend == "pallas" and kind in ("int8", "int4", "nvfp4", "fp8"):
-        return qmm.quantized_matmul(x, kind, arrays)
-    w = decompress_weight(kind, arrays, out_dtype=x.dtype)
-    return x @ w.T
+        y = qmm.quantized_matmul(x, kind, arrays)
+    else:
+        w = decompress_weight(kind, arrays, out_dtype=x.dtype)
+        y = x @ w.T
+    if adapter is not None:
+        # SVDQuant low-rank branch (`SVDQuantLinear`, quant_linear.py:117)
+        lo = (x @ adapter["A"].T.astype(x.dtype)) @ adapter["B"].T.astype(x.dtype)
+        y = y + lo * adapter["scale"].astype(y.dtype)
+    return y
 
 
 def _kv_store(v: jax.Array, dtype, amax: Optional[jax.Array]):
@@ -125,12 +132,15 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     def ist(name):
         return (lstate or {}).get(name, {}).get("input")
 
+    def ad(name):
+        return (lp.get("__adapters__") or {}).get(name) if "__adapters__" in lp else None
+
     h = llama.rms_norm(x, lp["input_layernorm"], eps)
     h2 = h.reshape(B * T, H)
 
-    q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"))
-    k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"))
-    v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"))
+    q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"), ad("self_attn.q_proj"))
+    k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"), ad("self_attn.k_proj"))
+    v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"), ad("self_attn.v_proj"))
     # Qwen2-style attention biases ride alongside the packed weights
     if "self_attn.q_proj__bias" in lp:
         q = q + lp["self_attn.q_proj__bias"].astype(q.dtype)
@@ -160,15 +170,15 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B * T, nH * hd)
 
-    attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"))
+    attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"))
     x = x + attn.reshape(B, T, H)
 
     h = llama.rms_norm(x, lp["post_attention_layernorm"], eps)
     h2 = h.reshape(B * T, H)
-    g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"))
-    u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"))
+    g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"), ad("mlp.gate_proj"))
+    u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"), ad("mlp.up_proj"))
     y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
-    d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"))
+    d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"))
     x = x + d.reshape(B, T, H)
     return x, ck, cv
 
@@ -327,11 +337,14 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
         def ist(name):
             return (lstate or {}).get(name, {}).get("input")
 
+        def ad(name):
+            return (lp.get("__adapters__") or {}).get(name) if "__adapters__" in lp else None
+
         h = llama.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         h2 = h.reshape(B * T, -1)
-        q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"))
-        k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"))
-        v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"))
+        q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"), ad("self_attn.q_proj"))
+        k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"), ad("self_attn.k_proj"))
+        v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"), ad("self_attn.v_proj"))
         if "self_attn.q_proj__bias" in lp:
             q = q + lp["self_attn.q_proj__bias"].astype(q.dtype)
             k = k + lp["self_attn.k_proj__bias"].astype(k.dtype)
@@ -343,14 +356,14 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
             cfg, ecfg, q, k, v, kp, vp, cache, positions, ka_l, va_l,
             write_mask=active,
         )
-        attn = _qlinear(ctx.reshape(B * T, -1), "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"))
+        attn = _qlinear(ctx.reshape(B * T, -1), "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"))
         x = x + attn.reshape(B, T, -1)
         h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         h2 = h.reshape(B * T, -1)
-        g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"))
-        u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"))
+        g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"), ad("mlp.gate_proj"))
+        u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"), ad("mlp.up_proj"))
         y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
-        d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"))
+        d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"))
         x = x + d.reshape(B, T, -1)
         return x, (kp, vp)
 

@@ -43,6 +43,8 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
         cfg = hf_loader.config_from_hf(json.load(f))
     tensors = hf_export.load_exported(path)
     algo = qc["quant_algo"]
+    # SVDQuant = base format + low-rank tensors; strip for weight decode
+    base_algo = algo[: -len("_SVDQUANT")] if algo.endswith("_SVDQUANT") else algo
     L = cfg.num_hidden_layers
 
     def stack(fmt, dtype=None):
@@ -64,7 +66,7 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
         def t(i, suffix):
             return tensors[hf_fmt.format(i=i) + "." + suffix]
 
-        if algo == "NVFP4":
+        if base_algo == "NVFP4":
             packed = np.stack([_adjacent_to_plane(t(i, "weight")) for i in range(L)])
             ws = np.stack([np.asarray(t(i, "weight_scale")) for i in range(L)])
             O2 = packed.shape[1]
@@ -79,7 +81,7 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
                 ),
             }
             kinds[name] = "nvfp4"
-        elif algo in ("W4A16_AWQ", "W4A8_AWQ"):
+        elif base_algo in ("W4A16_AWQ", "W4A8_AWQ"):
             packed = np.stack([_adjacent_to_plane(t(i, "weight")) for i in range(L)])
             ws = np.stack([np.asarray(t(i, "weight_scale")) for i in range(L)])
             O2 = packed.shape[1]
@@ -89,7 +91,7 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
                 "scale_hi": jnp.asarray(ws[:, O2:], dtype=np.float32),
             }
             kinds[name] = "int4"
-        elif algo == "FP8":
+        elif base_algo == "FP8":
             layers[name] = {
                 "q": stack(base.replace(".{suffix}", ".weight")),
                 "scale": jnp.asarray(
@@ -97,7 +99,7 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
                 ),
             }
             kinds[name] = "fp8"
-        elif algo in ("W8A8_SQ_PER_CHANNEL", "INT8"):
+        elif base_algo in ("W8A8_SQ_PER_CHANNEL", "INT8"):
             layers[name] = {
                 "q": stack(base.replace(".{suffix}", ".weight")),
                 "scale": jnp.asarray(
@@ -108,6 +110,16 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
         else:
             layers[name] = {"w": stack(base.replace(".{suffix}", ".weight"), cfg.dtype)}
             kinds[name] = "bf16"
+
+        # SVDQuant low-rank branch rides the layer scan under __adapters__
+        la_key = hf_fmt.format(i=0) + ".svdquant_lora_a"
+        if la_key in tensors:
+            A = jnp.stack([jnp.asarray(tensors[hf_fmt.format(i=i) + ".svdquant_lora_a"]) for i in range(L)])
+            Bm = jnp.stack([jnp.asarray(tensors[hf_fmt.format(i=i) + ".svdquant_lora_b"]) for i in range(L)])
+            layers.setdefault("__adapters__", {})[name] = {
+                "A": A.astype(cfg.dtype), "B": Bm.astype(cfg.dtype),
+                "scale": jnp.ones((L,), jnp.float32),
+            }
 
         # activation-side state: pre_quant_scale + input_scale
         pqs_key = hf_fmt.format(i=0) + ".pre_quant_scale"
@@ -135,7 +147,7 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
         "FP8": "FP8_DEFAULT_CFG",
         "W8A8_SQ_PER_CHANNEL": "INT8_SMOOTHQUANT_CFG",
         "INT8": "INT8_DEFAULT_CFG",
-    }.get(algo)
+    }.get(base_algo)
     layout = (
         llama.build_layout(cfg, get_preset(preset))
         if preset
@@ -146,7 +158,7 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
         icfg = layout.get(f"{name}.input")
         key0 = hf_fmt.format(i=0) + ".input_scale"
         if icfg.enable and not icfg.dynamic and key0 in tensors:
-            div = 6.0 * 448.0 if algo == "NVFP4" else (448.0 if icfg.is_fp else 127.0)
+            div = 6.0 * 448.0 if base_algo == "NVFP4" else (448.0 if icfg.is_fp else 127.0)
             amax = jnp.stack(
                 [jnp.asarray(tensors[hf_fmt.format(i=i) + ".input_scale"]).reshape(()) * div
                  for i in range(L)]
@@ -154,4 +166,5 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
             sub = qstate.setdefault(name, {})
             ist = sub.get("input", Q.QuantizerState())
             sub["input"] = ist.replace(amax=amax)
-    return CompressedModel(cfg, params, kinds, layout, qstate)
+    return CompressedModel(cfg, params, kinds, layout, qstate,
+                           adapters=layers.get("__adapters__"))

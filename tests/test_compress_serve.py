@@ -266,3 +266,28 @@ class TestMoreFormats:
         deq = np.asarray(arrays["w"], dtype=np.float32)
         ref = np.asarray(numerics.fake_quant_mx(w, 2, 1, 32))
         np.testing.assert_allclose(deq, ref, rtol=1e-2, atol=1e-3)
+
+    def test_svdquant_adapters_survive_compress_and_serve(self, tiny_ptq):
+        """The low-rank branch must be applied by the serving engine
+        (`SVDQuantLinear` keeps it in high precision at deployment)."""
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT4_SVDQUANT_CFG", batches)
+        assert model.adapters is not None
+        cm = compress.compress(model)
+        assert "__adapters__" in cm.params["layers"]
+        eng = serve_engine.Engine(
+            cm, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+        prompt = batches[0][:, :8]
+        cache = eng.init_cache(2, 32)
+        logits, _ = eng.prefill(prompt, cache)
+        ref_logits, _, _ = model.forward(prompt)  # applies adapters
+        a = np.asarray(logits).ravel()
+        b = np.asarray(ref_logits[:, -1]).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.99, f"engine dropped adapters? corr={corr}"
+        # sanity: without adapters the logits should differ more
+        no_ad = llama.forward(cfg, model.params, prompt,
+                              layout=model.layout, qstate=model.qstate)[0]
+        err_with = np.abs(a - b).mean()
+        err_wo = np.abs(a - np.asarray(no_ad[:, -1]).ravel()).mean()
+        assert err_with < err_wo, (err_with, err_wo)

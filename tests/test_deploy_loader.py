@@ -1,5 +1,7 @@
 """Export -> load -> serve roundtrip (the deploy loop)."""
 
+import tempfile
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,3 +50,27 @@ def test_roundtrip(tiny, tmp_path, preset, algo):
     # export stores unquantized tensors (embed/lm_head/norms) as fp16 —
     # the fp32 test model picks up that cast noise on top of quant error
     assert corr > 0.95, f"{preset}: corr={corr}"
+
+
+def test_svdquant_roundtrip_through_export():
+    """NVFP4_SVDQUANT: lora tensors exported and re-applied by the engine."""
+    import numpy as np
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    model = ptq.quantize(cfg, params, "NVFP4_SVDQUANT_CFG", batches)
+    with tempfile.TemporaryDirectory() as d:
+        qc = hf_export.export_hf_checkpoint(model, d)
+        assert qc["quantization"]["quant_algo"] == "NVFP4_SVDQUANT"
+        assert qc["quantization"]["lora_rank"] > 0
+        cm = loader.load_quantized_checkpoint(d)
+    assert cm.adapters is not None and "mlp.down_proj" in cm.adapters
+    eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+    prompt = batches[0][:, :8]
+    cache = eng.init_cache(2, 32)
+    logits, _ = eng.prefill(prompt, cache)
+    ref, _, _ = model.forward(prompt)
+    corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref[:, -1]).ravel())[0, 1]
+    assert corr > 0.99, corr
