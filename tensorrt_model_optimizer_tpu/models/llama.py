@@ -51,6 +51,9 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 4096
     attention_bias: bool = False  # Qwen2-style q/k/v biases
+    # "einsum" (reference path) or "flash" (fused Pallas kernel for the
+    # no-cache prefill/training case; decode and cached paths fall back)
+    attn_impl: str = "einsum"
     dtype: Any = jnp.bfloat16
 
     @property
@@ -381,17 +384,25 @@ def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib, ada
     else:
         k_all, v_all = k, v
 
-    # GQA: repeat kv heads
-    rep = nH // nKV
-    k_all = jnp.repeat(k_all, rep, axis=2)
-    v_all = jnp.repeat(v_all, rep, axis=2)
+    if cache_kv is None and cfg.attn_impl == "flash":
+        # Fused flash kernel (pure causal prefill/training; the cached
+        # decode path keeps the masked einsum which handles cache[0:pos+T])
+        from ..ops.pallas import flash_wrapper
 
-    scores = jnp.einsum("bqnd,bknd->bnqk", q, k_all, preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(hd)
-    scores = scores + mask
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all)
-    ctx = ctx.reshape(B, T, nH * hd)
+        ctx = flash_wrapper.flash_attention(q, k_all, v_all, causal=True)
+        ctx = ctx.reshape(B, T, nH * hd)
+    else:
+        # GQA: repeat kv heads
+        rep = nH // nKV
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k_all, preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(hd)
+        scores = scores + mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all)
+        ctx = ctx.reshape(B, T, nH * hd)
 
     out, s = _linear(ctx, lp["self_attn.o_proj"], "self_attn.o_proj", layout, lstate, calib, adapters)
     if s: new_state["self_attn.o_proj"] = s
@@ -456,6 +467,7 @@ def forward(
     positions: Optional[jax.Array] = None,
     capture_tokens: int = 0,
     adapters: Optional[dict] = None,
+    mask: Optional[jax.Array] = None,
 ):
     """Forward pass.
 
@@ -478,7 +490,15 @@ def forward(
     x = params["embed_tokens"][tokens].astype(cfg.dtype)
 
     # Causal mask. With a cache, queries attend to cache[0:pos+T].
-    if cache is not None:
+    # An explicit `mask` ([1,1,T,S] additive) overrides — used by tree
+    # attention for speculative verification (speculative/tree.py).
+    if mask is not None:
+        # a non-causal mask can't go down the flash path
+        if cfg.attn_impl == "flash":
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, attn_impl="einsum")
+    elif cache is not None:
         S = cache["k"].shape[2]
         kpos = jnp.arange(S)[None, :]
         qpos = positions[0][:, None]

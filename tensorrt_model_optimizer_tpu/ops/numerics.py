@@ -224,59 +224,73 @@ def _normalize_axes(sizes, ndim: int, shape: Optional[Sequence[int]] = None):
     return sorted(out)
 
 
+def _pad_to_blocks(x: jax.Array, norm) -> jax.Array:
+    """Zero-pad blocked axes up to the next block multiple (conv fan-ins
+    like I*kh*kw need not divide the block size; zero padding is exact for
+    amax and is sliced off after quantization)."""
+    pads = [(0, 0)] * x.ndim
+    needs = False
+    for ax, bs in norm:
+        r = x.shape[ax] % bs
+        if r:
+            pads[ax] = (0, bs - r)
+            needs = True
+    return jnp.pad(x, pads) if needs else x
+
+
 def block_reduce_amax(x: jax.Array, sizes: Sequence[tuple[int, int]]) -> jax.Array:
     """Per-block amax, keeping dims (amax broadcastable against x).
 
-    `sizes` is ((axis, block_size), ...). Axes must divide evenly (callers pad
-    if needed — weights in supported models always divide).
+    `sizes` is ((axis, block_size), ...). Non-divisible axes are zero-padded
+    to the next block multiple internally.
     """
     norm = _normalize_axes(sizes, x.ndim, x.shape)
+    xp = _pad_to_blocks(x, norm)
     shape = []
     reduce_axes = []
     axmap = dict(norm)
     for ax in range(x.ndim):
-        d = x.shape[ax]
+        d = xp.shape[ax]
         if ax in axmap:
             bs = axmap[ax]
-            if d % bs != 0:
-                raise ValueError(f"axis {ax} dim {d} not divisible by block {bs}")
             shape.extend([d // bs, bs])
             reduce_axes.append(len(shape) - 1)
         else:
             shape.append(d)
-    xb = x.reshape(shape)
+    xb = xp.reshape(shape)
     amax = jnp.max(jnp.abs(xb), axis=tuple(reduce_axes), keepdims=True)
-    # Broadcast back and collapse to x's shape -> amax has x.shape with
-    # constant blocks; callers can also use the compact form via keepdims.
-    return jnp.broadcast_to(amax, xb.shape).reshape(x.shape)
+    # Broadcast back, collapse to padded shape, slice to x's shape.
+    full = jnp.broadcast_to(amax, xb.shape).reshape(xp.shape)
+    return full[tuple(slice(0, d) for d in x.shape)]
 
 
 def block_amax_compact(x: jax.Array, sizes: Sequence[tuple[int, int]]) -> jax.Array:
-    """Per-block amax in compact form: blocked axes divided by block size."""
+    """Per-block amax in compact form: blocked axes become ceil(d/block)."""
     norm = _normalize_axes(sizes, x.ndim, x.shape)
+    xp = _pad_to_blocks(x, norm)
     shape = []
     reduce_axes = []
     axmap = dict(norm)
     for ax in range(x.ndim):
-        d = x.shape[ax]
+        d = xp.shape[ax]
         if ax in axmap:
             bs = axmap[ax]
             shape.extend([d // bs, bs])
             reduce_axes.append(len(shape) - 1)
         else:
             shape.append(d)
-    xb = x.reshape(shape)
+    xb = xp.reshape(shape)
     return jnp.max(jnp.abs(xb), axis=tuple(reduce_axes))
 
 
 def expand_block_scale(scale: jax.Array, x_shape: Sequence[int], sizes) -> jax.Array:
-    """Expand a compact per-block scale to x_shape by repeating blocks."""
+    """Expand a compact per-block scale to x_shape by repeating blocks
+    (padded tails from non-divisible axes are sliced off)."""
     norm = _normalize_axes(sizes, len(x_shape), x_shape)
-    axmap = dict(norm)
     out = scale
     for ax, bs in norm:
         out = jnp.repeat(out, bs, axis=ax)
-    del axmap
+    out = out[tuple(slice(0, d) for d in x_shape)]
     return jnp.broadcast_to(out, tuple(x_shape))
 
 

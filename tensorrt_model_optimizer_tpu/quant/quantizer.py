@@ -147,7 +147,7 @@ def amax_shape(cfg: QuantizerConfig, x_shape: tuple[int, ...]) -> Optional[tuple
         norm = [(a % len(x_shape), min(b, x_shape[a % len(x_shape)])) for a, b in cfg.block.sizes]
         axmap = dict(norm)
         return tuple(
-            d // axmap[i] if i in axmap else d for i, d in enumerate(x_shape)
+            -(-d // axmap[i]) if i in axmap else d for i, d in enumerate(x_shape)
         )
     if cfg.axis is not None:
         kept = _resolve_axes(cfg.axis, len(x_shape))

@@ -176,3 +176,33 @@ class TestSharding:
         a = np.asarray(qs_ref["self_attn.q_proj"]["weight"].amax)
         b = np.asarray(qs_sh["self_attn.q_proj"]["weight"].amax)
         np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+class TestFlashAttnImpl:
+    def test_flash_matches_einsum_forward(self):
+        import dataclasses
+
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        toks = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16)))
+        ref, _, _ = llama.forward(cfg, params, toks)
+        fcfg = dataclasses.replace(cfg, attn_impl="flash")
+        out, _, _ = llama.forward(fcfg, params, toks)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_flash_differentiable(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(llama.LlamaConfig.tiny(), attn_impl="flash")
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        toks = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 8)))
+
+        def loss(p):
+            logits, _, _ = llama.forward(cfg, p, toks)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(params)
+        gn = float(jnp.linalg.norm(g["layers"]["self_attn.q_proj"].astype(jnp.float32)))
+        assert np.isfinite(gn) and gn > 0

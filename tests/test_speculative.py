@@ -132,3 +132,49 @@ def test_dflash_propose_verify(tiny):
             [greedy, jnp.argmax(lg[:, -1], axis=-1)[:, None].astype(jnp.int32)], axis=1)
     n = min(out.shape[1], greedy.shape[1])
     np.testing.assert_array_equal(np.asarray(out[:, :n]), np.asarray(greedy[:, :n]))
+
+
+class TestTreeAttention:
+    def test_tree_topology_and_mask(self):
+        from tensorrt_model_optimizer_tpu.speculative import tree as T
+
+        t = T.build_tree([[0], [1], [0, 0], [0, 1], [1, 0], [0, 0, 0]])
+        assert t.n_nodes == 7
+        assert t.depth == (0, 1, 1, 2, 2, 2, 3)
+        m = t.attn_mask
+        # every node attends to itself and the base token
+        assert m.diagonal().all() and m[:, 0].all()
+        # node [0,0,0] (last, BFS) attends to chain 0 -> [0] -> [0,0]
+        import numpy as np
+
+        last = t.n_nodes - 1
+        chain = {last}
+        p = t.parent[last]
+        while p >= 0:
+            chain.add(p)
+            p = t.parent[p]
+        assert set(np.nonzero(m[last])[0]) == chain
+
+    def test_tree_verify_matches_chain_greedy(self):
+        """Tree decode must produce the SAME tokens as plain greedy decode
+        (speculation changes speed, never the distribution)."""
+        from tensorrt_model_optimizer_tpu.speculative import medusa as M
+        from tensorrt_model_optimizer_tpu.speculative import tree as T
+
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        mcfg = M.MedusaConfig(num_heads=3)
+        med = M.init_medusa(cfg, mcfg, jax.random.PRNGKey(1))
+        prompt = jnp.asarray([[5, 9, 2, 7]], jnp.int32)
+
+        out, rate = T.tree_propose_and_verify(cfg, params, med, prompt, steps=8)
+        # plain greedy reference
+        toks = prompt
+        n_new = out.shape[1] - prompt.shape[1]
+        for _ in range(n_new):
+            lg, _, _ = llama.forward(cfg, params, toks)
+            toks = jnp.concatenate(
+                [toks, jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)], axis=1
+            )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(toks))
+        assert 0.0 <= rate <= 1.0
