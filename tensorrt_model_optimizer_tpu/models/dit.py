@@ -186,8 +186,12 @@ def forward(
     layout: Optional[llama.QuantLayout] = None,
     qstate: Optional[dict] = None,
     calib: bool = False,
+    return_features: bool = False,
 ):
-    """Noise prediction. Returns (eps_pred [B, H, W, C], new_qstate)."""
+    """Noise prediction. Returns (eps_pred [B, H, W, C], new_qstate), or with
+    `return_features` (eps, state, feats [B, N, h]) — the post-blocks token
+    hidden states (the DMD discriminator'scapture point, replacing the
+    reference's forward hooks on teacher blocks)."""
     lay = layout or llama.QuantLayout(sites=())
     B = x.shape[0]
     h = cfg.hidden_size
@@ -241,7 +245,10 @@ def forward(
     s = _modulate(ln(s), fsh, fsc)
     out = s @ params["final_proj"].T.astype(cfg.dtype)
     eps = unpatchify(out, cfg.img_size, cfg.patch_size, cfg.in_channels)
-    return eps, (dict(new_states) if (calib or qstate) else None)
+    st = dict(new_states) if (calib or qstate) else None
+    if return_features:
+        return eps, st, s
+    return eps, st
 
 
 def quantize_dit(

@@ -178,3 +178,34 @@ class TestTreeAttention:
             )
         np.testing.assert_array_equal(np.asarray(out), np.asarray(toks))
         assert 0.0 <= rate <= 1.0
+
+
+class TestEagleTTT:
+    def test_ttt_mask_semantics(self):
+        from tensorrt_model_optimizer_tpu.speculative import eagle as E
+
+        T, steps = 4, 3
+        m1 = np.asarray(E.ttt_attention_mask(T, 1, steps * T))[0, 0]
+        # step 1: query q sees orig kv <= q-1 and exactly kv == q+T in block 1
+        q = 2
+        allowed = set(np.nonzero(m1[q] == 0.0)[0])
+        assert allowed == {0, 1, q + T}
+        # step 0 must be plain causal over block 0
+        m0 = np.asarray(E.ttt_attention_mask(T, 0, steps * T))[0, 0]
+        for qq in range(T):
+            assert set(np.nonzero(m0[qq] == 0.0)[0]) == set(range(qq + 1))
+
+    def test_ttt_training_learns(self):
+        from tensorrt_model_optimizer_tpu.speculative import eagle as E
+
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ecfg = E.EagleConfig()
+        draft = E.init_eagle(cfg, ecfg, jax.random.PRNGKey(1))
+        toks = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 12)))
+        step = jax.jit(E.make_eagle_ttt_train_step(cfg, ttt_steps=2, lr=5e-3))
+        draft, l0, accs = step(draft, params, toks)
+        assert accs.shape == (2,)
+        for _ in range(10):
+            draft, loss, accs = step(draft, params, toks)
+        assert float(loss) < float(l0)
