@@ -64,3 +64,59 @@ def test_fastnas_prune(setup):
     assert 0.1 <= ratio <= 1.0
     logits, _, _ = llama.forward(sub_cfg, sub_params, batches[0])
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestFastNASCV:
+    def _data(self, cfg, n=2):
+        rng = np.random.default_rng(0)
+        return [
+            (jnp.asarray(rng.normal(size=(4, 16, 16, cfg.in_channels)).astype(np.float32)),
+             jnp.asarray(rng.integers(0, cfg.num_classes, 4)))
+            for _ in range(n)
+        ]
+
+    def test_forward_and_quantize(self):
+        from tensorrt_model_optimizer_tpu.nas import cv
+        from tensorrt_model_optimizer_tpu.quant.config import get_preset
+
+        cfg = cv.CVConfig.tiny()
+        params = cv.init_params(cfg, jax.random.PRNGKey(0))
+        batches = self._data(cfg)
+        logits, _ = cv.forward(cfg, params, batches[0][0])
+        assert logits.shape == (4, cfg.num_classes)
+        # PTQ through the same machinery
+        layout = cv.build_layout(cfg, get_preset("INT8_DEFAULT_CFG"))
+        qstate = {}
+        _, st = cv.forward(cfg, params, batches[0][0], layout=layout,
+                           qstate=None, calib=True)
+        qstate.update(st)
+        q_logits, _ = cv.forward(cfg, params, batches[0][0], layout=layout, qstate=qstate)
+        corr = np.corrcoef(np.asarray(q_logits).ravel(), np.asarray(logits).ravel())[0, 1]
+        assert corr > 0.99, corr
+
+    @pytest.mark.parametrize("mode", ["magnitude", "gradnas"])
+    def test_fastnas_prune_cv(self, mode):
+        from tensorrt_model_optimizer_tpu.nas import cv
+
+        cfg = cv.CVConfig.tiny(widths=(16, 32))
+        params = cv.init_params(cfg, jax.random.PRNGKey(0))
+        batches = self._data(cfg)
+        sub_cfg, sub, ratio = cv.fastnas_prune(cfg, params, batches,
+                                               max_loss_increase=0.5, steps=4,
+                                               score_mode=mode)
+        assert ratio <= 1.0
+        assert all(w <= wo for w, wo in zip(sub_cfg.widths, cfg.widths))
+        logits, _ = cv.forward(sub_cfg, sub, batches[0][0])
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_slice_preserves_top_channels(self):
+        from tensorrt_model_optimizer_tpu.nas import cv
+
+        cfg = cv.CVConfig.tiny(widths=(8, 8))
+        params = cv.init_params(cfg, jax.random.PRNGKey(0))
+        scores = cv.magnitude_scores(cfg, params)
+        sub_cfg, sub = cv.slice_model(cfg, params, scores, 0.5)
+        keep = np.sort(np.argsort(-scores["stage0.conv"])[:4])
+        np.testing.assert_allclose(
+            np.asarray(sub["stage0.conv__bias"]),
+            np.asarray(params["stage0.conv__bias"][keep]))
