@@ -31,6 +31,7 @@ class Candidate:
     params: Optional[dict]  # per-layer params
     cost: int  # parameter count
     score: float = 0.0  # local output MSE (filled by scoring)
+    skip: Optional[str] = None  # "attn" | "mlp" — sub-block removal
 
 
 @dataclasses.dataclass
@@ -46,36 +47,86 @@ def _layer_param_count(cfg: llama.LlamaConfig) -> int:
     return sum(o * i for o, i in sh.values()) + 2 * cfg.hidden_size
 
 
-def _slice_layer_candidate(cfg, lp, scores_l, kind: str):
-    """Build one pruned per-layer variant using importance scores."""
-    nH, nKV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+def _prune_ffn(cfg, lp, scores_l, pct: int):
     I = cfg.intermediate_size
+    w = max(int(I * pct / 100) // 8 * 8, 8)
+    keep = np.sort(np.argsort(-scores_l.ffn)[:w])
+    new = dict(lp)
+    new["mlp.gate_proj"] = lp["mlp.gate_proj"][keep]
+    new["mlp.up_proj"] = lp["mlp.up_proj"][keep]
+    new["mlp.down_proj"] = lp["mlp.down_proj"][:, keep]
+    return dataclasses.replace(cfg, intermediate_size=w), new
+
+
+def _prune_kv(cfg, lp, scores_l, pct: int):
+    nH, nKV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+    n_keep = max(int(nKV * pct / 100), 1)
+    if n_keep >= nKV:
+        return None, None
+    rep = nH // nKV
+    keep_kv = np.sort(np.argsort(-scores_l.kv)[:n_keep])
+    q_heads = np.concatenate([np.arange(g * rep, (g + 1) * rep) for g in keep_kv])
+    q_rows = np.concatenate([np.arange(h * hd, (h + 1) * hd) for h in q_heads])
+    kv_rows = np.concatenate([np.arange(g * hd, (g + 1) * hd) for g in keep_kv])
+    new = dict(lp)
+    new["self_attn.q_proj"] = lp["self_attn.q_proj"][q_rows]
+    new["self_attn.k_proj"] = lp["self_attn.k_proj"][kv_rows]
+    new["self_attn.v_proj"] = lp["self_attn.v_proj"][kv_rows]
+    new["self_attn.o_proj"] = lp["self_attn.o_proj"][:, q_rows]
+    return dataclasses.replace(
+        cfg, num_key_value_heads=n_keep,
+        num_attention_heads=n_keep * rep,
+        head_dim=hd,  # head size is preserved; hd must not re-derive
+    ), new
+
+
+def _slice_layer_candidate(cfg, lp, scores_l, kind: str):
+    """Build one pruned per-layer variant using importance scores.
+
+    Kind grammar (the replacement-library breadth of the reference's
+    puzzletron `replacement_library`): "full", "ffn<pct>", "kv<pct>",
+    combos "ffn<pct>+kv<pct>", and sub-block removals "attn_skip" /
+    "mlp_skip" (handled by the caller via Candidate.skip)."""
     if kind == "full":
         return dataclasses.replace(cfg), dict(lp)
-    if kind == "ffn50":
-        keep = np.sort(np.argsort(-scores_l.ffn)[: I // 2])
-        new = dict(lp)
-        new["mlp.gate_proj"] = lp["mlp.gate_proj"][keep]
-        new["mlp.up_proj"] = lp["mlp.up_proj"][keep]
-        new["mlp.down_proj"] = lp["mlp.down_proj"][:, keep]
-        return dataclasses.replace(cfg, intermediate_size=I // 2), new
-    if kind == "kv50" and nKV >= 2:
-        rep = nH // nKV
-        keep_kv = np.sort(np.argsort(-scores_l.kv)[: nKV // 2])
-        q_heads = np.concatenate([np.arange(g * rep, (g + 1) * rep) for g in keep_kv])
-        q_rows = np.concatenate([np.arange(h * hd, (h + 1) * hd) for h in q_heads])
-        kv_rows = np.concatenate([np.arange(g * hd, (g + 1) * hd) for g in keep_kv])
-        new = dict(lp)
-        new["self_attn.q_proj"] = lp["self_attn.q_proj"][q_rows]
-        new["self_attn.k_proj"] = lp["self_attn.k_proj"][kv_rows]
-        new["self_attn.v_proj"] = lp["self_attn.v_proj"][kv_rows]
-        new["self_attn.o_proj"] = lp["self_attn.o_proj"][:, q_rows]
-        return dataclasses.replace(
-            cfg, num_key_value_heads=nKV // 2,
-            num_attention_heads=(nKV // 2) * rep,
-            head_dim=hd,  # head size is preserved; hd must not re-derive
-        ), new
-    return None, None
+    ccfg, cp = dataclasses.replace(cfg), dict(lp)
+    for part in kind.split("+"):
+        if part.startswith("ffn"):
+            ccfg, cp = _prune_ffn(ccfg, cp, scores_l, int(part[3:]))
+        elif part.startswith("kv"):
+            r = _prune_kv(ccfg, cp, scores_l, int(part[2:]))
+            if r[0] is None:
+                return None, None
+            ccfg, cp = r
+        else:
+            return None, None
+    return ccfg, cp
+
+
+def _attn_params(cfg) -> int:
+    sh = llama._layer_shapes(cfg)
+    return sum(o * i for n, (o, i) in sh.items() if n.startswith("self_attn"))
+
+
+def _layer_out(ccfg, x, cp, positions, mask, skip: Optional[str] = None):
+    """One layer with optional attention/MLP removal (sewing-kit variants)."""
+    lay = llama.QuantLayout(sites=())
+    if skip is None:
+        out, _, _, _ = llama._decoder_layer(
+            ccfg, lay, False, x, cp, None, positions, mask, None
+        )
+        return out
+    if skip == "attn":
+        h = llama.rms_norm(x, cp["post_attention_layernorm"], ccfg.rms_norm_eps)
+        mlp_out, _, _ = llama._mlp(h, cp, None, lay, False)
+        return x + mlp_out
+    if skip == "mlp":
+        h = llama.rms_norm(x, cp["input_layernorm"], ccfg.rms_norm_eps)
+        attn, _, _, _ = llama._attention(
+            ccfg, h, cp, None, lay, positions, mask, None, False
+        )
+        return x + attn
+    raise ValueError(skip)
 
 
 @dataclasses.dataclass
@@ -88,7 +139,8 @@ def build_and_score_library(
     cfg: llama.LlamaConfig,
     params: llama.Params,
     batches: list[jax.Array],
-    kinds=("full", "ffn50", "kv50", "noop"),
+    kinds=("full", "ffn75", "ffn50", "ffn25", "kv50", "kv25",
+           "ffn50+kv50", "attn_skip", "mlp_skip", "noop"),
 ) -> list[list[Candidate]]:
     """Per layer: candidates with local-output-MSE scores.
 
@@ -119,12 +171,21 @@ def build_and_score_library(
                 err = float(jnp.mean((full_out - x) ** 2))
                 cands.append(Candidate("noop", None, None, cost=0, score=err))
                 continue
+            if kind in ("attn_skip", "mlp_skip"):
+                skip = kind.split("_")[0]
+                out = _layer_out(cfg, x, lp, positions, mask, skip)
+                cost = _layer_param_count(cfg) - (
+                    _attn_params(cfg) if skip == "attn"
+                    else _layer_param_count(cfg) - _attn_params(cfg) - 2 * cfg.hidden_size
+                )
+                err = float(jnp.mean((full_out - out) ** 2))
+                cands.append(Candidate(kind, dataclasses.replace(cfg), dict(lp),
+                                       cost=cost, score=err, skip=skip))
+                continue
             ccfg, cp = _slice_layer_candidate(cfg, lp, sc, kind)
             if ccfg is None:
                 continue
-            out, _, _, _ = llama._decoder_layer(
-                ccfg, lay, False, x, cp, None, positions, mask, None
-            )
+            out = _layer_out(ccfg, x, cp, positions, mask)
             err = float(jnp.mean((full_out - out) ** 2))
             cands.append(
                 Candidate(kind, ccfg, cp, cost=_layer_param_count(ccfg), score=err)
@@ -177,9 +238,7 @@ def forward_hetero(
     for cand in result.layers:
         if cand.name == "noop":
             continue
-        x, _, _, _ = llama._decoder_layer(
-            cand.cfg, lay, False, x, cand.params, None, positions, mask, None
-        )
+        x = _layer_out(cand.cfg, x, cand.params, positions, mask, cand.skip)
     x = llama.rms_norm(x, params["norm"], base_cfg.rms_norm_eps)
     head_w = params.get("lm_head", params["embed_tokens"])
     return (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)

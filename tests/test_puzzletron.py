@@ -23,7 +23,8 @@ def test_library_built_and_scored(setup):
     lib = puzzle.build_and_score_library(cfg, params, batches)
     assert len(lib) == 4
     names = {c.name for c in lib[0]}
-    assert names == {"full", "ffn50", "kv50", "noop"}
+    assert {"full", "ffn50", "kv50", "noop", "ffn25", "ffn75",
+            "kv25", "ffn50+kv50", "attn_skip", "mlp_skip"} <= names
     full = next(c for c in lib[0] if c.name == "full")
     assert full.score == pytest.approx(0.0, abs=1e-9)  # full layer == itself
     noop = next(c for c in lib[0] if c.name == "noop")
@@ -53,3 +54,20 @@ def test_stitched_model_runs(setup):
     ref, _, _ = llama.forward(cfg, params, batches[0])
     out_full = puzzle.forward_hetero(cfg, params, res_full, batches[0])
     np.testing.assert_allclose(np.asarray(out_full), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_skip_candidates_semantics(setup):
+    """attn_skip output must equal x + mlp(norm2(x)) exactly."""
+    cfg, params, batches = setup
+    lib = puzzle.build_and_score_library(cfg, params, batches,
+                                         kinds=("full", "attn_skip", "mlp_skip"))
+    for cands in lib:
+        by = {c.name: c for c in cands}
+        assert by["attn_skip"].cost < by["full"].cost
+        assert by["mlp_skip"].cost < by["full"].cost
+        assert by["attn_skip"].skip == "attn"
+    # a puzzle picking skips still runs end to end
+    res = puzzle.run_puzzle(lib, param_budget_ratio=0.7)
+    logits = puzzle.forward_hetero(cfg, params, res, batches[0][:, :8])
+    assert np.isfinite(np.asarray(logits)).all()
+    assert any(c in ("attn_skip", "mlp_skip", "noop") for c in res.choices)
