@@ -221,7 +221,14 @@ KV_INT8_RULES = {
     "*v_bmm_quantizer": INT8_PER_TENSOR,
 }
 
+# affine variant: calibrated midrange bias + centered amax (`calib/bias.py`,
+# `kv_fp8_affine.yaml`)
+FP8_KV_AFFINE = dataclasses.replace(FP8_KV, bias_corr=True)
+KV_FP8_AFFINE_RULES = {"*k_bmm_quantizer": FP8_KV_AFFINE,
+                       "*v_bmm_quantizer": FP8_KV_AFFINE}
+
 FP8_KV_CFG = FP8_DEFAULT_CFG.with_rules(KV_FP8_RULES)
+FP8_KV_AFFINE_CFG = FP8_DEFAULT_CFG.with_rules(KV_FP8_AFFINE_RULES)
 NVFP4_KV_CFG = NVFP4_DEFAULT_CFG.with_rules(KV_NVFP4_RULES)
 INT4_AWQ_KV_FP8_CFG = INT4_AWQ_CFG.with_rules(KV_FP8_RULES)
 
@@ -249,6 +256,7 @@ PRESETS: dict[str, QuantizeConfig] = {
     "MXFP8_DEFAULT_CFG": MXFP8_DEFAULT_CFG,
     "NF4_WEIGHT_ONLY_CFG": NF4_WEIGHT_ONLY_CFG,
     "FP8_KV_CFG": FP8_KV_CFG,
+    "FP8_KV_AFFINE_CFG": FP8_KV_AFFINE_CFG,
     "INT4_AWQ_KV_FP8_CFG": INT4_AWQ_KV_FP8_CFG,
 }
 

@@ -222,6 +222,22 @@ def collect(x: jax.Array, cfg: QuantizerConfig, state: QuantizerState) -> Quanti
             cs = collect(x, sub, QuantizerState(amax=prev))
             new.append(cs.amax)
         return state.replace(amax=tuple(new))
+    if cfg.bias_corr:
+        # BiasCalibrator (`calib/bias.py`): affine KV variants track a
+        # per-tensor midrange bias; amax then describes the centered tensor.
+        x32 = x.astype(jnp.float32)
+        hi, lo = jnp.max(x32), jnp.min(x32)
+        if state.bias is None:
+            bias = (hi + lo) / 2.0
+            new_hi, new_lo = hi, lo
+        else:
+            # recover running extremes from (bias, amax): hi/lo = bias +- amax
+            prev_amax = state.amax if state.amax is not None else 0.0
+            new_hi = jnp.maximum(hi, state.bias + prev_amax)
+            new_lo = jnp.minimum(lo, state.bias - prev_amax)
+            bias = (new_hi + new_lo) / 2.0
+        amax = (new_hi - new_lo) / 2.0
+        return state.replace(amax=amax, bias=bias)
     la = local_amax(x, cfg)
     if la is None:
         return state
@@ -283,6 +299,10 @@ def quantize(
             x = _fake_quant_dispatch(x, sub, QuantizerState(amax=am)) if sub.enable else x
         return x
 
+    if cfg.bias_corr and state.bias is not None:
+        # affine: quantize the centered tensor, add the bias back
+        b = state.bias.astype(x.dtype)
+        return _fake_quant_dispatch(x - b, cfg, state) + b
     return _fake_quant_dispatch(x, cfg, state)
 
 

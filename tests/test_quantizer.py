@@ -1,5 +1,7 @@
 """Quantizer config/state/forward tests (TensorQuantizer-equivalent coverage)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +19,7 @@ from tensorrt_model_optimizer_tpu.quant import (
     quantize,
 )
 from tensorrt_model_optimizer_tpu.quant import config as qconfig
+from tensorrt_model_optimizer_tpu.quant import quantizer as Q
 
 
 class TestAmaxShape:
@@ -179,3 +182,44 @@ class TestConfigResolution:
             ]:
                 c = cfg.resolve(site)
                 assert isinstance(c, QuantizerConfig)
+
+
+class TestAffineBias:
+    """BiasCalibrator semantics (`calib/bias.py`): midrange bias + centered
+    amax — asymmetric tensors quantize with far less error."""
+
+    def test_collect_tracks_midrange(self):
+        cfg = Q.QuantizerConfig(enable=True, num_bits=(4, 3), bias_corr=True)
+        x = jnp.asarray(np.linspace(2.0, 6.0, 64, dtype=np.float32))
+        st = Q.collect(x, cfg, Q.QuantizerState())
+        assert abs(float(st.bias) - 4.0) < 1e-5
+        assert abs(float(st.amax) - 2.0) < 1e-5
+        # running update with a wider batch extends the range
+        x2 = jnp.asarray(np.linspace(-2.0, 6.0, 64, dtype=np.float32))
+        st = Q.collect(x2, cfg, st)
+        assert abs(float(st.bias) - 2.0) < 1e-5
+        assert abs(float(st.amax) - 4.0) < 1e-5
+
+    def test_affine_beats_symmetric_on_shifted_data(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray((rng.normal(size=(256,)) * 0.1 + 5.0).astype(np.float32))
+        sym = Q.QuantizerConfig(enable=True, num_bits=(4, 3))
+        aff = dataclasses.replace(sym, bias_corr=True)
+        st_s = Q.collect(x, sym, Q.QuantizerState())
+        st_a = Q.collect(x, aff, Q.QuantizerState())
+        err_s = float(jnp.mean((Q.quantize(x, sym, st_s) - x) ** 2))
+        err_a = float(jnp.mean((Q.quantize(x, aff, st_a) - x) ** 2))
+        assert err_a < err_s * 0.5, (err_a, err_s)
+
+    def test_affine_kv_preset_end_to_end(self):
+        from tensorrt_model_optimizer_tpu.models import llama
+        from tensorrt_model_optimizer_tpu.quant import ptq
+
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        batches = [jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 16)))]
+        model = ptq.quantize(cfg, params, "FP8_KV_AFFINE_CFG", batches)
+        st = model.qstate["self_attn.k_bmm"]
+        assert st.bias is not None
+        logits, _, _ = model.forward(batches[0])
+        assert np.isfinite(np.asarray(logits)).all()
