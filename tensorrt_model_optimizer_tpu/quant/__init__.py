@@ -5,7 +5,9 @@ from .config import (  # noqa: F401
     get_preset,
     make_config,
 )
-from .quantizer import (  # noqa: F401
+from .quantizer import (
+    register_quant_backend,
+    unregister_quant_backend,  # noqa: F401
     DISABLED,
     QuantizerConfig,
     QuantizerState,

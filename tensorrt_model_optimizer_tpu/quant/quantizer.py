@@ -306,7 +306,26 @@ def quantize(
     return _fake_quant_dispatch(x, cfg, state)
 
 
+# Custom backend registry (`tensor_quantizer.py:92` register_quant_backend):
+# pluggable fake-quant functionals selected via QuantizerConfig.backend.
+_QUANT_BACKENDS: dict = {}
+
+
+def register_quant_backend(name: str, fn) -> None:
+    """Register `fn(x, cfg, state) -> x_q` under `name`; a QuantizerConfig
+    with backend=name routes its fake-quant through it."""
+    _QUANT_BACKENDS[name] = fn
+
+
+def unregister_quant_backend(name: str) -> None:
+    _QUANT_BACKENDS.pop(name, None)
+
+
 def _fake_quant_dispatch(x, cfg: QuantizerConfig, state: QuantizerState):
+    if cfg.backend is not None:
+        if cfg.backend not in _QUANT_BACKENDS:
+            raise KeyError(f"quant backend {cfg.backend!r} not registered")
+        return _QUANT_BACKENDS[cfg.backend](x, cfg, state)
     blk = cfg.block
     dynamic_block = blk is not None and (blk.dynamic or cfg.dynamic) and blk.sizes
 

@@ -223,3 +223,25 @@ class TestAffineBias:
         assert st.bias is not None
         logits, _, _ = model.forward(batches[0])
         assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_custom_backend_registry():
+    """register_quant_backend routes fake-quant through the custom fn."""
+    calls = []
+
+    def my_backend(x, cfg, state):
+        calls.append(cfg.num_bits)
+        return x * 0 + 7.0
+
+    Q.register_quant_backend("sevens", my_backend)
+    try:
+        cfg = Q.QuantizerConfig(enable=True, num_bits=8, backend="sevens")
+        out = Q.quantize(jnp.ones((4,)), cfg, Q.QuantizerState())
+        np.testing.assert_allclose(np.asarray(out), 7.0)
+        assert calls == [8]
+        with pytest.raises(KeyError):
+            Q.quantize(jnp.ones((4,)),
+                       Q.QuantizerConfig(enable=True, num_bits=8, backend="nope"),
+                       Q.QuantizerState())
+    finally:
+        Q.unregister_quant_backend("sevens")
