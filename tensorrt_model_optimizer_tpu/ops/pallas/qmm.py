@@ -345,6 +345,128 @@ def qmm_nvfp4(
 
 
 # --------------------------------------------------------------------------
+# NVFP4, K-permuted layout: exact-bf16 elementwise scales + full-depth dots
+# --------------------------------------------------------------------------
+#
+# The blockdot kernel above issues 2*nblk depth-16 partial dots per tile —
+# MXU-latency bound. This variant permutes lanes inside each K tile to
+# block-index-fastest order (old lane b*16+p -> new lane p*nblk+b), so the
+# per-block E4M3 scales expand to a full [TO, TK] tile with a single
+# pltpu.repeat (which concatenates WHOLE copies: s0..s_{nblk-1} repeated —
+# exactly the permuted layout's scale pattern). Scales multiply into the
+# decoded values elementwise (E2M1 value x E4M3 scale has <= 6 significand
+# bits — exact in bf16), then ONE full-depth dot per plane per tile.
+# Activations get the same static lane permutation (a reshape-transpose,
+# fused by XLA); x_perm @ w_perm^T == x @ w^T.
+
+
+def nvfp4_perm_tile(K: int) -> int:
+    """K-tile used by the permuted layout (keep in sync pack <-> matmul)."""
+    return 2048 if K % 2048 == 0 else K
+
+
+def permute_k(a: jax.Array, K_axis: int, tk: int, bsz: int = 16) -> jax.Array:
+    """Reorder lanes within each tk-sized K tile: b*bsz+p -> p*nblk+b."""
+    nblk = tk // bsz
+    shape = a.shape
+    K = shape[K_axis]
+    a = jnp.moveaxis(a, K_axis, -1)
+    lead = a.shape[:-1]
+    a = a.reshape(lead + (K // tk, nblk, bsz))
+    a = jnp.swapaxes(a, -1, -2).reshape(lead + (K,))
+    return jnp.moveaxis(a, -1, K_axis)
+
+
+def _nvfp4_perm_kernel(rep, x_ref, w_ref, sl_ref, sh_ref, gs_ref,
+                       lo_ref, hi_ref, accl, acch):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        accl[:] = jnp.zeros_like(accl)
+        acch[:] = jnp.zeros_like(acch)
+
+    p32 = w_ref[:].astype(jnp.int32)
+    # bf16 throughout: E2M1 value x E4M3 scale has <= 6 significand bits,
+    # exact in bf16 — and halves VMEM vs f32 intermediates.
+    sl_full = pltpu.repeat(sl_ref[:], rep, axis=1)  # [TO, TK], tiled copies
+    sh_full = pltpu.repeat(sh_ref[:], rep, axis=1)
+    lo = _fp4_decode_bf16(p32 & 0xF).astype(jnp.bfloat16) * sl_full
+    hi = _fp4_decode_bf16((p32 >> 4) & 0xF).astype(jnp.bfloat16) * sh_full
+    x = x_ref[:]
+    accl[:] += jax.lax.dot_general(
+        x, lo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    acch[:] += jax.lax.dot_general(
+        x, hi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        gs = gs_ref[0, 0]
+        lo_ref[:] = (accl[:] * gs).astype(lo_ref.dtype)
+        hi_ref[:] = (acch[:] * gs).astype(hi_ref.dtype)
+
+
+def nvfp4_perm_pack(packed: jax.Array, scale_lo: jax.Array, scale_hi: jax.Array):
+    """One-time layout conversion: permute packed lanes tile-wise.
+
+    Scales stay in [O/2, K/16] block order (the kernel reads them per-tile
+    as [TO, nblk] and tiles them across lanes). Returns (packed_perm, sl_f32,
+    sh_f32)."""
+    K = packed.shape[1]
+    tk = nvfp4_perm_tile(K)
+    return (permute_k(packed, 1, tk),
+            scale_lo.astype(jnp.float32).astype(jnp.bfloat16),
+            scale_hi.astype(jnp.float32).astype(jnp.bfloat16))
+
+
+def qmm_nvfp4_perm(
+    x: jax.Array,
+    packed_perm: jax.Array,  # [O/2, K] uint8, K-permuted
+    scale_lo: jax.Array,  # [O/2, K/16] f32
+    scale_hi: jax.Array,
+    global_scale: jax.Array,
+    block_size: int = 16,
+) -> jax.Array:
+    N, K = x.shape
+    O2 = packed_perm.shape[0]
+    tk = nvfp4_perm_tile(K)
+    gk = K // tk
+    nblk = tk // block_size
+    to = min(128, O2)  # TO=128: keeps decode+scale intermediates in VMEM
+    while O2 % to:
+        to //= 2
+    go = O2 // to
+    xp = permute_k(x, 1, tk)
+    gs2 = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+    kern = functools.partial(_nvfp4_perm_kernel, block_size)
+    lo, hi = pl.pallas_call(
+        kern,
+        grid=(go, gk),
+        in_specs=[
+            pl.BlockSpec((N, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, tk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, nblk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, nblk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((N, to), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, to), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, O2), x.dtype),
+            jax.ShapeDtypeStruct((N, O2), x.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, to), jnp.float32),
+            pltpu.VMEM((N, to), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xp, packed_perm, scale_lo, scale_hi, gs2)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+# --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
 

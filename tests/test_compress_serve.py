@@ -291,3 +291,32 @@ class TestMoreFormats:
         err_with = np.abs(a - b).mean()
         err_wo = np.abs(a - np.asarray(no_ad[:, -1]).ravel()).mean()
         assert err_with < err_wo, (err_with, err_wo)
+
+    def test_nvfp4_perm_kernel_matches_blockdot(self):
+        """K-permuted NVFP4 kernel (full-depth dots + tiled-concat scale
+        expansion) is bit-identical to the blockdot kernel."""
+        from tensorrt_model_optimizer_tpu.quant.config import NVFP4_BLOCK16
+
+        rng = np.random.default_rng(0)
+        for O, K in [(128, 256), (64, 2048)]:
+            w = jnp.asarray(rng.normal(size=(O, K)).astype(np.float32))
+            x = jnp.asarray(rng.normal(size=(8, K)).astype(np.float32)).astype(jnp.bfloat16)
+            kind, arrays = compress.compress_weight(w, NVFP4_BLOCK16, None)
+            ref = qmm.qmm_nvfp4(x, arrays["packed"],
+                                arrays["scale_lo"].astype(jnp.float32),
+                                arrays["scale_hi"].astype(jnp.float32),
+                                arrays["global_scale"])
+            pp, sl, sh = qmm.nvfp4_perm_pack(arrays["packed"], arrays["scale_lo"],
+                                             arrays["scale_hi"])
+            out = qmm.qmm_nvfp4_perm(x, pp, sl, sh, arrays["global_scale"])
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_permute_k_roundtrip(self):
+        x = jnp.arange(2 * 4096).reshape(2, 4096)
+        p = qmm.permute_k(x, 1, 2048)
+        # new lane p*128+b holds old lane b*16+p
+        xs = np.asarray(x); ps = np.asarray(p)
+        assert ps[0, 0] == xs[0, 0]
+        assert ps[0, 1] == xs[0, 16]      # b=1, p=0
+        assert ps[0, 128] == xs[0, 1]     # p=1, b=0
+        assert ps[1, 2048 + 128] == xs[1, 2048 + 1]
