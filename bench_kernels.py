@@ -81,6 +81,10 @@ def main():
     gs = jnp.asarray(1e-3, jnp.float32)
     measure("nvfp4_pallas", lambda x, w, a, b, g: qmm.qmm_nvfp4(x, w, a, b, g), O * K // 2, Wp, slf4, slf4, gs)
 
+    slb = slf4.astype(jnp.bfloat16)
+    measure("nvfp4_perm", lambda x, w, a, b, g: qmm.qmm_nvfp4_perm(x, w, a, b, g),
+            O * K // 2, Wp, slb, slb, gs)
+
     Wf8 = jnp.asarray((rng.normal(size=(O, K)) * 0.1).astype(np.float32)).astype(jnp.float8_e4m3fn)
     measure("fp8_pallas", lambda x, w, s: qmm.qmm_fp8(x, w, s), O * K, Wf8, s8)
 

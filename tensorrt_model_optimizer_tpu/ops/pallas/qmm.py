@@ -377,6 +377,21 @@ def permute_k(a: jax.Array, K_axis: int, tk: int, bsz: int = 16) -> jax.Array:
     return jnp.moveaxis(a, -1, K_axis)
 
 
+def unpermute_k(a: jax.Array, K_axis: int, tk: int, bsz: int = 16) -> jax.Array:
+    """Inverse of permute_k (swap the roles of bsz and nblk)."""
+    return _unpermute_k(a, K_axis, tk, bsz)
+
+
+def _unpermute_k(a: jax.Array, K_axis: int, tk: int, bsz: int = 16) -> jax.Array:
+    nblk = tk // bsz
+    K = a.shape[K_axis]
+    a = jnp.moveaxis(a, K_axis, -1)
+    lead = a.shape[:-1]
+    a = a.reshape(lead + (K // tk, bsz, nblk))
+    a = jnp.swapaxes(a, -1, -2).reshape(lead + (K,))
+    return jnp.moveaxis(a, -1, K_axis)
+
+
 def _nvfp4_perm_kernel(rep, x_ref, w_ref, sl_ref, sh_ref, gs_ref,
                        lo_ref, hi_ref, accl, acch):
     j = pl.program_id(1)
@@ -426,13 +441,14 @@ def qmm_nvfp4_perm(
     scale_hi: jax.Array,
     global_scale: jax.Array,
     block_size: int = 16,
+    tile_o: int = 128,
 ) -> jax.Array:
     N, K = x.shape
     O2 = packed_perm.shape[0]
     tk = nvfp4_perm_tile(K)
     gk = K // tk
     nblk = tk // block_size
-    to = min(128, O2)  # TO=128: keeps decode+scale intermediates in VMEM
+    to = min(tile_o, O2)  # 128 default: keeps decode+scale tiles in VMEM
     while O2 % to:
         to //= 2
     go = O2 // to
@@ -490,6 +506,9 @@ def quantized_matmul(x: jax.Array, kind: str, arrays: dict) -> jax.Array:
         sl = arrays["scale_lo"].astype(jnp.float32)
         sh = arrays["scale_hi"].astype(jnp.float32)
         return qmm_nvfp4(x, arrays["packed"], sl, sh, arrays["global_scale"])
+    if kind == "nvfp4p":  # K-permuted layout (convert_nvfp4_perm)
+        return qmm_nvfp4_perm(x, arrays["packed"], arrays["scale_lo"],
+                              arrays["scale_hi"], arrays["global_scale"])
     if kind == "bf16":
         return x @ arrays["w"].T.astype(x.dtype)
     raise ValueError(f"unknown kind {kind!r}")

@@ -143,6 +143,31 @@ def compress_weight(
     return "bf16", {"w": w.astype(jnp.bfloat16)}
 
 
+def convert_nvfp4_perm(cm: "CompressedModel") -> "CompressedModel":
+    """One-time layout conversion: nvfp4 -> nvfp4p (K-permuted packed lanes
+    + bf16 scales) for the faster full-depth-dot serving kernel
+    (`ops/pallas/qmm.qmm_nvfp4_perm`). Stacked [L, O/2, K] arrays permute on
+    the last axis; everything else passes through."""
+    from ..ops.pallas import qmm as qmm_mod
+
+    new_layers = dict(cm.params["layers"])
+    kinds = dict(cm.kinds)
+    for name, kind in cm.kinds.items():
+        if kind != "nvfp4":
+            continue
+        arr = dict(new_layers[name])
+        K = arr["packed"].shape[-1]
+        tk = qmm_mod.nvfp4_perm_tile(K)
+        arr["packed"] = qmm_mod.permute_k(arr["packed"], -1, tk)
+        arr["scale_lo"] = arr["scale_lo"].astype(jnp.float32).astype(jnp.bfloat16)
+        arr["scale_hi"] = arr["scale_hi"].astype(jnp.float32).astype(jnp.bfloat16)
+        new_layers[name] = arr
+        kinds[name] = "nvfp4p"
+    params = dict(cm.params)
+    params["layers"] = new_layers
+    return dataclasses.replace(cm, params=params, kinds=kinds)
+
+
 def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Array:
     """Reference dequantization (correctness baseline for the fused kernels)."""
     if kind == "bf16":
@@ -177,6 +202,14 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
             arrays["scale_hi"].astype(jnp.float32) * gsb, hi.shape, ((-1, bsz),)
         )
         return jnp.concatenate([lo_f, hi_f], axis=-2).astype(out_dtype)
+    if kind == "nvfp4p":
+        from ..ops.pallas import qmm as qmm_mod
+
+        K = arrays["packed"].shape[-1]
+        tk = qmm_mod.nvfp4_perm_tile(K)
+        arrs = dict(arrays)
+        arrs["packed"] = qmm_mod.unpermute_k(arrays["packed"], -1, tk)
+        return decompress_weight("nvfp4", arrs, out_dtype)
     raise ValueError(f"unknown kind {kind!r}")
 
 

@@ -39,6 +39,9 @@ class EngineConfig:
     # paged decode attention via the Pallas kernel (scalar-prefetched block
     # tables); False = jnp gather path
     paged_attention_kernel: bool = False
+    # NVFP4 serving layout: "perm" converts to the K-permuted kernel layout
+    # at engine init (full-depth MXU dots; measured >= blockdot on-chip)
+    nvfp4_layout: str = "perm"  # "perm" | "blockdot"
 
 
 def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
@@ -387,6 +390,10 @@ class Engine:
     """Generation engine over a compressed model."""
 
     def __init__(self, cm: CompressedModel, config: EngineConfig = EngineConfig()):
+        if config.nvfp4_layout == "perm" and "nvfp4" in cm.kinds.values():
+            from ..quant.compress import convert_nvfp4_perm
+
+            cm = convert_nvfp4_perm(cm)
         self.cm = cm
         self.cfg = cm.model_cfg
         self.ecfg = config

@@ -320,3 +320,22 @@ class TestMoreFormats:
         assert ps[0, 1] == xs[0, 16]      # b=1, p=0
         assert ps[0, 128] == xs[0, 1]     # p=1, b=0
         assert ps[1, 2048 + 128] == xs[1, 2048 + 1]
+
+    def test_nvfp4p_layout_roundtrip_and_engine(self, tiny_ptq):
+        """convert_nvfp4_perm: decompress inverts the permutation exactly,
+        and the engine (which defaults to the perm layout) stays in parity."""
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "NVFP4_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        cmp_ = compress.convert_nvfp4_perm(cm)
+        assert cmp_.kinds["mlp.down_proj"] == "nvfp4p"
+        d0 = compress.decompress_weight("nvfp4", {k: v[0] for k, v in cm.params["layers"]["mlp.down_proj"].items()}, out_dtype=jnp.float32)
+        d1 = compress.decompress_weight("nvfp4p", {k: v[0] for k, v in cmp_.params["layers"]["mlp.down_proj"].items()}, out_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=32, backend="pallas"))
+        assert eng.cm.kinds["mlp.down_proj"] == "nvfp4p"
+        prompt = batches[0][:, :8]
+        logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+        ref, _, _ = model.forward(prompt)
+        corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref[:, -1]).ravel())[0, 1]
+        assert corr > 0.99, corr
