@@ -45,3 +45,17 @@ def test_serve_demo():
              "--max_new_tokens", "3"])
     assert r.returncode == 0, r.stderr[-800:]
     assert "request 1" in r.stdout
+
+
+def test_diffusion_ptq_unet():
+    r = run(["examples/diffusion_ptq.py", "--cpu", "--backbone", "unet",
+             "--qformat", "INT8_DEFAULT_CFG", "--steps", "2"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "corr=" in r.stdout and "done" in r.stdout
+
+
+def test_speculative_decoding_tree():
+    r = run(["examples/speculative_decoding.py", "--cpu", "--mode", "medusa",
+             "--tree", "--train_steps", "3", "--decode_steps", "4"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "TREE verify" in r.stdout
