@@ -230,6 +230,18 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
     return logits, new_cache
 
 
+def _kv_scales(kv_dtype, k_amax_l, v_amax_l):
+    """Dequant scales for quantized-KV kernels (fold k into q, v into ctx)."""
+    if kv_dtype == jnp.int8:
+        return ((k_amax_l if k_amax_l is not None else 448.0) / 127.0,
+                (v_amax_l if v_amax_l is not None else 448.0) / 127.0)
+    if kv_dtype == jnp.float8_e4m3fn:
+        k = jnp.maximum((k_amax_l if k_amax_l is not None else jnp.asarray(448.0)).astype(jnp.float32), 1e-12) / 448.0
+        v = jnp.maximum((v_amax_l if v_amax_l is not None else jnp.asarray(448.0)).astype(jnp.float32), 1e-12) / 448.0
+        return k, v
+    return None, None
+
+
 def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
                       positions, k_amax_l, v_amax_l, write_mask=None):
     """Paged attention for ONE layer, T tokens per slot (T=1 decode, T>1
@@ -261,6 +273,24 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
     layer_vp = layer_vp.at[page_ids.reshape(-1), :, poff.reshape(-1)].set(
         vs.reshape(B * T, nKV, hd), unique_indices=True, mode="drop")
 
+    if ecfg.paged_attention_kernel and T > 1:
+        # Batched chunked-prefill kernel: context pages stream via block
+        # tables; the chunk's kv goes in QUANTIZED (stored) form so one
+        # k_scale fold into q covers both context and chunk scores.
+        from ..ops.pallas import paged_attention as pa_kernel
+
+        k_sc, v_sc = _kv_scales(kv_dtype, k_amax_l, v_amax_l)
+        qk = x_q
+        if k_sc is not None:
+            qk = (qk.astype(jnp.float32) * k_sc).astype(x_q.dtype)
+        ctx = pa_kernel.paged_attention_prefill(
+            qk, layer_kp, layer_vp, cache.block_table, pos,
+            ks.astype(layer_kp.dtype), vs.astype(layer_vp.dtype),
+        )
+        if v_sc is not None:
+            ctx = (ctx.astype(jnp.float32) * v_sc).astype(x_q.dtype)
+        return ctx.reshape(B, T, nH * hd).astype(x_q.dtype), layer_kp, layer_vp
+
     if ecfg.paged_attention_kernel and T == 1:
         # Pallas kernel path: pages stream via scalar-prefetched block
         # tables. Quantized-KV scales fold exactly: k_scale into q (scores
@@ -268,18 +298,7 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
         from ..ops.pallas import paged_attention as pa_kernel
 
         qk = x_q[:, 0]  # [B, nH, hd]
-        if kv_dtype == jnp.int8:
-            k_sc = (k_amax_l if k_amax_l is not None else 448.0) / 127.0
-            v_sc = (v_amax_l if v_amax_l is not None else 448.0) / 127.0
-        elif kv_dtype == jnp.float8_e4m3fn:
-            k_sc = jnp.maximum(
-                (k_amax_l if k_amax_l is not None else jnp.asarray(448.0)).astype(jnp.float32), 1e-12
-            ) / 448.0
-            v_sc = jnp.maximum(
-                (v_amax_l if v_amax_l is not None else jnp.asarray(448.0)).astype(jnp.float32), 1e-12
-            ) / 448.0
-        else:
-            k_sc = v_sc = None
+        k_sc, v_sc = _kv_scales(kv_dtype, k_amax_l, v_amax_l)
         if k_sc is not None:
             qk = (qk.astype(jnp.float32) * k_sc).astype(qk.dtype)
         # pages pass RAW (int8/fp8 stay packed; the kernel converts per tile)

@@ -63,3 +63,68 @@ def test_gqa_repeat():
     out = pa.paged_attention_decode(q, k_pages, v_pages, jnp.asarray(bt), jnp.asarray(lens))
     ref = ref_paged_attention(q, k_pages, v_pages, bt, lens)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+class TestPagedPrefillKernel:
+    def _setup(self, B=2, T=8, ctx=(13, 5), n_kv=2, rep=2, page=8, hd=32):
+        rng = np.random.default_rng(0)
+        nH = n_kv * rep
+        maxP = 4
+        n_pages = 1 + B * maxP
+        k_pages = jnp.asarray(rng.normal(size=(n_pages, n_kv, page, hd)).astype(np.float32))
+        v_pages = jnp.asarray(rng.normal(size=(n_pages, n_kv, page, hd)).astype(np.float32))
+        bt = np.full((B, maxP), -1, np.int32)
+        for b in range(B):
+            for i in range((ctx[b] + page - 1) // page):
+                bt[b, i] = 1 + b * maxP + i
+        q = jnp.asarray(rng.normal(size=(B, T, nH, hd)).astype(np.float32))
+        ck = jnp.asarray(rng.normal(size=(B, T, n_kv, hd)).astype(np.float32))
+        cv = jnp.asarray(rng.normal(size=(B, T, n_kv, hd)).astype(np.float32))
+        lens = jnp.asarray(list(ctx), jnp.int32)
+        return q, k_pages, v_pages, jnp.asarray(bt), lens, ck, cv, page, rep
+
+    def _reference(self, q, k_pages, v_pages, bt, lens, ck, cv, page, rep):
+        B, T, nH, hd = q.shape
+        outs = []
+        for b in range(B):
+            L = int(lens[b])
+            ks, vs = [], []
+            for i in range((L + page - 1) // page):
+                pid = int(bt[b, i])
+                n = min(page, L - i * page)
+                ks.append(np.asarray(k_pages[pid, :, :n]))  # [n_kv, n, hd]
+                vs.append(np.asarray(v_pages[pid, :, :n]))
+            kc = np.concatenate(ks, axis=1) if ks else np.zeros((k_pages.shape[1], 0, hd))
+            vc = np.concatenate(vs, axis=1) if vs else kc
+            # append chunk
+            kc = np.concatenate([kc, np.asarray(ck[b]).transpose(1, 0, 2)], axis=1)
+            vc = np.concatenate([vc, np.asarray(cv[b]).transpose(1, 0, 2)], axis=1)
+            kc = np.repeat(kc, rep, axis=0)  # [nH, S, hd]
+            vc = np.repeat(vc, rep, axis=0)
+            qb = np.asarray(q[b]).transpose(1, 0, 2)  # [nH, T, hd]
+            s = np.einsum("ntd,nsd->nts", qb, kc) / np.sqrt(hd)
+            S = kc.shape[1]
+            for t in range(T):
+                s[:, t, L + t + 1:] = -1e30  # causal over chunk part
+            p = np.exp(s - s.max(-1, keepdims=True))
+            p = p / p.sum(-1, keepdims=True)
+            o = np.einsum("nts,nsd->ntd", p, vc)
+            outs.append(o.transpose(1, 0, 2))
+        return np.stack(outs)
+
+    def test_matches_reference(self):
+        from tensorrt_model_optimizer_tpu.ops.pallas import paged_attention as pa
+
+        args = self._setup()
+        out = pa.paged_attention_prefill(*args[:7])
+        ref = self._reference(*args)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+    def test_zero_context(self):
+        """Pure prefill from scratch: only the causal chunk contributes."""
+        from tensorrt_model_optimizer_tpu.ops.pallas import paged_attention as pa
+
+        args = list(self._setup(ctx=(0, 0)))
+        out = pa.paged_attention_prefill(*args[:7])
+        ref = self._reference(*args)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)

@@ -100,3 +100,32 @@ def test_chunked_prefill_matches_dense(eng):
     la, _ = eng.paged_step(toks2, cache_a, act)
     lb, _ = eng.paged_step(toks2, cache_b, act)
     np.testing.assert_allclose(np.asarray(la[0]), np.asarray(lb[0]), rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_prefill_kernel_matches_gather(eng):
+    """Chunked prefill through the Pallas prefill kernel == jnp gather path."""
+    import dataclasses as dc
+
+    rng = np.random.default_rng(11)
+    prompt = jnp.asarray(rng.integers(0, 256, size=(1, 21)).astype(np.int32))
+    bt = np.full((2, 8), -1, np.int32); bt[0, :5] = [1, 2, 3, 4, 5]; bt[1, :] = 0
+
+    cache_a = eng.init_paged_cache(n_pages=32, page_size=8, max_slots=2, max_pages_per_seq=8)
+    cache_a = dc.replace(cache_a, block_table=jnp.asarray(bt))
+    logits_a, cache_a = eng.prefill_chunked(cache_a, 0, prompt, chunk=8)
+
+    eng_k = serve_engine.Engine(
+        eng.cm,
+        serve_engine.EngineConfig(max_seq_len=64, backend="xla",
+                                  paged_attention_kernel=True),
+    )
+    cache_b = eng_k.init_paged_cache(n_pages=32, page_size=8, max_slots=2, max_pages_per_seq=8)
+    cache_b = dc.replace(cache_b, block_table=jnp.asarray(bt))
+    logits_b, cache_b = eng_k.prefill_chunked(cache_b, 0, prompt, chunk=8)
+
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                               rtol=2e-4, atol=2e-4)
+    # pages written identically
+    np.testing.assert_allclose(np.asarray(cache_a.k_pages[:, 1:6]),
+                               np.asarray(cache_b.k_pages[:, 1:6]),
+                               rtol=1e-5, atol=1e-5)
