@@ -234,8 +234,13 @@ def forward(
     layout: Optional[llama.QuantLayout] = None,
     qstate: Optional[dict] = None,
     calib: bool = False,
+    capture_tokens: int = 0,
 ):
-    """MoE forward (prefill-style; decode cache comes via the llama engine)."""
+    """MoE forward (prefill-style; decode cache comes via the llama engine).
+
+    With `capture_tokens > 0` returns (logits, states, captures) where
+    captures = {"attn_in": [L, n, d], "moe_in": [L, n, d]} — the activation
+    capture AutoQuantize scores against (llama `_grab` analog)."""
     if layout is None:
         layout = llama.QuantLayout(sites=())
     B, T = tokens.shape
@@ -248,19 +253,27 @@ def forward(
     def body(carry, per_layer):
         x = carry
         lp, lstate = per_layer
+        caps = {}
         h = llama.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        if capture_tokens:
+            caps["attn_in"] = llama._grab(h, capture_tokens)
         attn, st_a, _, _ = llama._attention(
             cfg, h, lp, lstate, layout, positions, mask, None, calib
         )
         x = x + attn
         h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        if capture_tokens:
+            caps["moe_in"] = llama._grab(h, capture_tokens)
         moe_out, st_m = _moe_mlp(cfg, h, lp, lstate, layout, calib)
         x = x + moe_out
-        return x, {**st_a, **st_m}
+        return x, ({**st_a, **st_m}, caps)
 
     lstate = llama._strip_global(qstate)
-    x, new_lstate = jax.lax.scan(body, x, (params["layers"], lstate))
+    x, (new_lstate, captures) = jax.lax.scan(body, x, (params["layers"], lstate))
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head_w = params.get("lm_head", params["embed_tokens"])
     logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
-    return logits, (dict(new_lstate) if (calib or qstate) else None)
+    st = dict(new_lstate) if (calib or qstate) else None
+    if capture_tokens:
+        return logits, st, captures
+    return logits, st

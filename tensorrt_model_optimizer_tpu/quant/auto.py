@@ -318,3 +318,126 @@ def _solve_ilp(scores: np.ndarray, costs: np.ndarray, budget: float) -> np.ndarr
         if best_move is None:
             return pick
         pick[best_move[0]] = best_move[1]
+
+
+# --------------------------------------------------------------------------
+# MoE AutoQuantize with the active-expert cost model
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class AutoQuantizeMoEResult:
+    choice: list  # per layer: {"attn": cand_idx, "moe": cand_idx}
+    layer_layouts: list
+    effective_bits: float
+    expert_cost_ratio: float
+
+
+def auto_quantize_moe(
+    cfg,  # mixtral.MixtralConfig
+    params,
+    candidates: Sequence[str | QuantizeConfig],
+    calib_batches: Iterable[jax.Array],
+    effective_bits: float = 6.0,
+    capture_tokens: int = 64,
+    expert_cost_ratio: Optional[float] = None,
+) -> AutoQuantizeMoEResult:
+    """AutoQuantize for routed-MoE models with active-expert costing.
+
+    The reference's ActiveMoECostModel (`_auto_quantize_cost.py:166`) scales
+    routed-expert weight cost by top_k/num_experts — per decoded token only
+    the active experts' bytes are read, so effective-bits budgets should
+    count them at the active ratio. Scores are KL-div on captured layer
+    inputs (gradient-free); expert scores average over experts weighted by
+    the same usage ratio.
+    """
+    from ..models import mixtral
+
+    batches = list(calib_batches)
+    tokens = batches[0]
+    ratio = (expert_cost_ratio if expert_cost_ratio is not None
+             else cfg.top_k / cfg.num_experts)  # infer_active_moe_expert_ratio
+    _, _, caps = jax.jit(
+        lambda t: mixtral.forward(cfg, params, t, capture_tokens=capture_tokens)
+    )(tokens)
+    X_attn, X_moe = caps["attn_in"], caps["moe_in"]
+
+    cand_cfgs = [get_preset(c) if isinstance(c, str) else c for c in candidates]
+    L, E = cfg.num_hidden_layers, cfg.num_experts
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    hd, nH, nKV = cfg.hd, cfg.num_attention_heads, cfg.num_key_value_heads
+
+    attn_members = ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+                    "self_attn.o_proj"]
+    attn_params = (2 * nH * hd * H + 2 * nKV * hd * H)
+    expert_params = 3 * I * H * E  # raw bytes; cost scaled by `ratio`
+
+    scores, costs = [], []
+    for cand in cand_cfgs:
+        s_attn = jnp.zeros(L)
+        bits_a = 16.0
+        for m in attn_members:
+            wcfg = cand.resolve(f"model.layers.0.{m}.weight_quantizer")
+            # o_proj scored on attn_in as a proxy (same hidden distribution)
+            s_attn = s_attn + jax.jit(_candidate_kl_score, static_argnums=2)(
+                X_attn, params["layers"][m], wcfg)
+            bits_a = min(bits_a, wcfg.fake_bits if wcfg.enable else 16.0)
+        s_moe = jnp.zeros(L)
+        bits_m = 16.0
+        for m in mixtral.MOE_NAMES:
+            wcfg = cand.resolve(f"model.layers.0.{m}.weight_quantizer")
+            w = params["layers"][m]  # [L, E, O, I]
+            if m == "moe.down_proj":
+                # down input = silu(X Wg^T) * (X Wu^T), computed per expert
+                def down_score(e):
+                    wg = params["layers"]["moe.gate_proj"][:, e]
+                    wu = params["layers"]["moe.up_proj"][:, e]
+                    x32 = X_moe.astype(jnp.float32)
+                    g = jnp.einsum("lni,loi->lno", x32, wg.astype(jnp.float32))
+                    u = jnp.einsum("lni,loi->lno", x32, wu.astype(jnp.float32))
+                    y = jax.nn.silu(g) * u
+                    return _candidate_kl_score(y, w[:, e], wcfg)
+                per_e = [jax.jit(down_score)(e) for e in range(E)]
+            else:
+                per_e = [
+                    jax.jit(_candidate_kl_score, static_argnums=2)(X_moe, w[:, e], wcfg)
+                    for e in range(E)
+                ]
+            s_moe = s_moe + ratio * sum(per_e)
+            bits_m = min(bits_m, wcfg.fake_bits if wcfg.enable else 16.0)
+        scores.append((np.asarray(s_attn), np.asarray(s_moe)))
+        costs.append((bits_a * attn_params / 8.0,
+                      bits_m * expert_params * ratio / 8.0))
+
+    rows_s, rows_c, rows_meta = [], [], []
+    for i in range(L):
+        rows_meta.append((i, "attn"))
+        rows_s.append([s[0][i] for s in scores])
+        rows_c.append([c[0] for c in costs])
+        rows_meta.append((i, "moe"))
+        rows_s.append([s[1][i] for s in scores])
+        rows_c.append([c[1] for c in costs])
+
+    total = (attn_params + expert_params * ratio) * L
+    budget = effective_bits * total / 8.0
+    pick = _solve_ilp(np.asarray(rows_s), np.asarray(rows_c), budget)
+
+    choice = [dict() for _ in range(L)]
+    for row, (layer, key) in enumerate(rows_meta):
+        choice[layer][key] = int(pick[row])
+    layer_layouts = []
+    spent = 0.0
+    for i in range(L):
+        sites = {}
+        ca = cand_cfgs[choice[i]["attn"]]
+        cm_ = cand_cfgs[choice[i]["moe"]]
+        for m in attn_members:
+            sites[f"{m}.weight"] = ca.resolve(f"model.layers.0.{m}.weight_quantizer")
+            sites[f"{m}.input"] = ca.resolve(f"model.layers.0.{m}.input_quantizer")
+        for m in mixtral.MOE_NAMES:
+            sites[f"{m}.weight"] = cm_.resolve(f"model.layers.0.{m}.weight_quantizer")
+            sites[f"{m}.input"] = cm_.resolve(f"model.layers.0.{m}.input_quantizer")
+        layer_layouts.append(llama.QuantLayout(sites=tuple(sites.items())))
+        spent += rows_c[2 * i][choice[i]["attn"]] + rows_c[2 * i + 1][choice[i]["moe"]]
+    achieved = spent * 8.0 / total
+    return AutoQuantizeMoEResult(choice, layer_layouts, float(achieved), float(ratio))

@@ -89,3 +89,50 @@ def test_mixed_precision_decode_with_cache(tiny):
         cache=cache)
     np.testing.assert_allclose(
         np.asarray(full[:, 12]), np.asarray(logits[:, 0]), rtol=2e-3, atol=2e-3)
+
+
+class TestAutoQuantizeMoE:
+    def test_active_moe_costing(self):
+        """Expert cost counts at top_k/num_experts; budget respected."""
+        from tensorrt_model_optimizer_tpu.models import mixtral
+        from tensorrt_model_optimizer_tpu.quant import auto
+
+        cfg = mixtral.MixtralConfig.tiny()
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        batches = [jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16)))]
+        res = auto.auto_quantize_moe(
+            cfg, params, ["NVFP4_DEFAULT_CFG", "FP8_DEFAULT_CFG"], batches,
+            effective_bits=6.0, capture_tokens=16,
+        )
+        assert res.expert_cost_ratio == cfg.top_k / cfg.num_experts
+        assert res.effective_bits <= 6.0 + 1e-6
+        assert len(res.layer_layouts) == cfg.num_hidden_layers
+        # chosen layouts must resolve real quantizer configs for expert sites
+        wcfg = res.layer_layouts[0].get("moe.down_proj.weight")
+        assert wcfg.enable
+
+    def test_tight_budget_prefers_low_bits(self):
+        from tensorrt_model_optimizer_tpu.models import mixtral
+        from tensorrt_model_optimizer_tpu.quant import auto
+
+        cfg = mixtral.MixtralConfig.tiny()
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        batches = [jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 16)))]
+        res = auto.auto_quantize_moe(
+            cfg, params, ["NVFP4_DEFAULT_CFG", "FP8_DEFAULT_CFG"], batches,
+            effective_bits=4.6, capture_tokens=16,
+        )
+        # at 4.6 effective bits nearly everything must pick the 4-bit format
+        n_fp8 = sum(1 for c in res.choice for v in c.values() if v == 1)
+        assert res.effective_bits <= 4.6 + 1e-6
+        assert n_fp8 <= cfg.num_hidden_layers  # at most half the rows stay fp8
+
+    def test_capture_shapes(self):
+        from tensorrt_model_optimizer_tpu.models import mixtral
+
+        cfg = mixtral.MixtralConfig.tiny()
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        toks = jnp.asarray(np.random.default_rng(2).integers(0, 256, (2, 16)))
+        logits, _, caps = mixtral.forward(cfg, params, toks, capture_tokens=8)
+        assert caps["attn_in"].shape == (cfg.num_hidden_layers, 8, cfg.hidden_size)
+        assert caps["moe_in"].shape == (cfg.num_hidden_layers, 8, cfg.hidden_size)
