@@ -128,3 +128,42 @@ class TestPagedPrefillKernel:
         out = pa.paged_attention_prefill(*args[:7])
         ref = self._reference(*args)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+class TestSkipSoftmaxFlash:
+    def test_matches_dense_attention(self):
+        from tensorrt_model_optimizer_tpu.ops.pallas import sparse_attention as sa
+
+        rng = np.random.default_rng(0)
+        BH, S, d = 4, 64, 32
+        q = jnp.asarray(rng.normal(size=(BH, S, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(BH, S, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(BH, S, d)).astype(np.float32))
+        out, keep = sa.skip_softmax_flash(q, k, v, threshold=1e-9,
+                                          block_q=16, block_k=16)
+        s = np.einsum("bqd,bkd->bqk", np.asarray(q), np.asarray(k)) / np.sqrt(d)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref = np.einsum("bqk,bkd->bqd", p, np.asarray(v))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+        assert keep.all()  # tiny threshold -> nothing skipped
+
+    def test_blocks_actually_skip_and_error_bounded(self):
+        from tensorrt_model_optimizer_tpu.ops.pallas import sparse_attention as sa
+
+        rng = np.random.default_rng(1)
+        BH, S, d = 2, 128, 32
+        q = jnp.asarray(rng.normal(size=(BH, S, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(BH, S, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(BH, S, d)).astype(np.float32))
+        # spike: concentrate attention so off-spike blocks are negligible
+        q = q.at[:, :, 0].set(8.0)
+        k = k.at[:, :16, 0].set(8.0)
+        out, keep = sa.skip_softmax_flash(q, k, v, threshold=1e-2,
+                                          block_q=16, block_k=16)
+        frac_kept = float(np.asarray(keep).mean())
+        assert frac_kept < 1.0, "no block was skipped"
+        dense, keep_all = sa.skip_softmax_flash(q, k, v, threshold=1e-30,
+                                                block_q=16, block_k=16)
+        rel = float(jnp.abs(out - dense).max() / (jnp.abs(dense).max() + 1e-9))
+        assert rel < 5e-2, rel
