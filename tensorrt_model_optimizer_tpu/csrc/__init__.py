@@ -96,3 +96,26 @@ def int4_unpack(packed: np.ndarray) -> np.ndarray:
         packed.size,
     )
     return out
+
+
+def nf4_quantize_and_pack(w: np.ndarray, block: int = 64):
+    """Native NF4 quantize+pack. Returns (packed [n/2] u8, absmax [n/block])."""
+    lib = get_lib()
+    w = np.ascontiguousarray(w, np.float32).reshape(-1)
+    n = w.size
+    assert n % block == 0
+    out = np.empty(n // 2, np.uint8)
+    am = np.empty(n // block, np.float32)
+    lib.nf4_quantize_and_pack(_fp(w), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                              _fp(am), ctypes.c_int64(n), ctypes.c_int64(block))
+    return out, am
+
+
+def nf4_dequantize(packed: np.ndarray, absmax: np.ndarray, block: int = 64):
+    lib = get_lib()
+    n = packed.size * 2
+    out = np.empty(n, np.float32)
+    lib.nf4_dequantize(packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                       _fp(np.ascontiguousarray(absmax, np.float32)), _fp(out),
+                       ctypes.c_int64(n), ctypes.c_int64(block))
+    return out

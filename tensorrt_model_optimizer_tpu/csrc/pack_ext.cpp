@@ -124,6 +124,67 @@ void nvfp4_quantize_and_pack(const float* w, uint8_t* out, float* scales,
   }
 }
 
+// NF4 codebook (QLoRA normal-float grid; matches ops/numerics.NF4_TABLE and
+// the reference's NF4QTensor, `qtensor/nf4_tensor.py`).
+static const float kNF4[16] = {
+    -1.0f, -0.6961928009986877f, -0.5250730514526367f, -0.39491748809814453f,
+    -0.28444138169288635f, -0.18477343022823334f, -0.09105003625154495f, 0.0f,
+    0.07958029955625534f, 0.16093020141124725f, 0.24611230194568634f,
+    0.33791524171829224f, 0.44070982933044434f, 0.5626170039176941f,
+    0.7229568362236023f, 1.0f};
+
+static inline uint8_t nf4_code(float xn) {
+  // nearest codebook entry (grid is sorted; 16-way scan is branch-light)
+  int best = 0;
+  float bd = fabsf(xn - kNF4[0]);
+  for (int i = 1; i < 16; ++i) {
+    float d = fabsf(xn - kNF4[i]);
+    if (d < bd) { bd = d; best = i; }
+  }
+  return (uint8_t)best;
+}
+
+// NF4 quantize + pack: per-block absmax scale, nibble-packed codes
+// (reference `NF4_quantize`, kernels/quantization/gemm/tensor_quant.cpp:20).
+// w: [n] fp32 viewed as n/block blocks; out: [n/2] bytes; absmax: [n/block].
+void nf4_quantize_and_pack(const float* w, uint8_t* out, float* absmax,
+                           int64_t n, int64_t block) {
+  int64_t nblk = n / block;
+#pragma omp parallel for
+  for (int64_t b = 0; b < nblk; ++b) {
+    const float* wb = w + b * block;
+    float am = 0.f;
+    for (int64_t k = 0; k < block; ++k) {
+      float a = fabsf(wb[k]);
+      if (a > am) am = a;
+    }
+    absmax[b] = am;
+    float s = am != 0.f ? am : 1.f;
+    uint8_t* po = out + (b * block) / 2;
+    for (int64_t k = 0; k < block; k += 2) {
+      uint8_t c0 = nf4_code(wb[k] / s);
+      uint8_t c1 = nf4_code(wb[k + 1] / s);
+      po[k / 2] = (uint8_t)((c1 << 4) | c0);
+    }
+  }
+}
+
+// NF4 dequantize (reference `NF4_dequantize`).
+void nf4_dequantize(const uint8_t* packed, const float* absmax, float* out,
+                    int64_t n, int64_t block) {
+  int64_t nblk = n / block;
+#pragma omp parallel for
+  for (int64_t b = 0; b < nblk; ++b) {
+    float s = absmax[b] != 0.f ? absmax[b] : 1.f;
+    float* ob = out + b * block;
+    const uint8_t* pb = packed + (b * block) / 2;
+    for (int64_t k = 0; k < block; k += 2) {
+      ob[k] = kNF4[pb[k / 2] & 0xF] * s;
+      ob[k + 1] = kNF4[(pb[k / 2] >> 4) & 0xF] * s;
+    }
+  }
+}
+
 // INT4 unpack (adjacent layout) back to int8 — import path.
 void int4_unpack(const uint8_t* packed, int8_t* out, int64_t n_bytes) {
 #pragma omp parallel for

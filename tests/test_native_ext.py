@@ -1,5 +1,6 @@
 """Native C++ packing extension: parity with the jnp numerics."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -65,3 +66,16 @@ def test_speed_smoke(lib_ok):
     csrc.nvfp4_quantize_and_pack(w, gs, 16)
     dt = time.time() - t0
     assert dt < 5.0  # 16M elements well under 5s in native code
+
+
+@pytest.mark.skipif(not csrc.available(), reason="native ext unavailable")
+def test_nf4_native_matches_jax():
+    """Native NF4 pack/dequant == the jax NF4 fake-quant numerics."""
+    from tensorrt_model_optimizer_tpu.ops import numerics
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(4, 128)).astype(np.float32)
+    packed, am = csrc.nf4_quantize_and_pack(w, block=64)
+    deq = csrc.nf4_dequantize(packed, am, block=64).reshape(w.shape)
+    ref = np.asarray(numerics.fake_quant_nf4(jnp.asarray(w), 64))
+    np.testing.assert_allclose(deq, ref, rtol=1e-6, atol=1e-6)
