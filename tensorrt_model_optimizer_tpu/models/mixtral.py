@@ -277,3 +277,40 @@ def forward(
     if capture_tokens:
         return logits, st, captures
     return logits, st
+
+
+def forward_unrolled(
+    cfg: MixtralConfig,
+    params: dict,
+    tokens: jax.Array,
+    layer_layouts: list,
+    qstate_list: Optional[list] = None,
+    calib: bool = False,
+):
+    """Forward with a distinct quant layout per layer (auto_quantize_moe
+    result) — the MoE analog of `llama.forward_unrolled`. Python-unrolled;
+    returns (logits, new_states)."""
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T)).astype(jnp.int32)
+    x = params["embed_tokens"][tokens].astype(cfg.dtype)
+    mask = jnp.where(
+        jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e9
+    )[None, None, :, :].astype(jnp.float32)
+    new_states = []
+    for i in range(cfg.num_hidden_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        lstate = qstate_list[i] if qstate_list else None
+        layout = layer_layouts[i]
+        h = llama.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        attn, st_a, _, _ = llama._attention(
+            cfg, h, lp, lstate, layout, positions, mask, None, calib
+        )
+        x = x + attn
+        h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        moe_out, st_m = _moe_mlp(cfg, h, lp, lstate, layout, calib)
+        x = x + moe_out
+        new_states.append({**st_a, **st_m})
+    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head_w = params.get("lm_head", params["embed_tokens"])
+    logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
+    return logits, new_states

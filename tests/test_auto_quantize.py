@@ -136,3 +136,24 @@ class TestAutoQuantizeMoE:
         logits, _, caps = mixtral.forward(cfg, params, toks, capture_tokens=8)
         assert caps["attn_in"].shape == (cfg.num_hidden_layers, 8, cfg.hidden_size)
         assert caps["moe_in"].shape == (cfg.num_hidden_layers, 8, cfg.hidden_size)
+
+    def test_moe_mixed_forward(self):
+        """auto_quantize_moe layouts run through the unrolled MoE forward:
+        calibrate per layer, then mixed fake-quant inference tracks bf16."""
+        from tensorrt_model_optimizer_tpu.models import mixtral
+        from tensorrt_model_optimizer_tpu.quant import auto
+
+        cfg = mixtral.MixtralConfig.tiny()
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        toks = jnp.asarray(np.random.default_rng(3).integers(0, 256, (2, 16)))
+        res = auto.auto_quantize_moe(
+            cfg, params, ["NVFP4_DEFAULT_CFG", "FP8_DEFAULT_CFG"], [toks],
+            effective_bits=6.0, capture_tokens=16,
+        )
+        _, states = mixtral.forward_unrolled(
+            cfg, params, toks, res.layer_layouts, calib=True)
+        logits, _ = mixtral.forward_unrolled(
+            cfg, params, toks, res.layer_layouts, qstate_list=states)
+        ref, _ = mixtral.forward(cfg, params, toks)
+        corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref).ravel())[0, 1]
+        assert corr > 0.95, corr
