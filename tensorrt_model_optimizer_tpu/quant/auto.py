@@ -167,13 +167,24 @@ def auto_quantize(
     effective_bits: float = 6.0,
     capture_tokens: int = 64,
     score_method: str = "gradient",  # "gradient" (Taylor) | "kl_div"
+    checkpoint_path: Optional[str] = None,
 ) -> AutoQuantizeResult:
-    """Search per-(layer, group) formats under the effective-bits budget."""
+    """Search per-(layer, group) formats under the effective-bits budget.
+
+    `checkpoint_path`: optional .npz path for the scoring results — the
+    expensive part of the search (the reference's search-state checkpoint,
+    `model_quant.py:445-448`: resume skips re-scoring and goes straight to
+    the LP solve, so budget changes re-solve in seconds).
+    """
+    import os
+
     batches = list(calib_batches)
     tokens = batches[0]
-    caps, grads = jax.jit(
-        lambda t: _collect_grads_and_inputs(model_cfg, params, t, capture_tokens)
-    )(tokens)
+    resume = checkpoint_path is not None and os.path.exists(checkpoint_path)
+    if not resume:
+        caps, grads = jax.jit(
+            lambda t: _collect_grads_and_inputs(model_cfg, params, t, capture_tokens)
+        )(tokens)
 
     cand_cfgs = [get_preset(c) if isinstance(c, str) else c for c in candidates]
     L = model_cfg.num_hidden_layers
@@ -186,10 +197,10 @@ def auto_quantize(
     def stackg(name):
         return jnp.stack([grads[f"{name}/{i}"] for i in range(L)])
 
-    group_rows = []  # (group_idx info)
+    group_rows = [(i, key) for key, _ in GROUPS for i in range(L)] if resume else []
     scores = []  # [n_rows, n_cand]
     costs = []  # weight bytes per candidate (effective bits * n_params)
-    for cap_key, members in GROUPS:
+    for cap_key, members in (() if resume else GROUPS):
         X = stack(cap_key)
         s_per_cand = []
         c_per_cand = []
@@ -214,8 +225,14 @@ def auto_quantize(
             group_rows.append((i, cap_key))
             scores.append([s[i] for s in s_per_cand])
             costs.append(list(c_per_cand))
-    scores_np = np.asarray(scores)  # [rows, n_cand]
-    costs_np = np.asarray(costs)
+    if resume:
+        data = np.load(checkpoint_path)
+        scores_np, costs_np = data["scores"], data["costs"]
+    else:
+        scores_np = np.asarray(scores)  # [rows, n_cand]
+        costs_np = np.asarray(costs)
+        if checkpoint_path:
+            np.savez(checkpoint_path, scores=scores_np, costs=costs_np)
 
     total_params = sum(shapes[m][0] * shapes[m][1] for _, ms in GROUPS for m in ms) * L
     budget = effective_bits * total_params / 8.0

@@ -10,6 +10,8 @@ Python.
 
 from __future__ import annotations
 
+import warnings
+
 import dataclasses
 from typing import Iterable, Optional
 
@@ -140,6 +142,12 @@ def quantize(
         params, qstate = _local_hessian_refine(
             model_cfg, params, layout, qstate, batches, algo, capture_tokens
         )
+
+    # post-calibration validation (`model_quant.py:116-119`): warn on any
+    # NaN/Inf/negative amax rather than shipping a silently-broken model
+    problems = Q.validate_qstate(qstate)
+    for msg in problems:
+        warnings.warn(f"quantizer validation: {msg}")
 
     return QuantizedModel(model_cfg, params, layout, qstate, qcfg, adapters)
 

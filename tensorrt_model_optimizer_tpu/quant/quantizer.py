@@ -392,3 +392,36 @@ def _fake_quant_dispatch(x, cfg: QuantizerConfig, state: QuantizerState):
     if cfg.learn_amax:
         return ste.fake_quant_int_lsq(x, amax_b, cfg.num_bits)
     return ste.fake_quant_int_ste(x, amax_b, cfg.num_bits, cfg.unsigned, cfg.narrow_range)
+
+
+def validate_state(state: QuantizerState, site: str = "?") -> list[str]:
+    """Post-calibration sanity (`TensorQuantizer.validate_attr`,
+    tensor_quantizer.py:753): amax must be finite and non-negative; returns
+    human-readable problem strings (empty = ok)."""
+    problems: list[str] = []
+    amaxes = state.amax if isinstance(state.amax, tuple) else (state.amax,)
+    for i, a in enumerate(amaxes):
+        if a is None:
+            continue
+        a32 = jnp.asarray(a, jnp.float32)
+        if bool(jnp.any(~jnp.isfinite(a32))):
+            problems.append(f"{site}: amax[{i}] has NaN/Inf")
+        elif bool(jnp.any(a32 < 0)):
+            problems.append(f"{site}: amax[{i}] negative")
+    if state.bias is not None and bool(jnp.any(~jnp.isfinite(jnp.asarray(state.bias, jnp.float32)))):
+        problems.append(f"{site}: bias has NaN/Inf")
+    return problems
+
+
+def validate_qstate(qstate: dict) -> list[str]:
+    """Walk a model qstate dict validating every quantizer's state
+    (the post-calibration validation loop, `model_quant.py:116-119`)."""
+    problems: list[str] = []
+    for name, sub in (qstate or {}).items():
+        if isinstance(sub, QuantizerState):
+            problems += validate_state(sub, name)
+        elif isinstance(sub, dict):
+            for which, st in sub.items():
+                if isinstance(st, QuantizerState):
+                    problems += validate_state(st, f"{name}.{which}")
+    return problems

@@ -157,3 +157,49 @@ class TestAutoQuantizeMoE:
         ref, _ = mixtral.forward(cfg, params, toks)
         corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref).ravel())[0, 1]
         assert corr > 0.95, corr
+
+
+def test_auto_quantize_checkpoint_resume(tmp_path):
+    """Second call with the same checkpoint skips scoring and matches."""
+    import time
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    batches = [jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16)))]
+    ckpt = str(tmp_path / "aq_scores.npz")
+    from tensorrt_model_optimizer_tpu.quant import auto
+
+    r1 = auto.auto_quantize(cfg, params, ["NVFP4_DEFAULT_CFG", "FP8_DEFAULT_CFG"],
+                            batches, effective_bits=6.0, capture_tokens=16,
+                            checkpoint_path=ckpt)
+    assert (tmp_path / "aq_scores.npz").exists()
+    r2 = auto.auto_quantize(cfg, params, ["NVFP4_DEFAULT_CFG", "FP8_DEFAULT_CFG"],
+                            batches, effective_bits=6.0, capture_tokens=16,
+                            checkpoint_path=ckpt)
+    assert r1.choice == r2.choice
+    assert abs(r1.effective_bits - r2.effective_bits) < 1e-9
+    # a different budget re-solves from the same checkpoint
+    r3 = auto.auto_quantize(cfg, params, ["NVFP4_DEFAULT_CFG", "FP8_DEFAULT_CFG"],
+                            batches, effective_bits=4.6, capture_tokens=16,
+                            checkpoint_path=ckpt)
+    assert r3.effective_bits <= 4.6 + 1e-6
+
+
+def test_validation_and_utils():
+    from tensorrt_model_optimizer_tpu.quant import quantizer as Q
+    from tensorrt_model_optimizer_tpu.utils import logging as L
+    from tensorrt_model_optimizer_tpu.utils import memory as M
+
+    good = Q.QuantizerState(amax=jnp.asarray(1.0))
+    bad = Q.QuantizerState(amax=jnp.asarray(float("nan")))
+    assert Q.validate_state(good, "x") == []
+    assert any("NaN" in p for p in Q.validate_state(bad, "x"))
+    probs = Q.validate_qstate({"site": {"weight": bad, "input": good}})
+    assert len(probs) == 1 and "site.weight" in probs[0]
+    L.print_rank_0("rank0 print ok")
+    L.atomic_print("atomic ok")
+    s = M.memory_summary()
+    assert isinstance(s, str)
+    with M.MemoryMonitor() as mm:
+        _ = jnp.ones((128, 128)) @ jnp.ones((128, 128))
+    assert mm.end is not None
