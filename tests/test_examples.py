@@ -59,3 +59,9 @@ def test_speculative_decoding_tree():
              "--tree", "--train_steps", "3", "--decode_steps", "4"])
     assert r.returncode == 0, r.stderr[-800:]
     assert "TREE verify" in r.stdout
+
+
+def test_moe_ptq_sharded():
+    r = run(["examples/moe_ptq_sharded.py", "--cpu", "--devices", "8"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "bit-for-bit" in r.stdout and "done" in r.stdout
