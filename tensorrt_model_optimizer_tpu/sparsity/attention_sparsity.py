@@ -89,3 +89,72 @@ def calibrate_threshold(
         else:
             hi = mid
     return 10.0 ** best
+
+
+# --------------------------------------------------------------------------
+# VSA: Video Sparse Attention (two-branch, `methods/vsa.py`)
+# --------------------------------------------------------------------------
+
+
+def tile_3d_indices(video_shape: tuple, block_3d: tuple) -> jax.Array:
+    """Token permutation grouping 3D (T, H, W) tiles contiguously
+    (`vsa_utils.get_tile_partition_indices`): token (t, h, w) -> its tile's
+    flat slot. Returns the gather index [S]."""
+    T, H, W = video_shape
+    bt, bh, bw = block_3d
+    idx = jnp.arange(T * H * W).reshape(T, H, W)
+    tiles = idx.reshape(T // bt, bt, H // bh, bh, W // bw, bw)
+    tiles = tiles.transpose(0, 2, 4, 1, 3, 5)  # tile-major
+    return tiles.reshape(-1)
+
+
+def vsa_attention(
+    q: jax.Array,  # [B, S, n, d] (tokens already tile-ordered; use
+    k: jax.Array,  # tile_3d_indices to permute video tokens first)
+    v: jax.Array,
+    block_size: int = 64,
+    top_k_ratio: float = 0.5,
+    gate_compress: float | jax.Array = 0.5,
+):
+    """Two-branch VSA (`methods/vsa.py:46`):
+
+    compression branch — queries attend to block-mean-pooled K/V (coarse);
+    sparse branch — per query block, only the top-K kv blocks (ranked by the
+    coarse block scores) get exact attention.
+    output = out_compression * gate_compress + out_sparse.
+
+    Returns (out [B, S, n, d], block_keep [B, n, nB, nB] bool).
+    """
+    B, S, n, d = q.shape
+    bs = min(block_size, S)
+    while S % bs:
+        bs //= 2
+    nB = S // bs
+    scale = 1.0 / math.sqrt(d)
+    q32 = q.astype(jnp.float32)
+
+    # --- compression branch: mean-pool kv per block ---
+    k_c = k.astype(jnp.float32).reshape(B, nB, bs, n, d).mean(axis=2)  # [B,nB,n,d]
+    v_c = v.astype(jnp.float32).reshape(B, nB, bs, n, d).mean(axis=2)
+    s_c = jnp.einsum("bqnd,bknd->bnqk", q32, k_c) * scale  # [B,n,S,nB]
+    p_c = jax.nn.softmax(s_c, axis=-1)
+    out_comp = jnp.einsum("bnqk,bknd->bqnd", p_c, v_c)
+
+    # --- block importance: coarse scores pooled over each query block ---
+    imp = s_c.reshape(B, n, nB, bs, nB).mean(axis=3)  # [B, n, nQb, nKb]
+    kcount = max(int(round(top_k_ratio * nB)), 1)
+    thresh = jnp.sort(imp, axis=-1)[..., nB - kcount][..., None]
+    block_keep = imp >= thresh  # [B, n, nB, nB]
+
+    # --- sparse branch: exact attention on kept blocks only ---
+    s_f = jnp.einsum("bqnd,bknd->bnqk", q32, k.astype(jnp.float32)) * scale
+    keep_full = jnp.broadcast_to(
+        block_keep[:, :, :, None, :, None], (B, n, nB, bs, nB, bs)
+    ).reshape(B, n, S, S)
+    s_f = jnp.where(keep_full, s_f, -jnp.inf)
+    p_f = jax.nn.softmax(s_f, axis=-1)
+    out_sparse = jnp.einsum("bnqk,bknd->bqnd", p_f, v.astype(jnp.float32))
+
+    g = jnp.asarray(gate_compress, jnp.float32)
+    out = out_comp * g + out_sparse
+    return out.astype(q.dtype), block_keep

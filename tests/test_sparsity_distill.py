@@ -171,3 +171,45 @@ class TestLossBalancers:
         ratio = float(st.ema[0] / st.ema[1])
         assert 500 < ratio < 2000
         assert float(total) == pytest.approx(1.0, rel=0.2)
+
+
+class TestVSA:
+    def test_full_topk_matches_dense(self):
+        from tensorrt_model_optimizer_tpu.sparsity import attention_sparsity as AS
+
+        rng = np.random.default_rng(0)
+        B, S, n, d = 2, 64, 2, 16
+        q = jnp.asarray(rng.normal(size=(B, S, n, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, S, n, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, S, n, d)).astype(np.float32))
+        out, keep = AS.vsa_attention(q, k, v, block_size=16, top_k_ratio=1.0,
+                                     gate_compress=0.0)
+        s = np.einsum("bqnd,bknd->bnqk", np.asarray(q), np.asarray(k)) / np.sqrt(d)
+        p = np.exp(s - s.max(-1, keepdims=True)); p /= p.sum(-1, keepdims=True)
+        ref = np.einsum("bnqk,bknd->bqnd", p, np.asarray(v))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+        assert keep.all()
+
+    def test_sparse_branch_selects_topk(self):
+        from tensorrt_model_optimizer_tpu.sparsity import attention_sparsity as AS
+
+        rng = np.random.default_rng(1)
+        B, S, n, d = 1, 64, 1, 16
+        q = jnp.asarray(rng.normal(size=(B, S, n, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, S, n, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, S, n, d)).astype(np.float32))
+        out, keep = AS.vsa_attention(q, k, v, block_size=16, top_k_ratio=0.5,
+                                     gate_compress=0.3)
+        nB = 4
+        counts = np.asarray(keep).sum(-1)
+        assert (counts >= nB // 2).all()  # at least top_k kept (ties may add)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_tile_3d_roundtrip(self):
+        from tensorrt_model_optimizer_tpu.sparsity import attention_sparsity as AS
+
+        perm = np.asarray(AS.tile_3d_indices((4, 4, 4), (2, 2, 2)))
+        assert sorted(perm.tolist()) == list(range(64))
+        # first tile = the (2,2,2) corner block of the video volume
+        t, h, w = np.unravel_index(perm[:8], (4, 4, 4))
+        assert t.max() < 2 and h.max() < 2 and w.max() < 2
