@@ -21,9 +21,15 @@ def main():
     ap.add_argument("--num_requests", type=int, default=4)
     ap.add_argument("--max_new_tokens", type=int, default=8)
     ap.add_argument("--paged_kernel", action="store_true")
+    ap.add_argument("--prefix_cache", action="store_true",
+                    help="share identical prompt-prefix pages across requests")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -65,7 +71,8 @@ def main():
                 max_new_tokens=args.max_new_tokens)
         for i in range(args.num_requests)
     ]
-    outs = eng.serve(reqs, n_pages=64, page_size=16, max_slots=2, max_pages_per_seq=8)
+    outs = eng.serve(reqs, n_pages=64, page_size=16, max_slots=2,
+                     max_pages_per_seq=8, prefix_cache=args.prefix_cache)
     for rid in sorted(outs):
         print(f"[serve_demo] request {rid}: {outs[rid]}", flush=True)
     print("[serve_demo] done", flush=True)

@@ -557,13 +557,17 @@ class Engine:
         return logits[slot], cache
 
     def serve(self, requests, n_pages=64, page_size=16, max_slots=4,
-              max_pages_per_seq=16):
-        """Continuous batching over a request list. Returns {rid: tokens}."""
+              max_pages_per_seq=16, prefix_cache=False):
+        """Continuous batching over a request list. Returns {rid: tokens}.
+
+        `prefix_cache=True` shares full prompt-prefix pages across requests
+        (admissions with a cached prefix skip re-prefilling those tokens)."""
         import numpy as np
 
         from .scheduler import Scheduler
 
-        sched = Scheduler(max_slots, n_pages, page_size, max_pages_per_seq)
+        sched = Scheduler(max_slots, n_pages, page_size, max_pages_per_seq,
+                          prefix_cache=prefix_cache)
         for r in requests:
             sched.submit(r)
         cache = self.init_paged_cache(n_pages, page_size, max_slots, max_pages_per_seq)
@@ -571,9 +575,19 @@ class Engine:
         while sched.has_work:
             cache, admissions = sched.admit(cache)
             for slot, req in admissions:
-                logits, cache = self.prefill_into_slot(
-                    cache, slot, jnp.asarray(req.prompt[None, :])
-                )
+                skip = int(np.asarray(cache.seq_lens)[slot])  # cached prefix
+                if skip > 0:
+                    # tail must attend to the shared prefix pages -> paged
+                    # chunked prefill (positions continue at seq_lens)
+                    logits, cache = self.prefill_chunked(
+                        cache, slot, jnp.asarray(req.prompt[None, skip:])
+                    )
+                    logits = logits[None]
+                else:
+                    logits, cache = self.prefill_into_slot(
+                        cache, slot, jnp.asarray(req.prompt[None, :])
+                    )
+                sched.register_prefix(slot)
                 first = int(jnp.argmax(logits[0]))
                 req.output.append(first)
                 last_tok[slot, 0] = first

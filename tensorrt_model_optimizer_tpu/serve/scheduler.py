@@ -38,7 +38,7 @@ class Scheduler:
     """
 
     def __init__(self, max_slots: int, n_pages: int, page_size: int,
-                 max_pages_per_seq: int):
+                 max_pages_per_seq: int, prefix_cache: bool = False):
         self.max_slots = max_slots
         self.page_size = page_size
         self.free_pages = list(range(1, n_pages))  # page 0 = scratch for idle
@@ -46,6 +46,50 @@ class Scheduler:
         self.slots: list[Optional[Request]] = [None] * max_slots
         self.slot_pages: list[list[int]] = [[] for _ in range(max_slots)]
         self.pending: list[Request] = []
+        # Prefix caching (shared prompt pages, vLLM-style): chained keys
+        # (prev_key, page_tokens) -> page id; pages are refcounted and only
+        # return to the free list when the last user releases them. KV pages
+        # are immutable once a prompt page is FULL (decode writes land at
+        # positions past the prompt), so sharing needs no copy-on-write.
+        self.prefix_cache = prefix_cache
+        self.page_refs: dict[int, int] = {}
+        self.prefix_map: dict = {}
+        self.page_key: dict[int, object] = {}
+
+    def _match_prefix(self, prompt) -> list[int]:
+        """Longest run of already-cached FULL prompt pages (tail >= 1 token
+        always prefills fresh so the first decode write targets a new slot
+        position)."""
+        if not self.prefix_cache:
+            return []
+        ps = self.page_size
+        full = (len(prompt) - 1) // ps
+        matched = []
+        key = ()
+        for pi in range(full):
+            key = (key, tuple(int(t) for t in prompt[pi * ps:(pi + 1) * ps]))
+            page = self.prefix_map.get(key)
+            if page is None:
+                break
+            matched.append(page)
+        return matched
+
+    def register_prefix(self, slot: int):
+        """Publish the slot's freshly-prefilled full prompt pages into the
+        prefix map (call after prefill)."""
+        if not self.prefix_cache or self.slots[slot] is None:
+            return
+        prompt = self.slots[slot].prompt
+        ps = self.page_size
+        full = (len(prompt) - 1) // ps
+        key = ()
+        for pi in range(full):
+            key = (key, tuple(int(t) for t in prompt[pi * ps:(pi + 1) * ps]))
+            page = self.slot_pages[slot][pi]
+            if key not in self.prefix_map:
+                self.prefix_map[key] = page
+                self.page_key[page] = key
+                self.page_refs[page] = self.page_refs.get(page, 1)
 
     def submit(self, req: Request):
         self.pending.append(req)
@@ -57,7 +101,17 @@ class Scheduler:
         return out
 
     def _free_slot(self, i: int):
-        self.free_pages.extend(self.slot_pages[i])
+        for p in self.slot_pages[i]:
+            if p in self.page_refs:
+                self.page_refs[p] -= 1
+                if self.page_refs[p] <= 0:
+                    del self.page_refs[p]
+                    key = self.page_key.pop(p, None)
+                    if key is not None:
+                        self.prefix_map.pop(key, None)
+                    self.free_pages.append(p)
+            else:
+                self.free_pages.append(p)
         self.slot_pages[i] = []
         self.slots[i] = None
 
@@ -76,15 +130,24 @@ class Scheduler:
                 // self.page_size + 1,
                 self.max_pages_per_seq,
             )
-            pages = self._alloc_pages(need)
+            shared = self._match_prefix(req.prompt)
+            pages = self._alloc_pages(need - len(shared))
             if pages is None:
                 self.pending.insert(0, req)
                 break
+            for p in shared:
+                self.page_refs[p] = self.page_refs.get(p, 0) + 1
+            all_pages = shared + pages
+            # fresh pages that will hold full prompt chunks start refcounted
+            if self.prefix_cache:
+                full = (len(req.prompt) - 1) // self.page_size
+                for p in all_pages[len(shared):full]:
+                    self.page_refs[p] = self.page_refs.get(p, 0) + 1
             self.slots[i] = req
-            self.slot_pages[i] = pages
+            self.slot_pages[i] = all_pages
             bt[i, :] = -1
-            bt[i, : len(pages)] = pages
-            lens[i] = 0
+            bt[i, : len(all_pages)] = all_pages
+            lens[i] = len(shared) * self.page_size
             admissions.append((i, req))
         cache = dataclasses.replace(
             cache,

@@ -129,3 +129,52 @@ def test_chunked_prefill_kernel_matches_gather(eng):
     np.testing.assert_allclose(np.asarray(cache_a.k_pages[:, 1:6]),
                                np.asarray(cache_b.k_pages[:, 1:6]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_prefix_cache_shares_pages_and_matches(eng):
+    """Identical prompts: second request reuses prefix pages; outputs match
+    the no-cache run token for token."""
+    from tensorrt_model_optimizer_tpu.serve.scheduler import Scheduler
+
+    rng = np.random.default_rng(21)
+    prompt = rng.integers(0, 256, size=(21,)).astype(np.int32)
+    reqs = lambda: [Request(rid=i, prompt=prompt.copy(), max_new_tokens=4)
+                    for i in range(2)]
+    base = eng.serve(reqs(), n_pages=32, page_size=8, max_slots=2,
+                     max_pages_per_seq=8)
+    cached = eng.serve(reqs(), n_pages=32, page_size=8, max_slots=2,
+                       max_pages_per_seq=8, prefix_cache=True)
+    for rid in (0, 1):
+        np.testing.assert_array_equal(np.asarray(base[rid]), np.asarray(cached[rid]))
+
+
+def test_prefix_cache_bookkeeping():
+    """Scheduler-level: refcounts, shared admission, and page recycling."""
+    from tensorrt_model_optimizer_tpu.serve import paged_cache as pc
+    from tensorrt_model_optimizer_tpu.serve.scheduler import Request, Scheduler
+
+    sched = Scheduler(max_slots=2, n_pages=16, page_size=8,
+                      max_pages_per_seq=4, prefix_cache=True)
+    prompt = np.arange(20, dtype=np.int32)  # 2 full pages + 4-token tail
+    cache = pc.init_paged(n_layers=1, n_pages=16, page_size=8, n_kv=1,
+                          hd=4, max_seqs=2, max_pages_per_seq=4)
+    sched.submit(Request(rid=0, prompt=prompt, max_new_tokens=2))
+    cache, adm = sched.admit(cache)
+    assert len(adm) == 1 and int(np.asarray(cache.seq_lens)[0]) == 0
+    sched.register_prefix(0)
+    assert len(sched.prefix_map) == 2
+    # second identical prompt: admits with 2 shared pages (16 cached tokens)
+    sched.submit(Request(rid=1, prompt=prompt.copy(), max_new_tokens=2))
+    cache, adm2 = sched.admit(cache)
+    slot2 = adm2[0][0]
+    assert int(np.asarray(cache.seq_lens)[slot2]) == 16
+    shared = sched.slot_pages[0][:2]
+    assert sched.slot_pages[slot2][:2] == shared
+    assert all(sched.page_refs[p] == 2 for p in shared)
+    # retire both -> shared pages recycled exactly once
+    n_free0 = len(sched.free_pages)
+    sched.slots[0].done = True
+    sched.slots[slot2].done = True
+    cache = sched.retire(cache)
+    assert all(p not in sched.page_refs for p in shared)
+    assert len(set(sched.free_pages)) == len(sched.free_pages)
