@@ -65,3 +65,9 @@ def test_moe_ptq_sharded():
     r = run(["examples/moe_ptq_sharded.py", "--cpu", "--devices", "8"])
     assert r.returncode == 0, r.stderr[-800:]
     assert "bit-for-bit" in r.stdout and "done" in r.stdout
+
+
+def test_chained_optimization():
+    r = run(["examples/chained_optimization.py", "--cpu", "--heal_steps", "4"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "masks intact" in r.stdout and "exported" in r.stdout
