@@ -71,3 +71,9 @@ def test_chained_optimization():
     r = run(["examples/chained_optimization.py", "--cpu", "--heal_steps", "4"])
     assert r.returncode == 0, r.stderr[-800:]
     assert "masks intact" in r.stdout and "exported" in r.stdout
+
+
+def test_llm_eval():
+    r = run(["examples/llm_eval.py", "--cpu", "--qformat", "INT8_DEFAULT_CFG"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "bf16 ppl" in r.stdout and "INT8_DEFAULT_CFG ppl" in r.stdout
