@@ -379,10 +379,6 @@ def permute_k(a: jax.Array, K_axis: int, tk: int, bsz: int = 16) -> jax.Array:
 
 def unpermute_k(a: jax.Array, K_axis: int, tk: int, bsz: int = 16) -> jax.Array:
     """Inverse of permute_k (swap the roles of bsz and nblk)."""
-    return _unpermute_k(a, K_axis, tk, bsz)
-
-
-def _unpermute_k(a: jax.Array, K_axis: int, tk: int, bsz: int = 16) -> jax.Array:
     nblk = tk // bsz
     K = a.shape[K_axis]
     a = jnp.moveaxis(a, K_axis, -1)

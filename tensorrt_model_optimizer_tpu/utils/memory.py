@@ -7,7 +7,6 @@ monitor is a sampler + peak tracker around that.
 
 from __future__ import annotations
 
-import contextlib
 from typing import Optional
 
 
