@@ -237,6 +237,9 @@ def build_layout(cfg: LlamaConfig, qcfg: QuantizeConfig) -> QuantLayout:
         sites[name] = qcfg.resolve(f"model.layers.0.{name}_quantizer")
     sites["lm_head.weight"] = qcfg.resolve("lm_head.weight_quantizer")
     sites["lm_head.input"] = qcfg.resolve("lm_head.input_quantizer")
+    # QuantEmbedding (`nn/modules/quant_module.py` QuantEmbedding): weight-
+    # only site on the token table; DISABLED by the default exclusions.
+    sites["embed_tokens.weight"] = qcfg.resolve("model.embed_tokens.weight_quantizer")
     return QuantLayout(sites=tuple(sites.items()))
 
 
@@ -487,7 +490,12 @@ def forward(
         positions = start + jnp.arange(T)[None, :].astype(jnp.int32)
         positions = jnp.broadcast_to(positions, (B, T))
 
-    x = params["embed_tokens"][tokens].astype(cfg.dtype)
+    emb_w = params["embed_tokens"]
+    ew_cfg = layout.get("embed_tokens.weight")
+    ew_state = (qstate or {}).get("embed_tokens.weight")
+    if ew_cfg.enable and not calib:
+        emb_w = Q.quantize(emb_w, ew_cfg, ew_state)
+    x = emb_w[tokens].astype(cfg.dtype)
 
     # Causal mask. With a cache, queries attend to cache[0:pos+T].
     # An explicit `mask` ([1,1,T,S] additive) overrides — used by tree
@@ -549,6 +557,12 @@ def forward(
         else:
             head_w = Q.quantize(head_w, lw_cfg, lstate_global)
             new_qstate["lm_head.weight"] = lstate_global
+    if ew_cfg.enable and calib:
+        new_qstate["embed_tokens.weight"] = Q.collect(
+            params["embed_tokens"], ew_cfg, ew_state or QuantizerState()
+        )
+    elif ew_cfg.enable:
+        new_qstate["embed_tokens.weight"] = ew_state
     logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
 
     new_cache = None
@@ -625,11 +639,17 @@ def forward_unrolled(
     return logits, new_states
 
 
+GLOBAL_SITES = ("lm_head", "embed_tokens")
+
+
 def _strip_global(qstate):
     """Drop non-layer (global) sites so scan xs only carry stacked leaves."""
     if not qstate:
         return None
-    return {k: v for k, v in qstate.items() if not k.startswith("lm_head")} or None
+    return {
+        k: v for k, v in qstate.items()
+        if not k.startswith(GLOBAL_SITES)
+    } or None
 
 
 def merge_qstate(per_layer: Optional[dict], global_sites: Optional[dict]) -> dict:

@@ -206,3 +206,31 @@ class TestFlashAttnImpl:
         g = jax.grad(loss)(params)
         gn = float(jnp.linalg.norm(g["layers"]["self_attn.q_proj"].astype(jnp.float32)))
         assert np.isfinite(gn) and gn > 0
+
+
+def test_quant_embedding_site():
+    """QuantEmbedding: enabling *embed* quantizes the token table."""
+    import dataclasses
+
+    from tensorrt_model_optimizer_tpu.quant import get_preset
+    from tensorrt_model_optimizer_tpu.quant.config import INT8_PER_CHANNEL
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 8)))
+    qcfg = get_preset("INT8_DEFAULT_CFG").with_rules(
+        {"*embed_tokens*": INT8_PER_CHANNEL})
+    layout = llama.build_layout(cfg, qcfg)
+    assert layout.get("embed_tokens.weight").enable
+    # calibrate then run: embedding amax collected and applied
+    _, qs, _ = llama.forward(cfg, params, toks, layout=layout,
+                             qstate=llama.init_quant_state(cfg, layout),
+                             calib=True)
+    assert qs["embed_tokens.weight"].amax is not None
+    out_q, _, _ = llama.forward(cfg, params, toks, layout=layout, qstate=qs)
+    out_ref, _, _ = llama.forward(cfg, params, toks)
+    corr = np.corrcoef(np.asarray(out_q).ravel(), np.asarray(out_ref).ravel())[0, 1]
+    assert 0.9 < corr < 1.0 - 1e-9  # quantized but close
+    # default presets keep embeddings DISABLED (the reference exclusion)
+    lay_def = llama.build_layout(cfg, get_preset("INT8_DEFAULT_CFG"))
+    assert not lay_def.get("embed_tokens.weight").enable
