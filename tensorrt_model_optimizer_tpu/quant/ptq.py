@@ -117,9 +117,13 @@ def quantize(
     # Max pass: collect weight amax + act/KV amax (post-fold so stats match
     # what the quantizers see at runtime).
     if batches:
+        # adapters must be live during calibration — deeper layers' act
+        # stats depend on the low-rank branch's contribution (with rank ~
+        # hidden/2 the residual alone carries half the signal)
         calib_step = jax.jit(
             lambda p, t, q: llama.forward(
-                model_cfg, p, t, layout=layout, qstate=q, calib=True
+                model_cfg, p, t, layout=layout, qstate=q, calib=True,
+                adapters=adapters,
             )[1]
         )
         for b in batches:

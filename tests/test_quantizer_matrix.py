@@ -115,3 +115,22 @@ class TestReferenceDictCompat:
         k = cfg.resolve("a.k_bmm_quantizer")
         st = init_state(k, (4,))
         assert float(st.amax) == 448.0
+
+
+class TestEveryPreset:
+    """Every registered preset must quantize the tiny model end to end."""
+
+    @pytest.mark.parametrize("preset", sorted(qc.PRESETS))
+    def test_preset_quantizes_and_runs(self, preset):
+        from tensorrt_model_optimizer_tpu.models import llama
+        from tensorrt_model_optimizer_tpu.quant import ptq
+
+        cfg = llama.LlamaConfig.tiny(num_hidden_layers=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        batches = [jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16)))]
+        model = ptq.quantize(cfg, params, preset, batches)
+        logits, _, _ = model.forward(batches[0])
+        assert np.isfinite(np.asarray(logits)).all(), preset
+        ref, _, _ = llama.forward(cfg, params, batches[0])
+        corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref).ravel())[0, 1]
+        assert corr > 0.8, (preset, corr)
