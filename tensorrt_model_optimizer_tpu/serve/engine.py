@@ -91,6 +91,13 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
 
 def _kv_store(v: jax.Array, dtype, amax: Optional[jax.Array]):
     """Quantize k/v for cache storage. Returns stored array (+ scale baked)."""
+    if dtype == "nvfp4":
+        # NVFP4 KV: dynamic E2M1 block-16 fake-quant along head_dim, stored
+        # bf16 (no packed nvfp4 cache layout; numerics match the kv presets)
+        from ..ops import numerics
+
+        g = amax if amax is not None else None
+        return numerics.fake_quant_nvfp4(v, 16, g, axis=-1)
     if dtype is None or v.dtype == dtype:
         return v
     if dtype == jnp.int8:
@@ -104,6 +111,8 @@ def _kv_store(v: jax.Array, dtype, amax: Optional[jax.Array]):
 
 
 def _kv_load(stored: jax.Array, out_dtype, kv_dtype, amax: Optional[jax.Array]):
+    if kv_dtype == "nvfp4":  # stored pre-dequantized (bf16 grid values)
+        return stored.astype(out_dtype)
     if kv_dtype is None or stored.dtype == out_dtype:
         return stored.astype(out_dtype)
     if kv_dtype == jnp.int8:
@@ -413,6 +422,12 @@ class Engine:
             from ..quant.compress import convert_nvfp4_perm
 
             cm = convert_nvfp4_perm(cm)
+        # NVFP4 KV presets: emulate the E2M1 block-quantized cache when the
+        # user didn't pick an explicit storage dtype
+        kcfg = cm.layout.get("self_attn.k_bmm")
+        if (config.kv_dtype is None and kcfg.enable and kcfg.is_fp
+                and kcfg.num_bits == (2, 1)):
+            config = dataclasses.replace(config, kv_dtype="nvfp4")
         self.cm = cm
         self.cfg = cm.model_cfg
         self.ecfg = config
@@ -428,6 +443,8 @@ class Engine:
         max_len = max_len or self.ecfg.max_seq_len
         cfg = self.cfg
         dtype = self.ecfg.kv_dtype or cfg.dtype
+        if dtype == "nvfp4":  # stored as bf16 grid values
+            dtype = cfg.dtype
         shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.hd)
         return {
             "k": jnp.zeros(shape, dtype),
@@ -487,6 +504,8 @@ class Engine:
 
         cfg = self.cfg
         dtype = self.ecfg.kv_dtype or cfg.dtype
+        if dtype == "nvfp4":
+            dtype = cfg.dtype
         return pc.init_paged(
             cfg.num_hidden_layers, n_pages, page_size,
             cfg.num_key_value_heads, cfg.hd, max_slots, max_pages_per_seq,

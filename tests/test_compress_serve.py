@@ -339,3 +339,30 @@ class TestMoreFormats:
         ref, _, _ = model.forward(prompt)
         corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref[:, -1]).ravel())[0, 1]
         assert corr > 0.99, corr
+
+
+class TestServingSweep:
+    """Every serving-relevant preset through quantize -> compress -> engine."""
+
+    @pytest.mark.parametrize("preset", [
+        "INT8_DEFAULT_CFG", "INT8_SMOOTHQUANT_CFG",
+        "FP8_DEFAULT_CFG", "FP8_KV_CFG", "FP8_KV_AFFINE_CFG",
+        "INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "INT4_AWQ_CFG", "INT4_AWQ_KV_FP8_CFG",
+        "W4A8_AWQ_BETA_CFG", "NVFP4_DEFAULT_CFG", "NVFP4_WEIGHT_ONLY_CFG",
+        "NVFP4_KV_CFG", "INT4_SVDQUANT_CFG", "NVFP4_SVDQUANT_CFG",
+        "MXFP4_WEIGHT_ONLY_CFG", "NF4_WEIGHT_ONLY_CFG",
+    ])
+    def test_preset_serves(self, tiny_ptq, preset):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, preset, batches)
+        cm = compress.compress(model)
+        eng = serve_engine.Engine(
+            cm, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+        prompt = batches[0][:, :8]
+        logits, cache = eng.prefill(prompt, eng.init_cache(2, 32))
+        ref, _, _ = model.forward(prompt)
+        corr = np.corrcoef(np.asarray(logits).ravel(),
+                           np.asarray(ref[:, -1]).ravel())[0, 1]
+        assert corr > 0.95, (preset, corr)
+        out = eng.generate(prompt, max_new_tokens=2)
+        assert np.isfinite(np.asarray(out)).all()
