@@ -113,6 +113,14 @@ def save(model: ptq.QuantizedModel, path: str, save_params: bool = True) -> None
             else:
                 named[k] = a
         _save_safetensors(os.path.join(path, "params.safetensors"), named)
+    if model.adapters:
+        # SVDQuant low-rank branch (part of the replayable model state)
+        ad_named = {
+            f"{name}/{part}": np.asarray(arr, dtype=np.float32)
+            for name, sub in model.adapters.items()
+            for part, arr in sub.items()
+        }
+        _save_safetensors(os.path.join(path, "adapters.safetensors"), ad_named)
 
 
 def restore(path: str, params: Optional[llama.Params] = None) -> ptq.QuantizedModel:
@@ -148,7 +156,16 @@ def restore(path: str, params: Optional[llama.Params] = None) -> ptq.QuantizedMo
     saved = load_file(os.path.join(path, "quant_state.safetensors"))
     qstate = _ensure_slots(qstate, saved)
     qstate = tree_util.unflatten_like(qstate, saved)
-    return ptq.QuantizedModel(model_cfg, params, layout, qstate, quant_cfg)
+    adapters = None
+    ad_path = os.path.join(path, "adapters.safetensors")
+    if os.path.exists(ad_path):
+        flat = load_file(ad_path)
+        adapters = {}
+        for k, v in flat.items():
+            name, part = k.rsplit("/", 1)
+            adapters.setdefault(name, {})[part] = jnp.asarray(v)
+    return ptq.QuantizedModel(model_cfg, params, layout, qstate, quant_cfg,
+                              adapters)
 
 
 def _ensure_slots(qstate, saved: dict) -> llama.QuantState:

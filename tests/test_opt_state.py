@@ -80,3 +80,20 @@ def test_sharded_save_restore(quantized, tmp_path, mesh8):
     with jax.set_mesh(mesh8):
         out, _, _ = jax.jit(lambda t: restored.forward(t))(batches[0])
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+
+def test_svdquant_adapters_roundtrip(tmp_path):
+    """mto.save/restore must carry the low-rank branch."""
+    from tensorrt_model_optimizer_tpu.opt import state as opt_state
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    batches = [jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16)))]
+    model = ptq.quantize(cfg, params, "INT4_SVDQUANT_CFG", batches)
+    opt_state.save(model, str(tmp_path))
+    restored = opt_state.restore(str(tmp_path))
+    assert restored.adapters is not None
+    ref, _, _ = model.forward(batches[0])
+    out, _, _ = restored.forward(batches[0])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
