@@ -202,10 +202,10 @@ def save_sharded(model: ptq.QuantizedModel, path: str) -> None:
     with open(os.path.join(path, "modelopt_state.json"), "w") as f:
         json.dump(modelopt_state(model).to_json(), f, indent=1)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(
-        os.path.join(path, "arrays"),
-        {"params": model.params, "qstate": model.qstate},
-    )
+    tree = {"params": model.params, "qstate": model.qstate}
+    if model.adapters:
+        tree["adapters"] = model.adapters
+    ckptr.save(os.path.join(path, "arrays"), tree)
     ckptr.wait_until_finished()
 
 
@@ -230,8 +230,9 @@ def restore_sharded(
         restored = ckptr.restore(os.path.join(path, "arrays"))
     layout = llama.build_layout(model_cfg, quant_cfg)
     qstate = _rewrap_qstate(restored["qstate"])
+    adapters = restored.get("adapters")
     return ptq.QuantizedModel(
-        model_cfg, restored["params"], layout, qstate, quant_cfg
+        model_cfg, restored["params"], layout, qstate, quant_cfg, adapters
     )
 
 
