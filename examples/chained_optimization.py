@@ -69,7 +69,8 @@ def main():
     # 3. quantize the healed sparse model
     model = ptq.quantize(cfg, healed, args.qformat, batches[:2])
     ppl3 = evaluate.perplexity(cfg, model.params, batches[:2],
-                               layout=model.layout, qstate=model.qstate)
+                               layout=model.layout, qstate=model.qstate,
+                               adapters=model.adapters)
     print(f"[chained] sparse+quantized ({args.qformat}) ppl {ppl3:.2f}", flush=True)
 
     # 4. export the final checkpoint

@@ -104,7 +104,8 @@ def main():
 
     if args.eval_ppl:
         ppl_after = evaluate.perplexity(
-            cfg, model.params, batches[:4], layout=model.layout, qstate=model.qstate
+            cfg, model.params, batches[:4], layout=model.layout,
+            qstate=model.qstate, adapters=model.adapters,
         )
         print(f"[hf_ptq] quantized ppl {ppl_after:.3f} "
               f"(delta {ppl_after - ppl_before:+.3f})", flush=True)

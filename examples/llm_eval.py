@@ -57,7 +57,8 @@ def main():
 
         model = ptq.quantize(cfg, params, args.qformat, calib)
         params, layout, qstate = model.params, model.layout, model.qstate
-        ppl_q = evaluate.perplexity(cfg, params, ev, layout=layout, qstate=qstate)
+        ppl_q = evaluate.perplexity(cfg, params, ev, layout=layout,
+                                    qstate=qstate, adapters=model.adapters)
         print(f"[llm_eval] {args.qformat} ppl {ppl_q:.3f} "
               f"(delta {ppl_q - ppl:+.3f})", flush=True)
 

@@ -25,13 +25,15 @@ def perplexity(
     batches: Iterable[np.ndarray],
     layout: Optional[llama.QuantLayout] = None,
     qstate: Optional[llama.QuantState] = None,
+    adapters: Optional[dict] = None,
 ) -> float:
     """exp(mean next-token NLL) over the batches."""
 
     @jax.jit
     def nll(tokens):
         logits, _, _ = llama.forward(
-            model_cfg, params, tokens[:, :-1], layout=layout, qstate=qstate
+            model_cfg, params, tokens[:, :-1], layout=layout, qstate=qstate,
+            adapters=adapters,
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ll = jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
