@@ -76,3 +76,26 @@ def test_svdquant_roundtrip_through_export():
     # same bar as the other export roundtrips: fp16-stored tensors add
     # cast noise on top of the W4A4 quantization error
     assert corr > 0.95, corr
+
+
+class TestExportSweep:
+    """Every export-capable preset through export -> load -> engine."""
+
+    @pytest.mark.parametrize("preset", [
+        "INT8_DEFAULT_CFG", "FP8_KV_CFG", "INT4_GPTQ_CFG",
+        "INT4_AWQ_KV_FP8_CFG", "NVFP4_DEFAULT_CFG", "W4A8_AWQ_BETA_CFG",
+    ])
+    def test_roundtrip_preset(self, tiny, tmp_path, preset):
+        cfg, params, batches = tiny
+        model = ptq.quantize(cfg, params, preset, batches)
+        out_dir = str(tmp_path / preset)
+        hf_export.export_hf_checkpoint(model, out_dir)
+        cm = loader.load_quantized_checkpoint(out_dir)
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=32,
+                                                               backend="xla"))
+        prompt = batches[0][:, :8]
+        logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+        ref, _, _ = model.forward(prompt)
+        corr = np.corrcoef(np.asarray(logits).ravel(),
+                           np.asarray(ref[:, -1]).ravel())[0, 1]
+        assert corr > 0.93, (preset, corr)
