@@ -195,19 +195,25 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     return x, ck, cv
 
 
-def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions):
+def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions,
+                mask_override=None, full_logits=False, return_hidden=False):
     """Forward over packed weights with cache update. tokens [B, T].
 
     `params`/`qstate` are explicit jit arguments — closing over them would
     bake gigabytes of packed weights into the lowered program as constants.
-    `cm` supplies only static info (kinds, layout).
+    `cm` supplies only static info (kinds, layout). `mask_override`
+    ([1,1,T,S] additive over CACHE INDICES) replaces the causal mask — used
+    by tree-speculative verification where cache slot != token position.
     """
     B, T = tokens.shape
     x = params["embed_tokens"][tokens].astype(cfg.dtype)
     S = cache["k"].shape[2]
-    kpos = jnp.arange(S)[None, :]
-    qpos = positions[0][:, None]
-    mask = jnp.where(kpos <= qpos, 0.0, -1e9)[None, None, :, :].astype(jnp.float32)
+    if mask_override is not None:
+        mask = mask_override
+    else:
+        kpos = jnp.arange(S)[None, :]
+        qpos = positions[0][:, None]
+        mask = jnp.where(kpos <= qpos, 0.0, -1e9)[None, None, :, :].astype(jnp.float32)
     kinds = cm.kinds
     k_amax = _kv_amax_from(qstate, "k")
     v_amax = _kv_amax_from(qstate, "v")
@@ -234,8 +240,13 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
     x, (ck, cv) = jax.lax.scan(body, x, xs)
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head_w = params.get("lm_head", params["embed_tokens"])
-    logits = (x[:, -1, :] @ head_w.T.astype(x.dtype)).astype(jnp.float32)
+    if full_logits:
+        logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
+    else:
+        logits = (x[:, -1, :] @ head_w.T.astype(x.dtype)).astype(jnp.float32)
     new_cache = {"k": ck, "v": cv, "pos": cache["pos"] + T}
+    if return_hidden:
+        return logits, new_cache, x
     return logits, new_cache
 
 
@@ -574,6 +585,99 @@ class Engine:
             logits, cache = self.paged_step(toks, cache, onehot)
             done += step_t
         return logits[slot], cache
+
+    def generate_speculative(self, prompt: jax.Array, medusa_params: dict,
+                             max_new_tokens: int = 32, tree=None):
+        """Greedy medusa TREE-speculative decode on the engine cache.
+
+        One verify forward per emitted block: candidate tree tokens occupy
+        cache slots pos..pos+N-1 with a tree mask over cache indices
+        (slot != position, so the causal mask is overridden), accepted
+        nodes' kv is compacted back to pos..pos+a-1. Greedy semantics are
+        exactly the plain decode's (speculation changes speed, not tokens).
+        BS=1 (`specdec_bench` analog in-engine).
+        """
+        import numpy as np
+
+        from ..speculative import medusa as med_mod
+        from ..speculative import tree as tree_mod
+
+        tree = tree or tree_mod.build_tree()
+        assert prompt.shape[0] == 1
+        cfg = self.cfg
+        cache = self.init_cache(1)
+        S = cache["k"].shape[2]
+        N = tree.n_nodes
+
+        B, T0 = prompt.shape
+        positions = jnp.arange(T0)[None, :]
+        step_h = jax.jit(
+            lambda p, q, t, c, po, m: _model_step(
+                cfg, self.ecfg, self.cm, self.backend, p, q, t, c, po,
+                mask_override=m, full_logits=True, return_hidden=True)
+        )
+        logits, cache, hid = step_h(self.cm.params, self.cm.qstate, prompt,
+                                    cache, positions, None)
+        head_w = self.cm.params.get("lm_head", self.cm.params["embed_tokens"])
+        base_tok = int(jnp.argmax(logits[0, -1]))
+        h_last = hid[:, -1, :]
+        k_needed = max(tree.choice) + 1
+        anc = np.asarray(tree.attn_mask)
+        # the base token is emitted once here; each round then emits its
+        # accepted DRAFT tokens plus the bonus (the next round's base)
+        out: list[int] = [base_tok]
+        n_acc_total = n_prop_total = 0
+        while len(out) < max_new_tokens:
+            pos = int(cache["pos"])
+            head_lg = med_mod.apply_heads(medusa_params, h_last,
+                                          head_w.astype(h_last.dtype))
+            head_topk = np.stack([
+                np.asarray(jax.lax.top_k(head_lg[d][0], k_needed)[1])
+                for d in range(tree.max_depth)
+            ])
+            cand = tree_mod.assemble_candidates(tree, base_tok, head_topk)
+            allow = np.zeros((N, S), bool)
+            allow[:, :pos] = True
+            allow[:, pos:pos + N] = anc
+            mask = jnp.asarray(np.where(allow, 0.0, -1e9), jnp.float32)[None, None]
+            tpos = (pos + jnp.asarray(tree.depth, jnp.int32))[None, :]
+            v_logits, v_cache, v_hid = step_h(
+                self.cm.params, self.cm.qstate, jnp.asarray(cand[None]),
+                cache, tpos, mask)
+            ver = np.asarray(jnp.argmax(v_logits[0], axis=-1))
+            # greedy path acceptance, tracking node indices
+            node, idxs, toks = 0, [0], [int(cand[0])]
+            while True:
+                want = int(ver[node])
+                nxt = None
+                for ch in tree.children(node):
+                    if int(cand[ch]) == want:
+                        nxt = ch
+                        break
+                if nxt is None:
+                    bonus = want
+                    break
+                idxs.append(nxt)
+                toks.append(int(cand[nxt]))
+                node = nxt
+            a = len(idxs)
+            n_acc_total += a - 1
+            n_prop_total += N - 1
+            # compact accepted nodes' kv to pos..pos+a-1
+            take = jnp.asarray([pos + i for i in idxs], jnp.int32)
+            new_cache = {
+                "k": v_cache["k"].at[:, :, pos:pos + a].set(
+                    jnp.take(v_cache["k"], take, axis=2)),
+                "v": v_cache["v"].at[:, :, pos:pos + a].set(
+                    jnp.take(v_cache["v"], take, axis=2)),
+                "pos": jnp.asarray(pos + a, jnp.int32),
+            }
+            cache = new_cache
+            out.extend(toks[1:] + [bonus])
+            base_tok = bonus
+            h_last = v_hid[:, idxs[-1], :]
+        rate = n_acc_total / max(n_prop_total, 1)
+        return out[:max_new_tokens], rate
 
     def serve(self, requests, n_pages=64, page_size=16, max_slots=4,
               max_pages_per_seq=16, prefix_cache=False):

@@ -90,6 +90,18 @@ def medusa_logits(cfg, params, medusa, tokens, layout=None, qstate=None):
     return base_logits, jnp.stack(outs)
 
 
+def apply_heads(medusa: dict, hidden: jax.Array, head_w: jax.Array) -> jax.Array:
+    """Head logits from a hidden state (no base forward): [num_heads, ..., V].
+    Factored out so the serving engine can drive medusa from its own cache."""
+    outs = []
+    for head in medusa["heads"]:
+        hh = hidden
+        for blk in head["blocks"]:
+            hh = hh + jax.nn.silu((hh @ blk.T.astype(hh.dtype)).astype(jnp.float32)).astype(hh.dtype)
+        outs.append((hh @ head["lm"].T.astype(hh.dtype)).astype(jnp.float32))
+    return jnp.stack(outs)
+
+
 def make_medusa_train_step(cfg: llama.LlamaConfig, lr: float = 1e-3):
     """Train heads only (base frozen): head h learns P(t+1+h | hidden_t)."""
 
