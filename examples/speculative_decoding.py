@@ -22,6 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["medusa", "eagle", "dflash"], default="medusa")
     ap.add_argument("--tree", action="store_true", help="tree verification (medusa)")
+    ap.add_argument("--engine", action="store_true",
+                    help="run tree verification inside the serving engine")
     ap.add_argument("--train_steps", type=int, default=30)
     ap.add_argument("--decode_steps", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -53,7 +55,18 @@ def main():
             draft, loss = step(draft, params, data)
         print(f"[specdec] medusa trained {args.train_steps} steps "
               f"(loss {float(loss):.3f}) in {time.time()-t0:.1f}s", flush=True)
-        if args.tree:
+        if args.engine:
+            from tensorrt_model_optimizer_tpu.quant import compress, ptq
+            from tensorrt_model_optimizer_tpu.serve import engine as se
+
+            model = ptq.quantize(cfg, params, "FP8_DEFAULT_CFG", [data])
+            cm = compress.compress(model)
+            eng = se.Engine(cm, se.EngineConfig(max_seq_len=64, backend="xla"))
+            out, rate = eng.generate_speculative(prompt, draft,
+                                                 max_new_tokens=args.decode_steps)
+            print(f"[specdec] ENGINE tree-spec: {len(out)} tokens, "
+                  f"acceptance {rate:.2%}", flush=True)
+        elif args.tree:
             from tensorrt_model_optimizer_tpu.speculative import tree as T
 
             out, rate = T.tree_propose_and_verify(
