@@ -13,10 +13,15 @@ same running-max, so their amax/pre_quant_scale are identical by
 construction — no resmoothing pass is needed.
 
 Export layouts follow the reference exactly:
- - INT4 / NVFP4 values pack two *adjacent* elements per byte along the input
-   dim: (q[..., 1::2] << 4) | q[..., 0::2] (`nvfp4_tensor.py:337`,
-   `quant_utils.py:790`). (The serving engine uses plane packing internally;
-   export re-packs.)
+ - NVFP4 values pack two *adjacent* elements per byte along the input
+   dim: (q[..., 1::2] << 4) | q[..., 0::2] (`nvfp4_tensor.py:337`).
+ - INT4-AWQ / W4A8-AWQ pack pairs of *output channels* per byte producing
+   [O/2, K]: byte[o2, k] = nib(q[2*o2, k]) | nib(q[2*o2+1, k]) << 4
+   (`quant_utils.py:790` pack_int4_in_uint8 — transpose to [K, O], group
+   output pairs, pack val0 | val1 << 4, transpose back).
+   (The serving engine uses plane packing internally; export re-packs.)
+ - W4A8-AWQ additionally emits `weight_scale_2` = fp8-stage amax/448
+   (`quant_utils.py:343` — the deploy kernel dequantizes int4 to fp8 range).
  - NVFP4: `weight_scale` = per-block E4M3, `weight_scale_2` = fp32
    global_amax / (6*448); `input_scale` = act_amax / (6*448).
  - FP8: `weight_scale` = amax/448 fp32, weights stored float8_e4m3fn.
@@ -52,16 +57,37 @@ PROJ_TO_HF = {
 
 
 def _pack_adjacent_nibbles(codes: np.ndarray) -> np.ndarray:
-    """(q[..., 1::2] << 4) | q[..., 0::2] — reference export layout."""
+    """(q[..., 1::2] << 4) | q[..., 0::2] — NVFP4 export layout
+    (`nvfp4_tensor.py:337`): adjacent input-dim elements share a byte."""
     lo = codes[..., 0::2]
     hi = codes[..., 1::2]
     return ((hi << 4) | (lo & 0xF)).astype(np.uint8)
+
+
+def _pack_outpair_nibbles(codes: np.ndarray) -> np.ndarray:
+    """INT4-AWQ layout (`quant_utils.py:790` pack_int4_in_uint8):
+    pairs of output channels share a byte -> [..., O/2, K];
+    low nibble = even output row, high nibble = odd output row."""
+    lo = codes[..., 0::2, :]
+    hi = codes[..., 1::2, :]
+    return (((hi & 0xF) << 4) | (lo & 0xF)).astype(np.uint8)
 
 
 def _quant_algo(model: QuantizedModel) -> tuple[str, Optional[int]]:
     wcfg = model.layout.get("mlp.down_proj.weight")
     base = wcfg.sequential[0] if wcfg.sequential else wcfg
     if not wcfg.enable:
+        return "NONE", None
+    # MX formats (E8M0 block scales) must be checked before the NVFP4/FP8
+    # branches: MXFP4 shares num_bits (2,1) with NVFP4 and MXFP8 shares
+    # (4,3) with FP8, differing only in scale_bits (reference distinguishes
+    # them the same way, quant_utils.py:560-575).
+    if base.is_fp and base.block is not None and base.block.scale_bits == (8, 0):
+        bsz = dict(base.block.sizes).get(-1, 32)
+        if base.num_bits == (2, 1):
+            return "MXFP4", bsz
+        if base.num_bits == (4, 3):
+            return "MXFP8", bsz
         return "NONE", None
     if base.is_fp and base.num_bits == (2, 1):
         bsz = dict(base.block.sizes).get(-1, 16) if base.block else 16
@@ -107,6 +133,7 @@ def _export_weight(w, wcfg, wst, algo: str):
         return out
     base = wcfg.sequential[0] if wcfg.sequential else wcfg
     amax = wst.amax if wst is not None else None
+    amax_tuple = amax if isinstance(amax, tuple) else None
     if isinstance(amax, tuple):
         amax = amax[0]
 
@@ -150,8 +177,28 @@ def _export_weight(w, wcfg, wst, algo: str):
         scale = np.where(bam == 0, 1.0, bam / 7.0)
         s_full = np.repeat(scale, bsz, axis=-1)
         q = np.clip(np.round(w32 / s_full), -8, 7).astype(np.int32)
-        out["weight"] = _pack_adjacent_nibbles(q & 0xF)
+        out["weight"] = _pack_outpair_nibbles(q & 0xF)
         out["weight_scale"] = scale.astype(np.float32)
+        if algo == "W4A8_AWQ":
+            # Second-level scale: fp8-stage amax/448 (quant_utils.py:343) —
+            # the deploy kernel dequantizes int4 to fp8 range.
+            fa = amax_tuple[-1] if amax_tuple is not None else np.abs(w32).max()
+            out["weight_scale_2"] = np.asarray(
+                np.maximum(np.asarray(fa, np.float32).max(), 1e-12) / 448.0,
+                np.float32,
+            )
+        return out
+
+    if algo in ("MXFP4", "MXFP8"):
+        # MX formats: export the fake-quantized weight (values are exact MX
+        # grid points, per-32-block E8M0 scaled) in fp16. A packed MX byte
+        # layout is not part of the unified-HF contract we target.
+        bsz = dict(base.block.sizes).get(-1, 32)
+        e, m = base.num_bits
+        wq = np.asarray(
+            numerics.fake_quant_mx(jnp.asarray(w32), e, m, min(bsz, w32.shape[-1]))
+        )
+        out["weight"] = wq.astype(np.float16)
         return out
 
     # INT8 per-channel
@@ -263,9 +310,22 @@ def export_hf_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
                 if st_all is not None and st_all.amax is not None:
                     a = float(np.asarray(st_all.amax[i], np.float32).max())
                     div = 448.0 if kv_algo == "FP8" else (127.0 if kv_algo == "INT8" else 6.0 * 448.0)
+                    scale = a / div
+                    if kv_algo == "FP8":
+                        # Reference clamps FP8 KV scales to >= 1.0 and warns on
+                        # large activations (get_kv_cache_scaling_factor,
+                        # quant_utils.py:390-404).
+                        if scale > 0.5:
+                            import warnings
+
+                            warnings.warn(
+                                f"Large KV activation detected: {scale}; quantized "
+                                "KV cache may lead to higher accuracy drop."
+                            )
+                        scale = max(scale, 1.0)
                     tensors[
                         f"model.layers.{i}.self_attn.{which}_proj.{which}_scale"
-                    ] = np.asarray(a / div, np.float32)
+                    ] = np.asarray(scale, np.float32)
 
     _save_safetensors_with_fp8(tensors, os.path.join(export_dir, "model.safetensors"))
 

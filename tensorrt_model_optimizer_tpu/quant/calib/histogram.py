@@ -79,22 +79,27 @@ def entropy_amax(st: HistogramState, num_bits: int = 8, start_frac: float = 0.12
     start = max(int(nb * start_frac), nlevels)
     best_kl, best_i = np.inf, nb
     p_full = counts.astype(np.float64)
-    for i in range(start, nb + 1, max((nb - start) // 128, 1)):
+    tail_from = np.concatenate([np.cumsum(p_full[::-1])[::-1], [0.0]])
+    nzf = (p_full > 0).astype(np.float64)
+    # Every candidate bin is swept (reference histogram.py:210 sweeps stride
+    # 1); per-candidate work is O(i) via reduceat, ~2k candidates total.
+    for i in range(start, nb + 1):
         p = p_full[:i].copy()
-        p[i - 1] += p_full[i:].sum()  # clip-outliers mass into last bin
-        if p.sum() == 0:
+        p[i - 1] += tail_from[i]  # clip-outliers mass into last bin
+        psum = p.sum()
+        if psum == 0:
             continue
-        # quantize histogram into nlevels buckets
-        chunk = i / nlevels
-        edges = (np.arange(nlevels + 1) * chunk).astype(int)
-        q = np.zeros_like(p)
-        for b in range(nlevels):
-            lo, hi = edges[b], max(edges[b + 1], edges[b] + 1)
-            seg = p[lo:hi]
-            nz = (seg > 0).sum()
-            if nz:
-                q[lo:hi] = np.where(seg > 0, seg.sum() / nz, 0)
-        pn = p / p.sum()
+        # quantize histogram into nlevels equal-width buckets: each kept bin
+        # takes its bucket's mean over the bucket's nonzero bins
+        edges = (np.arange(nlevels, dtype=np.float64) * (i / nlevels)).astype(int)
+        sums = np.add.reduceat(p, edges)
+        nz = np.add.reduceat(nzf[:i], edges)
+        if p[i - 1] > 0 and p_full[i - 1] == 0:
+            nz[-1] += 1  # tail mass made the last bin nonzero
+        seg_lens = np.diff(np.append(edges, i))
+        q_full = np.repeat(sums / np.maximum(nz, 1.0), seg_lens)
+        q = np.where(p > 0, q_full, 0.0)
+        pn = p / psum
         qn = q / max(q.sum(), 1e-12)
         mask = pn > 0
         kl = float(np.sum(pn[mask] * np.log(pn[mask] / np.maximum(qn[mask], 1e-12))))

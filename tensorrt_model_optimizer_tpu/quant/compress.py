@@ -92,7 +92,10 @@ def compress_weight(
             "global_scale": gs.astype(jnp.float32),
         }
 
-    if base.is_fp and base.num_bits == (4, 3):
+    if (base.is_fp and base.num_bits == (4, 3)
+            and (base.block is None or base.block.scale_bits != (8, 0))):
+        # Per-tensor FP8. MXFP8 shares num_bits (4,3) but carries E8M0
+        # per-32-block scales — it must fall through to the MX branch below.
         amax = state.amax if state is not None else None
         if cfg.sequential and isinstance(amax, tuple):
             amax = amax[-1]

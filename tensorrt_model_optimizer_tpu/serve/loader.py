@@ -23,7 +23,7 @@ from ..quant.config import get_preset
 
 
 def _adjacent_to_plane(packed_adj: np.ndarray) -> np.ndarray:
-    """[O, K/2] adjacent-packed nibbles -> [O/2, K] plane-packed bytes."""
+    """[O, K/2] adjacent-packed nibbles (NVFP4 layout) -> [O/2, K] plane-packed."""
     O = packed_adj.shape[0]
     lo = packed_adj & 0xF
     hi = (packed_adj >> 4) & 0xF
@@ -33,6 +33,17 @@ def _adjacent_to_plane(packed_adj: np.ndarray) -> np.ndarray:
     top = codes[O // 2 :]
     bot = codes[: O // 2]
     return ((top << 4) | bot).astype(np.uint8)
+
+
+def _outpair_to_plane(packed_op: np.ndarray) -> np.ndarray:
+    """[O/2, K] output-pair-packed nibbles (INT4-AWQ layout,
+    `quant_utils.py:790`: low nib = even row, high nib = odd row)
+    -> [O/2, K] plane-packed bytes."""
+    O2 = packed_op.shape[0]
+    codes = np.empty((O2 * 2, packed_op.shape[1]), np.uint8)
+    codes[0::2] = packed_op & 0xF
+    codes[1::2] = (packed_op >> 4) & 0xF
+    return ((codes[O2:] << 4) | codes[:O2]).astype(np.uint8)
 
 
 def load_quantized_checkpoint(path: str) -> CompressedModel:
@@ -82,7 +93,7 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
             }
             kinds[name] = "nvfp4"
         elif base_algo in ("W4A16_AWQ", "W4A8_AWQ"):
-            packed = np.stack([_adjacent_to_plane(t(i, "weight")) for i in range(L)])
+            packed = np.stack([_outpair_to_plane(t(i, "weight")) for i in range(L)])
             ws = np.stack([np.asarray(t(i, "weight_scale")) for i in range(L)])
             O2 = packed.shape[1]
             layers[name] = {
@@ -147,6 +158,8 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
         "FP8": "FP8_DEFAULT_CFG",
         "W8A8_SQ_PER_CHANNEL": "INT8_SMOOTHQUANT_CFG",
         "INT8": "INT8_DEFAULT_CFG",
+        "MXFP4": "MXFP4_DEFAULT_CFG",
+        "MXFP8": "MXFP8_DEFAULT_CFG",
     }.get(base_algo)
     layout = (
         llama.build_layout(cfg, get_preset(preset))

@@ -77,6 +77,96 @@ def test_int4_awq_export(tiny, tmp_path):
     assert w.dtype == np.uint8
 
 
+def _reference_pack_int4_in_uint8(weight, scale_blocked):
+    """Independent reimplementation of the reference's pack_int4_in_uint8
+    semantics (quant_utils.py:790): scale/round/clamp to [-8, 7], transpose
+    to [K, O], group output-channel pairs, pack val0 | val1 << 4, transpose
+    back to [O/2, K]."""
+    O, K = weight.shape
+    block = K // scale_blocked.shape[-1]
+    s_full = np.repeat(scale_blocked, block, axis=-1)
+    q = np.clip(np.round(weight / s_full), -8, 7).astype(np.int8)
+    tr = q.T.reshape(K, O // 2, 2)
+    val0 = tr[..., 0].astype(np.uint8) & 0x0F
+    val1 = tr[..., 1].astype(np.uint8) & 0x0F
+    return (val0 | (val1 << 4)).T  # [O/2, K]
+
+
+def test_int4_awq_pack_golden():
+    """Export byte layout must match the reference's output-pair packing
+    exactly (a checkpoint consumer indexes bytes by [O/2, K])."""
+    from tensorrt_model_optimizer_tpu.quant import config as qconfig
+
+    rng = np.random.default_rng(0)
+    O, K, block = 8, 32, 16
+    w = rng.standard_normal((O, K)).astype(np.float32)
+    bam = np.abs(w).reshape(O, K // block, block).max(axis=-1)
+    preset = qconfig.get_preset("INT4_AWQ_CFG")
+    wcfg = preset.resolve("mlp.down_proj.weight_quantizer")
+    import dataclasses as dc
+
+    wcfg = dc.replace(wcfg, block=dc.replace(wcfg.block, sizes=((-1, block),)))
+    from tensorrt_model_optimizer_tpu.quant import quantizer as Q
+
+    wst = Q.QuantizerState(amax=jnp.asarray(bam))
+    out = hf_export._export_weight(jnp.asarray(w), wcfg, wst, "W4A16_AWQ")
+    assert out["weight"].shape == (O // 2, K)
+    golden = _reference_pack_int4_in_uint8(w, out["weight_scale"])
+    np.testing.assert_array_equal(out["weight"], golden)
+
+
+def test_w4a8_weight_scale_2(tiny, tmp_path):
+    """W4A8 exports the fp8-stage secondary scale (quant_utils.py:343)."""
+    cfg, params, batches = tiny
+    model = ptq.quantize(cfg, params, "W4A8_AWQ_BETA_CFG", batches)
+    qc = hf_export.export_hf_checkpoint(model, str(tmp_path / "w4a8"))
+    assert qc["quantization"]["quant_algo"] == "W4A8_AWQ"
+    t = _load(tmp_path / "w4a8")
+    ws2 = t["model.layers.0.mlp.down_proj.weight_scale_2"]
+    assert ws2.size == 1 and ws2 > 0
+    amax = model.qstate["mlp.down_proj"]["weight"].amax
+    assert isinstance(amax, tuple)
+    fp8_amax = float(np.asarray(amax[-1], np.float32)[0].max())
+    np.testing.assert_allclose(float(ws2), fp8_amax / 448.0, rtol=1e-6)
+
+
+def test_mxfp8_compress_routes_to_mx_branch():
+    """MXFP8 (num_bits (4,3), E8M0 scales) must not hit the per-tensor FP8
+    branch (bug class fixed in commit eece6fc for MXFP4)."""
+    from tensorrt_model_optimizer_tpu.quant import compress as C
+    from tensorrt_model_optimizer_tpu.quant import config as qconfig
+
+    w = jnp.asarray(np.random.default_rng(2).standard_normal((16, 64)), jnp.float32)
+    kind, arrays = C.compress_weight(w, qconfig.MXFP8_E4M3_BLOCK32, None)
+    assert kind == "bf16"  # MX formats store fake-quantized values
+    expect = numerics.fake_quant_mx(w, 4, 3, 32)
+    np.testing.assert_allclose(
+        np.asarray(arrays["w"], np.float32), np.asarray(expect, np.float32),
+        rtol=1e-2, atol=1e-3,
+    )
+
+
+def test_mxfp8_export_algo(tiny, tmp_path):
+    cfg, params, batches = tiny
+    model = ptq.quantize(cfg, params, "MXFP8_DEFAULT_CFG", batches)
+    qc = hf_export.export_hf_checkpoint(model, str(tmp_path / "mxfp8"))
+    assert qc["quantization"]["quant_algo"] == "MXFP8"
+    t = _load(tmp_path / "mxfp8")
+    w = t["model.layers.0.mlp.down_proj.weight"]
+    assert w.dtype == np.float16  # fake-quantized MX grid values
+
+
+def test_fp8_kv_scale_clamped(tiny, tmp_path):
+    """FP8 KV scales are clamped to >= 1.0 (quant_utils.py:390-404)."""
+    cfg, params, batches = tiny
+    model = ptq.quantize(cfg, params, "FP8_KV_CFG", batches)
+    hf_export.export_hf_checkpoint(model, str(tmp_path / "fp8kv"))
+    t = _load(tmp_path / "fp8kv")
+    for i in range(cfg.num_hidden_layers):
+        assert float(np.asarray(t[f"model.layers.{i}.self_attn.k_proj.k_scale"]).reshape(())) >= 1.0
+        assert float(np.asarray(t[f"model.layers.{i}.self_attn.v_proj.v_scale"]).reshape(())) >= 1.0
+
+
 def test_int8_sq_export(tiny, tmp_path):
     cfg, params, batches = tiny
     model = ptq.quantize(cfg, params, "INT8_SMOOTHQUANT_CFG", batches)
