@@ -270,7 +270,8 @@ def _dynamic_amax(x: jax.Array, cfg: QuantizerConfig) -> jax.Array:
 
 
 def quantize(
-    x: jax.Array, cfg: QuantizerConfig, state: Optional[QuantizerState] = None
+    x: jax.Array, cfg: QuantizerConfig, state: Optional[QuantizerState] = None,
+    amax_reduce=None,
 ) -> jax.Array:
     """Fake-quantize `x` per the config (the TensorQuantizer forward).
 
@@ -278,6 +279,12 @@ def quantize(
     scaled tensor is what flows onward — SmoothQuant/AWQ fold the inverse
     scale into the *weights* during calibration, `model_calib.py:1274`),
     then format-specific fake quant with STE gradients.
+
+    `amax_reduce` (optional fn) reduces DYNAMIC amaxes across devices — the
+    TP engine passes a `pmax` over the tensor axis for row-parallel inputs
+    whose reduction dim is sharded, keeping per-token scales bit-identical
+    to single-device. Block-dynamic formats (NVFP4/MX) never need it: their
+    scale blocks are local to each shard.
     """
     state = state or QuantizerState()
     if state.pre_quant_scale is not None:
@@ -296,14 +303,15 @@ def quantize(
     if cfg.sequential:
         amaxes = state.amax if isinstance(state.amax, tuple) else (None,) * len(cfg.sequential)
         for sub, am in zip(cfg.sequential, amaxes):
-            x = _fake_quant_dispatch(x, sub, QuantizerState(amax=am)) if sub.enable else x
+            x = (_fake_quant_dispatch(x, sub, QuantizerState(amax=am), amax_reduce)
+                 if sub.enable else x)
         return x
 
     if cfg.bias_corr and state.bias is not None:
         # affine: quantize the centered tensor, add the bias back
         b = state.bias.astype(x.dtype)
-        return _fake_quant_dispatch(x - b, cfg, state) + b
-    return _fake_quant_dispatch(x, cfg, state)
+        return _fake_quant_dispatch(x - b, cfg, state, amax_reduce) + b
+    return _fake_quant_dispatch(x, cfg, state, amax_reduce)
 
 
 # Custom backend registry (`tensor_quantizer.py:92` register_quant_backend):
@@ -321,7 +329,8 @@ def unregister_quant_backend(name: str) -> None:
     _QUANT_BACKENDS.pop(name, None)
 
 
-def _fake_quant_dispatch(x, cfg: QuantizerConfig, state: QuantizerState):
+def _fake_quant_dispatch(x, cfg: QuantizerConfig, state: QuantizerState,
+                         amax_reduce=None):
     if cfg.backend is not None:
         if cfg.backend not in _QUANT_BACKENDS:
             raise KeyError(f"quant backend {cfg.backend!r} not registered")
@@ -362,6 +371,8 @@ def _fake_quant_dispatch(x, cfg: QuantizerConfig, state: QuantizerState):
     if cfg.dynamic:
         def _dyn(t):
             am = _dynamic_amax(t, cfg)
+            if amax_reduce is not None:
+                am = amax_reduce(am)
             if cfg.is_fp:
                 e, m = cfg.num_bits
                 return numerics.fake_quant_fp(t, am, e, m)

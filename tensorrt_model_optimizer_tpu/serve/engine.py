@@ -42,17 +42,30 @@ class EngineConfig:
     # NVFP4 serving layout: "perm" converts to the K-permuted kernel layout
     # at engine init (full-depth MXU dots; measured >= blockdot on-chip)
     nvfp4_layout: str = "perm"  # "perm" | "blockdot"
+    # Tensor parallelism: a jax.sharding.Mesh with a `tp_axis` axis shards
+    # the packed weights megatron-style (serve/tp.py) and runs every step
+    # under shard_map (Pallas kernels see local shards; two psums/layer).
+    mesh: Any = None
+    tp_axis: str = "tp"
 
 
 def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
-             adapter=None):
+             adapter=None, tp_axis=None, row=False):
     """Quantized matmul dispatch: y = q_act(x) @ dequant(W)^T.
 
     `x` is [B*T, K] 2-D. Input quantizers stay active on the real-quant path
     (reference `RealQuantLinear.forward`, `quant_linear.py:218`). Backend
     "pallas" uses the fused kernels; "xla" dequantizes the layer weight then
     matmuls (XLA fuses what it can).
+
+    Under tensor parallelism (`tp_axis` set inside shard_map): `row=True`
+    marks row-parallel sites (o/down) whose K dim is sharded — dynamic
+    per-token act amaxes are `pmax`-reduced for single-device parity and the
+    partial output is `psum`-reduced (adapter partials ride the same psum).
     """
+    reduce_amax = None
+    if tp_axis is not None and row:
+        reduce_amax = lambda am: jax.lax.pmax(am, tp_axis)
     icfg = cm.layout.get(f"{name}.input")
     if kind == "int8" and icfg.enable and not icfg.is_fp:
         # W8A8 on the native int8 MXU: per-token dynamic act quant, int8 x
@@ -63,6 +76,8 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
         x32 = x.astype(jnp.float32)
         if icfg.dynamic or icfg.per_token or ist is None or ist.amax is None:
             a_amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)  # per token
+            if reduce_amax is not None:
+                a_amax = reduce_amax(a_amax)
         else:
             a_amax = jnp.broadcast_to(
                 ist.amax.astype(jnp.float32).reshape(1, -1)[:, :1], (x.shape[0], 1)
@@ -74,9 +89,12 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
             preferred_element_type=jnp.int32,
         )
         y = acc.astype(jnp.float32) * a_scale * arrays["scale"].reshape(1, -1)
-        return y.astype(x.dtype)
+        y = y.astype(x.dtype)
+        if tp_axis is not None and row:
+            y = jax.lax.psum(y, tp_axis)
+        return y
     if icfg.enable or (ist is not None and ist.pre_quant_scale is not None):
-        x = Q.quantize(x, icfg, ist)
+        x = Q.quantize(x, icfg, ist, amax_reduce=reduce_amax)
     if backend == "pallas" and kind in ("int8", "int4", "nvfp4", "fp8"):
         y = qmm.quantized_matmul(x, kind, arrays)
     else:
@@ -86,6 +104,8 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
         # SVDQuant low-rank branch (`SVDQuantLinear`, quant_linear.py:117)
         lo = (x @ adapter["A"].T.astype(x.dtype)) @ adapter["B"].T.astype(x.dtype)
         y = y + lo * adapter["scale"].astype(y.dtype)
+    if tp_axis is not None and row:
+        y = jax.lax.psum(y, tp_axis)
     return y
 
 
@@ -135,7 +155,7 @@ def _kv_amax_from(qstate, which: str) -> Optional[jax.Array]:
 
 
 def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask,
-                   ck, cv, pos, k_amax_l, v_amax_l):
+                   ck, cv, pos, k_amax_l, v_amax_l, tp_axis=None):
     """One decoder layer on packed weights. ck/cv: [B, S, n_kv, hd] stored."""
     B, T, H = x.shape
     hd, nH, nKV = cfg.hd, cfg.num_attention_heads, cfg.num_key_value_heads
@@ -150,9 +170,9 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     h = llama.rms_norm(x, lp["input_layernorm"], eps)
     h2 = h.reshape(B * T, H)
 
-    q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"), ad("self_attn.q_proj"))
-    k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"), ad("self_attn.k_proj"))
-    v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"), ad("self_attn.v_proj"))
+    q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"), ad("self_attn.q_proj"), tp_axis)
+    k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"), ad("self_attn.k_proj"), tp_axis)
+    v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"), ad("self_attn.v_proj"), tp_axis)
     # Qwen2-style attention biases ride alongside the packed weights
     if "self_attn.q_proj__bias" in lp:
         q = q + lp["self_attn.q_proj__bias"].astype(q.dtype)
@@ -182,21 +202,22 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B * T, nH * hd)
 
-    attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"))
+    attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True)
     x = x + attn.reshape(B, T, H)
 
     h = llama.rms_norm(x, lp["post_attention_layernorm"], eps)
     h2 = h.reshape(B * T, H)
-    g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"), ad("mlp.gate_proj"))
-    u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"), ad("mlp.up_proj"))
+    g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"), ad("mlp.gate_proj"), tp_axis)
+    u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"), ad("mlp.up_proj"), tp_axis)
     y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
-    d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"))
+    d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"), tp_axis, row=True)
     x = x + d.reshape(B, T, H)
     return x, ck, cv
 
 
 def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions,
-                mask_override=None, full_logits=False, return_hidden=False):
+                mask_override=None, full_logits=False, return_hidden=False,
+                tp_axis=None):
     """Forward over packed weights with cache update. tokens [B, T].
 
     `params`/`qstate` are explicit jit arguments — closing over them would
@@ -223,7 +244,7 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
         lp, lstate, ck, cv, ka, va = per_layer
         x, ck, cv = _layer_forward(
             cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask, ck, cv,
-            cache["pos"], ka, va,
+            cache["pos"], ka, va, tp_axis=tp_axis,
         )
         return x, (ck, cv)
 
@@ -351,7 +372,7 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
 
 
 def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
-                      active):
+                      active, tp_axis=None):
     """One step over paged KV for all slots. tokens [B, T] (T=1 decode;
     T>1 = chunked prefill writing the chunk's kv into pages)."""
     from . import paged_cache as pc
@@ -384,9 +405,9 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
 
         h = llama.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         h2 = h.reshape(B * T, -1)
-        q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"), ad("self_attn.q_proj"))
-        k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"), ad("self_attn.k_proj"))
-        v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"), ad("self_attn.v_proj"))
+        q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"), ad("self_attn.q_proj"), tp_axis)
+        k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"), ad("self_attn.k_proj"), tp_axis)
+        v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend, ist("self_attn.v_proj"), ad("self_attn.v_proj"), tp_axis)
         if "self_attn.q_proj__bias" in lp:
             q = q + lp["self_attn.q_proj__bias"].astype(q.dtype)
             k = k + lp["self_attn.k_proj__bias"].astype(k.dtype)
@@ -398,14 +419,14 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
             cfg, ecfg, q, k, v, kp, vp, cache, positions, ka_l, va_l,
             write_mask=active,
         )
-        attn = _qlinear(ctx.reshape(B * T, -1), "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"))
+        attn = _qlinear(ctx.reshape(B * T, -1), "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True)
         x = x + attn.reshape(B, T, -1)
         h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         h2 = h.reshape(B * T, -1)
-        g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"), ad("mlp.gate_proj"))
-        u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"), ad("mlp.up_proj"))
+        g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"), ad("mlp.gate_proj"), tp_axis)
+        u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"), ad("mlp.up_proj"), tp_axis)
         y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
-        d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"))
+        d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"), tp_axis, row=True)
         x = x + d.reshape(B, T, -1)
         return x, (kp, vp)
 
@@ -429,7 +450,9 @@ class Engine:
     """Generation engine over a compressed model."""
 
     def __init__(self, cm: CompressedModel, config: EngineConfig = EngineConfig()):
-        if config.nvfp4_layout == "perm" and "nvfp4" in cm.kinds.values():
+        if (config.mesh is None and config.nvfp4_layout == "perm"
+                and "nvfp4" in cm.kinds.values()):
+            # (under TP the perm conversion happens per-shard in serve/tp.py)
             from ..quant.compress import convert_nvfp4_perm
 
             cm = convert_nvfp4_perm(cm)
@@ -449,6 +472,39 @@ class Engine:
         self._prefill_fn = None
         self._decode_fn = None
         self._decode_steps = None
+        self._fwd_cfg = self.cfg
+        self._tp_specs = None
+        if config.mesh is not None:
+            from . import tp as tp_mod
+
+            d = int(config.mesh.shape[config.tp_axis])
+            cm2, specs = tp_mod.shard_compressed(
+                self.cm, d, config.tp_axis,
+                nvfp4_perm=(config.nvfp4_layout == "perm"),
+            )
+            self.cm = tp_mod.device_put_sharded(cm2, config.mesh, specs)
+            self._tp_specs = specs
+            self._fwd_cfg = tp_mod.local_cfg(self.cfg, d)
+            self._pspec = tp_mod._concretize(specs.params, self.cm.params)
+            self._qspec = tp_mod._concretize(specs.qstate, self.cm.qstate)
+
+    @property
+    def _tp_axis(self):
+        return self.ecfg.tp_axis if self.ecfg.mesh is not None else None
+
+    def _wrap_step(self, fn, tail_in_specs, out_specs):
+        """jit, or shard_map+jit under TP (tail specs follow params/qstate)."""
+        import jax as _jax
+
+        if self.ecfg.mesh is None:
+            return _jax.jit(fn)
+        from . import tp as tp_mod
+
+        return _jax.jit(tp_mod.shard_map_fn(
+            fn, self.ecfg.mesh,
+            in_specs=(self._pspec, self._qspec, *tail_in_specs),
+            out_specs=out_specs,
+        ))
 
     def init_cache(self, batch: int, max_len: Optional[int] = None) -> dict:
         max_len = max_len or self.ecfg.max_seq_len
@@ -457,24 +513,41 @@ class Engine:
         if dtype == "nvfp4":  # stored as bf16 grid values
             dtype = cfg.dtype
         shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.hd)
-        return {
+        cache = {
             "k": jnp.zeros(shape, dtype),
             "v": jnp.zeros(shape, dtype),
             "pos": jnp.asarray(0, jnp.int32),
         }
+        if self.ecfg.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from . import tp as tp_mod
+
+            cs = tp_mod.cache_specs(self.ecfg.tp_axis)
+            cache = {
+                k: jax.device_put(v, NamedSharding(self.ecfg.mesh, cs[k]))
+                for k, v in cache.items()
+            }
+        return cache
 
     def prefill(self, tokens: jax.Array, cache: dict):
         B, T = tokens.shape
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T)).astype(jnp.int32)
         if self._prefill_fn is None:
-            self._prefill_fn = jax.jit(
-                partial(_model_step, self.cfg, self.ecfg, self.cm, self.backend)
-            )
+            from jax.sharding import PartitionSpec as P
+
+            from . import tp as tp_mod
+
+            fn = partial(_model_step, self._fwd_cfg, self.ecfg, self.cm,
+                         self.backend, tp_axis=self._tp_axis)
+            cs = tp_mod.cache_specs(self.ecfg.tp_axis)
+            self._prefill_fn = self._wrap_step(fn, (P(), cs, P()), (P(), cs))
         return self._prefill_fn(self.cm.params, self.cm.qstate, tokens, cache, positions)
 
     def decode(self, first_token: jax.Array, cache: dict, steps: int):
         """Greedy decode `steps` tokens fully on device (one dispatch)."""
-        cfg, ecfg, cm, backend = self.cfg, self.ecfg, self.cm, self.backend
+        cfg, ecfg, cm, backend = self._fwd_cfg, self.ecfg, self.cm, self.backend
+        tp_ax = self._tp_axis
         if self._decode_fn is None or self._decode_steps != steps:
 
             def run(params, qstate, first_token, cache):
@@ -485,7 +558,8 @@ class Engine:
                         cache["pos"][None, None], (B, 1)
                     ).astype(jnp.int32)
                     logits, cache = _model_step(
-                        cfg, ecfg, cm, backend, params, qstate, tok, cache, positions
+                        cfg, ecfg, cm, backend, params, qstate, tok, cache,
+                        positions, tp_axis=tp_ax,
                     )
                     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
                     return (nxt, cache), nxt[:, 0]
@@ -495,7 +569,12 @@ class Engine:
                 )
                 return toks.T, cache  # [B, steps]
 
-            self._decode_fn = jax.jit(run)
+            from jax.sharding import PartitionSpec as P
+
+            from . import tp as tp_mod
+
+            cs = tp_mod.cache_specs(self.ecfg.tp_axis)
+            self._decode_fn = self._wrap_step(run, (P(), cs), (P(), cs))
             self._decode_steps = steps
         return self._decode_fn(self.cm.params, self.cm.qstate, first_token, cache)
 
@@ -517,11 +596,23 @@ class Engine:
         dtype = self.ecfg.kv_dtype or cfg.dtype
         if dtype == "nvfp4":
             dtype = cfg.dtype
-        return pc.init_paged(
+        cache = pc.init_paged(
             cfg.num_hidden_layers, n_pages, page_size,
             cfg.num_key_value_heads, cfg.hd, max_slots, max_pages_per_seq,
             dtype,
         )
+        if self.ecfg.mesh is not None:
+            import dataclasses as _dc
+
+            from jax.sharding import NamedSharding
+
+            from . import tp as tp_mod
+
+            spec = tp_mod.paged_cache_specs(cache, self.ecfg.tp_axis)
+            cache = jax.tree.map(
+                lambda v, sp: jax.device_put(v, NamedSharding(self.ecfg.mesh, sp)),
+                cache, spec)
+        return cache
 
     def prefill_into_slot(self, cache, slot: int, tokens: jax.Array):
         """Prefill one sequence into its slot's pages.
@@ -560,9 +651,14 @@ class Engine:
             self._paged_fns = {}
         T = tokens.shape[1]
         if T not in self._paged_fns:
-            self._paged_fns[T] = jax.jit(
-                partial(_paged_model_step, self.cfg, self.ecfg, self.cm, self.backend)
-            )
+            from jax.sharding import PartitionSpec as P
+
+            from . import tp as tp_mod
+
+            fn = partial(_paged_model_step, self._fwd_cfg, self.ecfg, self.cm,
+                         self.backend, tp_axis=self._tp_axis)
+            ps = tp_mod.paged_cache_specs(cache, self.ecfg.tp_axis)
+            self._paged_fns[T] = self._wrap_step(fn, (P(), ps, P()), (P(), ps))
         return self._paged_fns[T](self.cm.params, self.cm.qstate, tokens, cache, active)
 
     def prefill_chunked(self, cache, slot: int, tokens: jax.Array, chunk: int = 64):

@@ -1,0 +1,334 @@
+"""Tensor-parallel serving: shard a CompressedModel over a device mesh.
+
+The reference delegates multi-GPU serving to TRT-LLM via rank-split
+checkpoints (`export/postprocess.py:852` splits weights per TP rank at
+export time).  TPU-first design: the packed model stays ONE logical
+checkpoint; sharding is a layout transform + `shard_map` at engine init.
+
+Megatron-style column/row parallel over one mesh axis (default "tp"):
+
+ - column-parallel (q/k/v/gate/up): shard the OUTPUT dim.  Plane-packed
+   4-bit weights pair rows (o, o + O/2) in one byte, so a naive slice of
+   the packed array would pair rows across shard boundaries.  We repack to
+   a *TP-major* plane layout: shard s's block is itself plane-packed over
+   its local rows, so a plain slice along the packed O axis hands every
+   device a self-contained plane-packed weight (identical kernel, local
+   shapes).  Decompressed row order is preserved.
+ - row-parallel (o/down): shard the INPUT dim; packed bytes slice directly
+   (plane pairing is along O).  A `psum` after the matmul restores the full
+   output.  Dynamic per-token activation amax for these sites is reduced
+   with `pmax` across the axis so real-quant numerics are bit-identical to
+   the single-device engine.
+ - KV cache shards over the kv-head axis; attention is fully local
+   (heads are data-parallel across the axis).
+ - embed/lm_head/norms replicate (the residual stream is replicated).
+
+`shard_compressed` returns (new_cm, TPSpecs): the re-laid-out model plus
+PartitionSpec pytrees mirroring params/qstate for `shard_map` in_specs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..quant.compress import CompressedModel
+
+COL_SITES = (
+    "self_attn.q_proj",
+    "self_attn.k_proj",
+    "self_attn.v_proj",
+    "mlp.gate_proj",
+    "mlp.up_proj",
+)
+ROW_SITES = ("self_attn.o_proj", "mlp.down_proj")
+
+
+@dataclasses.dataclass
+class TPSpecs:
+    params: Any  # PartitionSpec pytree mirroring cm.params
+    qstate: Any  # PartitionSpec pytree mirroring cm.qstate
+    axis: str
+    n_shards: int
+
+
+def _plane_to_tp_major(packed: jax.Array, d: int) -> jax.Array:
+    """[L, O/2, K] global plane-packed -> TP-major plane-packed.
+
+    Unpack to row-ordered codes, regroup so each of the d shards plane-packs
+    its own contiguous O/d rows. Slicing axis 1 into d parts then yields
+    valid per-shard plane layouts.
+    """
+    lo = packed & 0xF
+    hi = (packed >> 4) & 0xF
+    codes = jnp.concatenate([lo, hi], axis=-2)  # [L, O, K] original row order
+    L, O, K = codes.shape
+    Os = O // d
+    c = codes.reshape(L, d, Os, K)
+    out = (c[:, :, Os // 2 :, :] << 4) | (c[:, :, : Os // 2, :] & 0xF)
+    return out.astype(jnp.uint8).reshape(L, O // 2, K)
+
+
+def _scales_to_tp_major(slo: jax.Array, shi: jax.Array, d: int):
+    """Per-plane scale arrays [L, O/2, ...] -> TP-major halves."""
+    s = jnp.concatenate(
+        [slo.astype(jnp.float32), shi.astype(jnp.float32)], axis=1
+    )  # [L, O, ...] original row order
+    L, O = s.shape[:2]
+    rest = s.shape[2:]
+    Os = O // d
+    s = s.reshape(L, d, Os, *rest)
+    new_lo = s[:, :, : Os // 2].reshape(L, O // 2, *rest).astype(slo.dtype)
+    new_hi = s[:, :, Os // 2 :].reshape(L, O // 2, *rest).astype(shi.dtype)
+    return new_lo, new_hi
+
+
+def _relayout_site(kind: str, arrays: dict, col: bool, d: int, axis: str):
+    """Re-layout one packed site for TP; returns (arrays, spec dict)."""
+    arrays = dict(arrays)
+    specs: dict[str, P] = {}
+    shard_O = P(None, axis, None)
+    shard_K = P(None, None, axis)
+
+    if kind == "bf16":
+        specs["w"] = shard_O if col else shard_K
+    elif kind == "int8":
+        specs["q"] = shard_O if col else shard_K
+        specs["scale"] = P(None, axis, None) if col else P()
+    elif kind == "fp8":
+        specs["q"] = shard_O if col else shard_K
+        specs["scale"] = P()  # per-tensor [L]
+    elif kind in ("int4", "nvfp4"):
+        if col:
+            arrays["packed"] = _plane_to_tp_major(arrays["packed"], d)
+            arrays["scale_lo"], arrays["scale_hi"] = _scales_to_tp_major(
+                arrays["scale_lo"], arrays["scale_hi"], d
+            )
+            specs["packed"] = shard_O
+            specs["scale_lo"] = shard_O
+            specs["scale_hi"] = shard_O
+        else:
+            specs["packed"] = shard_K
+            # Block-scale sharding along K needs block boundaries aligned to
+            # shard boundaries. A single block (per-channel amax folded to
+            # one K block) replicates instead — each shard's kernel then
+            # infers a local block size of K_local with the same scale.
+            nblk = arrays["scale_lo"].shape[-1]
+            if nblk % d == 0:
+                specs["scale_lo"] = shard_K
+                specs["scale_hi"] = shard_K
+            elif nblk == 1:
+                specs["scale_lo"] = P()
+                specs["scale_hi"] = P()
+            else:
+                raise ValueError(
+                    f"K block count {nblk} not divisible by tp={d}"
+                )
+        if kind == "nvfp4":
+            specs["global_scale"] = P()  # [L]
+    else:
+        raise ValueError(f"cannot TP-shard kind {kind!r} (convert perm after sharding)")
+    return arrays, specs
+
+
+def _perm_after_shard(kind: str, arrays: dict, col: bool, d: int):
+    """Apply the K-permuted nvfp4 serving layout per LOCAL K chunk.
+
+    Column sites see the full K so a global permute matches the kernel's
+    view. Row sites see K/d per device: permute each chunk independently
+    with the tile computed from the local K (what the kernel derives from
+    its local operand shape).
+    """
+    from ..ops.pallas import qmm as qmm_mod
+
+    arrays = dict(arrays)
+    packed = arrays["packed"]
+    K = packed.shape[-1]
+    if col:
+        tk = qmm_mod.nvfp4_perm_tile(K)
+        arrays["packed"] = qmm_mod.permute_k(packed, -1, tk)
+    else:
+        Kl = K // d
+        tk = qmm_mod.nvfp4_perm_tile(Kl)
+        chunks = packed.reshape(*packed.shape[:-1], d, Kl)
+        chunks = qmm_mod.permute_k(chunks, -1, tk)
+        arrays["packed"] = chunks.reshape(*packed.shape)
+    arrays["scale_lo"] = arrays["scale_lo"].astype(jnp.float32).astype(jnp.bfloat16)
+    arrays["scale_hi"] = arrays["scale_hi"].astype(jnp.float32).astype(jnp.bfloat16)
+    return arrays
+
+
+def shard_compressed(
+    cm: CompressedModel, n_shards: int, axis: str = "tp", nvfp4_perm: bool = True
+) -> tuple[CompressedModel, TPSpecs]:
+    """Re-layout a CompressedModel for n_shards-way tensor parallelism.
+
+    Returns the re-laid-out model (global arrays, TP-major packed layout;
+    kinds "nvfp4" become "nvfp4p" when nvfp4_perm) plus spec pytrees.
+    Validates divisibility of heads/ffn by n_shards.
+    """
+    cfg = cm.model_cfg
+    d = n_shards
+    assert cfg.num_attention_heads % d == 0, "q heads not divisible by tp"
+    assert cfg.num_key_value_heads % d == 0, "kv heads not divisible by tp"
+    assert cfg.intermediate_size % d == 0, "ffn not divisible by tp"
+
+    new_layers = dict(cm.params["layers"])
+    kinds = dict(cm.kinds)
+    layer_specs: dict[str, Any] = {}
+
+    for name, kind in cm.kinds.items():
+        col = name in COL_SITES
+        arrays, specs = _relayout_site(kind, new_layers[name], col, d, axis)
+        if kind == "nvfp4" and nvfp4_perm:
+            arrays = _perm_after_shard(kind, arrays, col, d)
+            kinds[name] = "nvfp4p"
+        new_layers[name] = arrays
+        layer_specs[name] = specs
+
+    # Qwen2-style attention biases: column-sharded with their projection
+    for name in list(new_layers):
+        if name.endswith("__bias"):
+            layer_specs[name] = P(None, axis)
+        elif name in ("input_layernorm", "post_attention_layernorm"):
+            layer_specs[name] = P()
+
+    # SVDQuant adapters: col -> shard B rows; row -> shard A's input dim
+    # (the low-rank partial sums ride the same psum as the base matmul).
+    if "__adapters__" in new_layers:
+        ad_specs = {}
+        for site, ad in new_layers["__adapters__"].items():
+            if site in COL_SITES:
+                ad_specs[site] = {"A": P(), "B": P(None, axis, None), "scale": P()}
+            else:
+                ad_specs[site] = {"A": P(None, None, axis), "B": P(), "scale": P()}
+        layer_specs["__adapters__"] = ad_specs
+
+    param_specs = {k: P() for k in cm.params if k != "layers"}
+    param_specs["layers"] = layer_specs
+
+    # qstate: input pre_quant_scale of ROW sites spans the sharded K dim
+    def _qspec(site: str, which: str, st):
+        if st is None:
+            return None
+        pqs_spec = P()
+        if which == "input" and site in ROW_SITES and st.pre_quant_scale is not None:
+            nd = st.pre_quant_scale.ndim
+            pqs_spec = P(*([None] * (nd - 1) + [axis]))
+        return _state_spec_like(st, pqs_spec)
+
+    qstate_specs = {
+        site: (
+            {which: _qspec(site, which, st) for which, st in sub.items()}
+            if isinstance(sub, dict)
+            else _qspec(site, "", sub)  # bmm/lm_head sites: bare QuantizerState
+        )
+        for site, sub in cm.qstate.items()
+    }
+
+    params = dict(cm.params)
+    params["layers"] = new_layers
+    new_cm = dataclasses.replace(cm, params=params, kinds=kinds)
+    return new_cm, TPSpecs(param_specs, qstate_specs, axis, d)
+
+
+def _state_spec_like(st, pqs_spec):
+    """Spec pytree mirroring a QuantizerState dataclass instance."""
+    def leaf_spec(name, v):
+        if v is None:
+            return None
+        if name == "pre_quant_scale":
+            return pqs_spec
+        if isinstance(v, tuple):
+            return tuple(P() for _ in v)
+        return P()
+
+    return dataclasses.replace(
+        st,
+        **{
+            f.name: leaf_spec(f.name, getattr(st, f.name))
+            for f in dataclasses.fields(st)
+        },
+    )
+
+
+def shard_map_fn(fn, mesh, in_specs, out_specs):
+    """`jax.shard_map` with replication checking off (psum of partial
+    products is intentional; the checker's VMA inference rejects it)."""
+    import jax as _jax
+
+    try:
+        return _jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    except TypeError:  # older spelling
+        return _jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        )
+
+
+def cache_specs(axis: str = "tp") -> dict:
+    """Dense KV-cache spec: shard the kv-head axis [L, B, S, n_kv, hd]."""
+    return {
+        "k": P(None, None, None, axis, None),
+        "v": P(None, None, None, axis, None),
+        "pos": P(),
+    }
+
+
+def paged_cache_specs(cache, axis: str = "tp"):
+    """PagedCache spec: k/v pages shard the kv-head axis [L, P, n_kv, pg, hd]."""
+    return dataclasses.replace(
+        cache,
+        k_pages=P(None, None, axis, None, None),
+        v_pages=P(None, None, axis, None, None),
+        block_table=P(),
+        seq_lens=P(),
+    )
+
+
+def local_cfg(cfg, d: int):
+    """Per-device model config: heads and ffn divided by the shard count.
+
+    head_dim is pinned explicitly (it is otherwise derived from the GLOBAL
+    hidden/heads ratio, which the local head count would corrupt)."""
+    return dataclasses.replace(
+        cfg,
+        num_attention_heads=cfg.num_attention_heads // d,
+        num_key_value_heads=cfg.num_key_value_heads // d,
+        intermediate_size=cfg.intermediate_size // d,
+        head_dim=cfg.hd,
+    )
+
+
+def device_put_sharded(cm: CompressedModel, mesh, specs: TPSpecs) -> CompressedModel:
+    """Place the re-laid-out global arrays with their NamedShardings."""
+    from jax.sharding import NamedSharding
+
+    def put(x, spec):
+        if x is None or spec is None:
+            return x
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    params = jax.tree.map(
+        put, cm.params, _concretize(specs.params, cm.params),
+        is_leaf=lambda x: x is None,
+    )
+    return dataclasses.replace(cm, params=params)
+
+
+def _concretize(spec_tree, value_tree):
+    """Fill replicate-P() for any value leaves the spec tree lacks."""
+    def merge(spec, val):
+        if isinstance(val, dict):
+            spec = spec if isinstance(spec, dict) else {}
+            return {k: merge(spec.get(k, P()), v) for k, v in val.items()}
+        if isinstance(spec, P) or spec is None:
+            return spec
+        return spec
+
+    return merge(spec_tree, value_tree)

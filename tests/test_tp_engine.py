@@ -1,0 +1,157 @@
+"""Tensor-parallel serving engine: token parity vs single device.
+
+VERDICT round-2 item #2: TP decode with packed weights, block scales, and
+paged KV sharded over a mesh, token-identical to the single-device engine.
+Runs on the virtual CPU mesh (conftest); the same shard_map path carries the
+Pallas kernels on TPU hardware.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.quant import compress, ptq
+from tensorrt_model_optimizer_tpu.serve import engine as serve_engine
+from tensorrt_model_optimizer_tpu.serve import tp as tp_mod
+
+
+def tp_mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), axis_names=("tp",))
+
+
+@pytest.fixture(scope="module")
+def tiny_ptq():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    return cfg, params, batches
+
+
+def _generate(cm, ecfg, prompt, n=8):
+    eng = serve_engine.Engine(cm, ecfg)
+    return np.asarray(eng.generate(prompt, max_new_tokens=n)), eng
+
+
+PRESETS = [
+    "INT8_DEFAULT_CFG",       # W8A8 (per-token dynamic acts -> pmax path)
+    "FP8_DEFAULT_CFG",
+    "INT4_BLOCKWISE_WEIGHT_ONLY_CFG",  # plane-packed col repack
+    "NVFP4_DEFAULT_CFG",      # block scales + per-shard K-perm layout
+    "INT4_AWQ_CFG",           # pre_quant_scale sharding on row sites
+]
+
+
+class TestTPRelayout:
+    def test_plane_tp_major_roundtrip(self):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.integers(0, 16, size=(3, 8, 16)).astype(np.uint8))
+        packed = ((q[:, 4:] << 4) | q[:, :4]).astype(jnp.uint8)  # [3, 4, 16]
+        for d in (1, 2, 4):
+            tpm = tp_mod._plane_to_tp_major(packed, d)
+            # each shard's slice must plane-unpack to its own original rows
+            Os = 8 // d
+            for s in range(d):
+                blk = tpm[:, s * Os // 2 : (s + 1) * Os // 2]
+                lo = np.asarray(blk & 0xF)
+                hi = np.asarray((blk >> 4) & 0xF)
+                want = np.asarray(q[:, s * Os : (s + 1) * Os])
+                np.testing.assert_array_equal(lo, want[:, : Os // 2])
+                np.testing.assert_array_equal(hi, want[:, Os // 2 :])
+
+    def test_decompress_order_preserved(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT4_BLOCKWISE_WEIGHT_ONLY_CFG", batches)
+        cm = compress.compress(model)
+        cm2, _ = tp_mod.shard_compressed(cm, 2, nvfp4_perm=False)
+        name = "mlp.gate_proj"
+        ref = compress.decompress_weight("int4", cm.params["layers"][name], jnp.float32)
+        arr = cm2.params["layers"][name]
+        O = ref.shape[1] * 2 // 2  # [L, O, K]
+        d = 2
+        Os = ref.shape[1] // d
+        outs = []
+        for s in range(d):
+            blk = {k: v[:, s * Os // 2 : (s + 1) * Os // 2] for k, v in arr.items()}
+            outs.append(compress.decompress_weight("int4", blk, jnp.float32))
+        got = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+class TestTPEngineParity:
+    @pytest.mark.parametrize("preset", PRESETS)
+    def test_dense_generate_parity(self, tiny_ptq, preset):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, preset, batches)
+        cm = compress.compress(model)
+        prompt = jnp.asarray(np.random.default_rng(3).integers(0, 256, size=(2, 12)))
+        ref, _ = _generate(cm, serve_engine.EngineConfig(max_seq_len=64), prompt)
+        got, _ = _generate(
+            cm,
+            serve_engine.EngineConfig(max_seq_len=64, mesh=tp_mesh(2)),
+            prompt,
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_dense_generate_parity_tp4(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        # tp=4 needs nKV % 4 == 0: widen the tiny config
+        cfg = llama.LlamaConfig.tiny(
+            num_attention_heads=8, num_key_value_heads=4, hidden_size=128,
+            intermediate_size=256,
+        )
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        model = ptq.quantize(cfg, params, "NVFP4_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        prompt = jnp.asarray(np.random.default_rng(3).integers(0, 256, size=(1, 9)))
+        ref, _ = _generate(cm, serve_engine.EngineConfig(max_seq_len=64), prompt)
+        got, _ = _generate(
+            cm, serve_engine.EngineConfig(max_seq_len=64, mesh=tp_mesh(4)), prompt
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_paged_serve_parity(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "NVFP4_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        from tensorrt_model_optimizer_tpu.serve.scheduler import Request
+
+        rng = np.random.default_rng(5)
+
+        def reqs():
+            return [
+                Request(rid=i, prompt=rng.integers(0, 256, size=(6 + i,)),
+                        max_new_tokens=5)
+                for i in range(3)
+            ]
+
+        rng = np.random.default_rng(5)
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=64))
+        ref = eng.serve(reqs(), n_pages=32, page_size=8, max_slots=2,
+                        max_pages_per_seq=8)
+        rng = np.random.default_rng(5)
+        eng_tp = serve_engine.Engine(
+            cm, serve_engine.EngineConfig(max_seq_len=64, mesh=tp_mesh(2))
+        )
+        got = eng_tp.serve(reqs(), n_pages=32, page_size=8, max_slots=2,
+                           max_pages_per_seq=8)
+        assert {k: list(v) for k, v in got.items()} == {
+            k: list(v) for k, v in ref.items()
+        }
+
+    def test_kv_quantized_cache_parity(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "FP8_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        prompt = jnp.asarray(np.random.default_rng(7).integers(0, 256, size=(1, 8)))
+        ec = serve_engine.EngineConfig(max_seq_len=64, kv_dtype=jnp.float8_e4m3fn)
+        ref, _ = _generate(cm, ec, prompt)
+        got, _ = _generate(
+            cm, dataclasses.replace(ec, mesh=tp_mesh(2)), prompt
+        )
+        np.testing.assert_array_equal(got, ref)
