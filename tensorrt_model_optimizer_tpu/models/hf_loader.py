@@ -15,11 +15,30 @@ from typing import Any, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from .llama import LlamaConfig, PROJ_NAMES
+from .llama import LlamaConfig, PROJ_NAMES, RopeScaling
+
+
+def _rope_scaling_from_hf(d: dict) -> Optional[RopeScaling]:
+    rs = d.get("rope_scaling")
+    if not rs:
+        return None
+    rope_type = rs.get("rope_type", rs.get("type", "llama3"))
+    if rope_type != "llama3":
+        raise NotImplementedError(f"rope_scaling type {rope_type!r} unsupported")
+    return RopeScaling(
+        rope_type=rope_type,
+        factor=float(rs.get("factor", 8.0)),
+        low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+        high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+        original_max_position_embeddings=int(
+            rs.get("original_max_position_embeddings", 8192)
+        ),
+    )
 
 
 def config_from_hf(d: dict) -> LlamaConfig:
     return LlamaConfig(
+        rope_scaling=_rope_scaling_from_hf(d),
         attention_bias=d.get("attention_bias", d.get("model_type") == "qwen2"),
         vocab_size=d["vocab_size"],
         hidden_size=d["hidden_size"],
@@ -37,7 +56,17 @@ def config_from_hf(d: dict) -> LlamaConfig:
 
 
 def config_to_hf(cfg: LlamaConfig) -> dict:
-    return {
+    out: dict[str, Any] = {}
+    if cfg.rope_scaling is not None:
+        rs = cfg.rope_scaling
+        out["rope_scaling"] = {
+            "rope_type": rs.rope_type,
+            "factor": rs.factor,
+            "low_freq_factor": rs.low_freq_factor,
+            "high_freq_factor": rs.high_freq_factor,
+            "original_max_position_embeddings": rs.original_max_position_embeddings,
+        }
+    return out | {
         "architectures": ["LlamaForCausalLM"],
         "model_type": "llama",
         "vocab_size": cfg.vocab_size,
@@ -73,6 +102,53 @@ def _load_all_tensors(path: str) -> dict[str, np.ndarray]:
                         t = sft.get_tensor(k)
                         out[k] = t.float().numpy()
     return out
+
+
+def save_hf_checkpoint(cfg: LlamaConfig, params: dict, path: str) -> None:
+    """Inverse of `load_hf_checkpoint`: write config.json + model.safetensors.
+
+    Unstacks the [L, ...] layer pytree back to per-layer HF tensor names so
+    the directory round-trips through `load_hf_checkpoint` (and is readable
+    by transformers). bf16 params are written via a uint16 view with an
+    explicit BF16 dtype entry (safetensors numpy lacks bf16).
+    """
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config_to_hf(cfg), f, indent=1)
+
+    flat: dict[str, np.ndarray] = {}
+
+    def put(name, arr):
+        flat[name] = np.asarray(jnp.asarray(arr).astype(jnp.float32))
+
+    put("model.embed_tokens.weight", params["embed_tokens"])
+    put("model.norm.weight", params["norm"])
+    if not cfg.tie_word_embeddings:
+        put("lm_head.weight", params.get("lm_head", params["embed_tokens"]))
+    layers = params["layers"]
+    hf_names = {
+        "input_layernorm": "model.layers.{i}.input_layernorm.weight",
+        "post_attention_layernorm": "model.layers.{i}.post_attention_layernorm.weight",
+        "self_attn.q_proj": "model.layers.{i}.self_attn.q_proj.weight",
+        "self_attn.k_proj": "model.layers.{i}.self_attn.k_proj.weight",
+        "self_attn.v_proj": "model.layers.{i}.self_attn.v_proj.weight",
+        "self_attn.o_proj": "model.layers.{i}.self_attn.o_proj.weight",
+        "mlp.gate_proj": "model.layers.{i}.mlp.gate_proj.weight",
+        "mlp.up_proj": "model.layers.{i}.mlp.up_proj.weight",
+        "mlp.down_proj": "model.layers.{i}.mlp.down_proj.weight",
+        "self_attn.q_proj__bias": "model.layers.{i}.self_attn.q_proj.bias",
+        "self_attn.k_proj__bias": "model.layers.{i}.self_attn.k_proj.bias",
+        "self_attn.v_proj__bias": "model.layers.{i}.self_attn.v_proj.bias",
+    }
+    for ours, fmt in hf_names.items():
+        if ours not in layers:
+            continue
+        stacked = layers[ours]
+        for i in range(cfg.num_hidden_layers):
+            put(fmt.format(i=i), stacked[i])
+    save_file(flat, os.path.join(path, "model.safetensors"))
 
 
 def load_hf_checkpoint(path: str, dtype=jnp.bfloat16) -> tuple[LlamaConfig, dict]:

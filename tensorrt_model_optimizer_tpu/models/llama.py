@@ -38,6 +38,25 @@ QuantState = dict
 
 
 @dataclasses.dataclass(frozen=True)
+class RopeScaling:
+    """Llama-3.1-style rope frequency scaling (HF `rope_scaling` dict).
+
+    Mirrors transformers' `_compute_llama3_parameters`: wavelengths longer
+    than `original_max_position_embeddings / low_freq_factor` are divided by
+    `factor`, wavelengths shorter than `original / high_freq_factor` are kept,
+    and the band between is smoothly interpolated. Without this, real
+    llama-3.1 checkpoints degrade past ~8k context (reference consumes the HF
+    config verbatim via AutoModel; we must reproduce the math).
+    """
+
+    rope_type: str = "llama3"
+    factor: float = 8.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
 class LlamaConfig:
     vocab_size: int = 32000
     hidden_size: int = 2048
@@ -47,6 +66,7 @@ class LlamaConfig:
     num_key_value_heads: int = 4
     head_dim: Optional[int] = None
     rope_theta: float = 10000.0
+    rope_scaling: Optional[RopeScaling] = None
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 4096
@@ -86,7 +106,8 @@ class LlamaConfig:
             num_attention_heads=32,
             num_key_value_heads=8,
             rope_theta=500000.0,
-            max_position_embeddings=8192,
+            rope_scaling=RopeScaling(),  # llama-3.1 extended context
+            max_position_embeddings=131072,
         )
         base.update(kw)
         return LlamaConfig(**base)
@@ -101,7 +122,8 @@ class LlamaConfig:
             num_attention_heads=64,
             num_key_value_heads=8,
             rope_theta=500000.0,
-            max_position_embeddings=8192,
+            rope_scaling=RopeScaling(),  # llama-3.1 extended context
+            max_position_embeddings=131072,
         )
         base.update(kw)
         return LlamaConfig(**base)
@@ -287,13 +309,33 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+def rope(
+    x: jax.Array,
+    positions: jax.Array,
+    theta: float,
+    scaling: Optional[RopeScaling] = None,
+) -> jax.Array:
     """Rotary embedding; x: [B, T, n, hd], positions: [B, T]."""
     hd = x.shape[-1]
     half = hd // 2
     freqs = jnp.exp(
         -math.log(theta) * jnp.arange(0, half, dtype=jnp.float32) / half
     )
+    if scaling is not None and scaling.rope_type == "llama3":
+        # transformers modeling_rope_utils._compute_llama3_parameters
+        wavelen = 2.0 * math.pi / freqs
+        low_wl = scaling.original_max_position_embeddings / scaling.low_freq_factor
+        high_wl = scaling.original_max_position_embeddings / scaling.high_freq_factor
+        smooth = (
+            scaling.original_max_position_embeddings / wavelen
+            - scaling.low_freq_factor
+        ) / (scaling.high_freq_factor - scaling.low_freq_factor)
+        interp = (1.0 - smooth) * freqs / scaling.factor + smooth * freqs
+        freqs = jnp.where(
+            wavelen > low_wl,
+            freqs / scaling.factor,
+            jnp.where(wavelen < high_wl, freqs, interp),
+        )
     angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, half]
     cos = jnp.cos(angles)[..., None, :]
     sin = jnp.sin(angles)[..., None, :]
@@ -363,8 +405,8 @@ def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib, ada
     q = q.reshape(B, T, nH, hd)
     k = k.reshape(B, T, nKV, hd)
     v = v.reshape(B, T, nKV, hd)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+    k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
     # KV-cache quantizers (the reference's *_bmm_quantizer sites,
     # `plugins/huggingface.py:78`): applied to k/v post-rope, pre-cache.

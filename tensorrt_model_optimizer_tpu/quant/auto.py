@@ -87,8 +87,8 @@ def _collect_grads_and_inputs(cfg, params, tokens, capture_tokens):
             q = proj(h, "self_attn.q_proj", i).reshape(B_, T_, nH, hd)
             k = proj(h, "self_attn.k_proj", i).reshape(B_, T_, nKV, hd)
             v = proj(h, "self_attn.v_proj", i).reshape(B_, T_, nKV, hd)
-            q = llama.rope(q, positions, cfg.rope_theta)
-            k = llama.rope(k, positions, cfg.rope_theta)
+            q = llama.rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+            k = llama.rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
             rep = nH // nKV
             k_all = jnp.repeat(k, rep, axis=2)
             v_all = jnp.repeat(v, rep, axis=2)

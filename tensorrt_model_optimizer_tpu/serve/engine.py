@@ -181,8 +181,8 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     q = q.reshape(B, T, nH, hd)
     k = k.reshape(B, T, nKV, hd)
     v = v.reshape(B, T, nKV, hd)
-    q = llama.rope(q, positions, cfg.rope_theta)
-    k = llama.rope(k, positions, cfg.rope_theta)
+    q = llama.rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+    k = llama.rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
     kv_dtype = ecfg.kv_dtype
     ck = jax.lax.dynamic_update_slice_in_dim(
@@ -412,8 +412,8 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
             q = q + lp["self_attn.q_proj__bias"].astype(q.dtype)
             k = k + lp["self_attn.k_proj__bias"].astype(k.dtype)
             v = v + lp["self_attn.v_proj__bias"].astype(v.dtype)
-        q = llama.rope(q.reshape(B, T, nH, hd), positions, cfg.rope_theta)
-        k = llama.rope(k.reshape(B, T, nKV, hd), positions, cfg.rope_theta)
+        q = llama.rope(q.reshape(B, T, nH, hd), positions, cfg.rope_theta, cfg.rope_scaling)
+        k = llama.rope(k.reshape(B, T, nKV, hd), positions, cfg.rope_theta, cfg.rope_scaling)
         v = v.reshape(B, T, nKV, hd)
         ctx, kp, vp = _paged_layer_attn(
             cfg, ecfg, q, k, v, kp, vp, cache, positions, ka_l, va_l,

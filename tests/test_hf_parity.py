@@ -120,3 +120,61 @@ def test_qwen2_ptq_and_serve(qwen_ckpt, tmp_path):
     assert corr > 0.99, f"engine dropped biases? corr={corr}"
     out = eng.generate(prompt, max_new_tokens=3)
     assert out.shape == (2, 3)
+
+
+@pytest.fixture(scope="module")
+def llama31_ckpt(tmp_path_factory):
+    """Tiny llama with llama-3.1 rope scaling (factor 4 over 64 positions)."""
+    path = tmp_path_factory.mktemp("hf_31")
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False,
+        rope_scaling={
+            "rope_type": "llama3", "factor": 4.0, "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0, "original_max_position_embeddings": 64,
+        },
+    )
+    torch.manual_seed(2)
+    model = transformers.LlamaForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(str(path), safe_serialization=True)
+    return str(path), model
+
+
+def test_llama31_rope_scaling_logits_match(llama31_ckpt):
+    """Positions beyond original_max exercise the scaled frequency band."""
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import hf_loader, llama
+
+    path, hf_model = llama31_ckpt
+    cfg, params = hf_loader.load_hf_checkpoint(path, dtype=jnp.float32)
+    assert cfg.rope_scaling is not None and cfg.rope_scaling.factor == 4.0
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 128, size=(1, 100))  # > original_max=64
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(tokens)).logits.float().numpy()
+    ours, _, _ = llama.forward(cfg, params, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_llama31_rope_scaling_matters(llama31_ckpt):
+    """Dropping the scaling must change long-position logits (guards against
+    the scaling being silently ignored)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import hf_loader, llama
+
+    path, _ = llama31_ckpt
+    cfg, params = hf_loader.load_hf_checkpoint(path, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 128, size=(1, 100)))
+    scaled, _, _ = llama.forward(cfg, params, tokens)
+    unscaled, _, _ = llama.forward(
+        dataclasses.replace(cfg, rope_scaling=None), params, tokens
+    )
+    assert np.abs(np.asarray(scaled) - np.asarray(unscaled)).max() > 1e-3

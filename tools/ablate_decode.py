@@ -140,8 +140,8 @@ def make_step(cfg, ecfg, cm, backend, variant):
             q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend)
             k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend)
             v = _qlinear(h2, "self_attn.v_proj", kinds["self_attn.v_proj"], lp["self_attn.v_proj"], cm, backend)
-            q = llama.rope(q.reshape(B, T, nH, hd), positions, cfg.rope_theta)
-            k = llama.rope(k.reshape(B, T, nKV, hd), positions, cfg.rope_theta)
+            q = llama.rope(q.reshape(B, T, nH, hd), positions, cfg.rope_theta, cfg.rope_scaling)
+            k = llama.rope(k.reshape(B, T, nKV, hd), positions, cfg.rope_theta, cfg.rope_scaling)
             v = v.reshape(B, T, nKV, hd)
             if no_attn:
                 ctx = q.reshape(B * T, nH * hd)
