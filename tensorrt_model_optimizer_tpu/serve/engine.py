@@ -492,19 +492,24 @@ class Engine:
     def _tp_axis(self):
         return self.ecfg.tp_axis if self.ecfg.mesh is not None else None
 
-    def _wrap_step(self, fn, tail_in_specs, out_specs):
-        """jit, or shard_map+jit under TP (tail specs follow params/qstate)."""
+    def _wrap_step(self, fn, tail_in_specs, out_specs, donate=()):
+        """jit, or shard_map+jit under TP (tail specs follow params/qstate).
+
+        `donate` argnums (e.g. the KV cache) are donated to the call: without
+        donation every decode step copies the full cache (measured 10-20x the
+        fused step time at 8B on-chip — see BENCH_RESULTS round-2 ablation).
+        """
         import jax as _jax
 
         if self.ecfg.mesh is None:
-            return _jax.jit(fn)
+            return _jax.jit(fn, donate_argnums=donate)
         from . import tp as tp_mod
 
         return _jax.jit(tp_mod.shard_map_fn(
             fn, self.ecfg.mesh,
             in_specs=(self._pspec, self._qspec, *tail_in_specs),
             out_specs=out_specs,
-        ))
+        ), donate_argnums=donate)
 
     def init_cache(self, batch: int, max_len: Optional[int] = None) -> dict:
         max_len = max_len or self.ecfg.max_seq_len
@@ -577,6 +582,50 @@ class Engine:
             self._decode_fn = self._wrap_step(run, (P(), cs), (P(), cs))
             self._decode_steps = steps
         return self._decode_fn(self.cm.params, self.cm.qstate, first_token, cache)
+
+    def decode_step(self, tok: jax.Array, cache: dict):
+        """One fused greedy decode step: (tok [B,1], cache) -> (next [B,1], cache).
+
+        Single dispatch: argmax runs on device and the cache is DONATED, so
+        the step is in-place on the KV buffers. This is the serving hot path
+        on backends where a steps-scan over the layers-scan won't compile
+        (the remote TPU relay); `decode()` (lax.scan) is one dispatch for a
+        whole sequence and preferred where it compiles. The caller must drop
+        its reference to the passed cache (donated = invalidated).
+        """
+        if getattr(self, "_step1_fn", None) is None:
+            cfg, ecfg, cm, backend = self._fwd_cfg, self.ecfg, self.cm, self.backend
+            tp_ax = self._tp_axis
+
+            def one(params, qstate, tok, cache):
+                B = tok.shape[0]
+                positions = jnp.broadcast_to(
+                    cache["pos"][None, None], (B, 1)
+                ).astype(jnp.int32)
+                logits, cache = _model_step(
+                    cfg, ecfg, cm, backend, params, qstate, tok, cache,
+                    positions, tp_axis=tp_ax,
+                )
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], cache
+
+            from jax.sharding import PartitionSpec as P
+
+            from . import tp as tp_mod
+
+            cs = tp_mod.cache_specs(self.ecfg.tp_axis)
+            self._step1_fn = self._wrap_step(one, (P(), cs), (P(), cs), donate=(3,))
+        return self._step1_fn(self.cm.params, self.cm.qstate, tok, cache)
+
+    def generate_host(self, prompt: jax.Array, max_new_tokens: int = 32):
+        """Greedy generation via host-stepped fused decode (relay-safe)."""
+        cache = self.init_cache(prompt.shape[0])
+        logits, cache = self.prefill(prompt, cache)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        out = [tok]
+        for _ in range(max_new_tokens - 1):
+            tok, cache = self.decode_step(tok, cache)
+            out.append(tok)
+        return jnp.concatenate(out, axis=1)
 
     def generate(self, prompt: jax.Array, max_new_tokens: int = 32):
         """Greedy generation. prompt [B, T] -> [B, max_new_tokens]."""
@@ -658,7 +707,9 @@ class Engine:
             fn = partial(_paged_model_step, self._fwd_cfg, self.ecfg, self.cm,
                          self.backend, tp_axis=self._tp_axis)
             ps = tp_mod.paged_cache_specs(cache, self.ecfg.tp_axis)
-            self._paged_fns[T] = self._wrap_step(fn, (P(), ps, P()), (P(), ps))
+            self._paged_fns[T] = self._wrap_step(
+                fn, (P(), ps, P()), (P(), ps), donate=(3,)
+            )
         return self._paged_fns[T](self.cm.params, self.cm.qstate, tokens, cache, active)
 
     def prefill_chunked(self, cache, slot: int, tokens: jax.Array, chunk: int = 64):

@@ -366,3 +366,16 @@ class TestServingSweep:
         assert corr > 0.95, (preset, corr)
         out = eng.generate(prompt, max_new_tokens=2)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decode_step_matches_scan_decode(tiny_ptq):
+    """Fused single-dispatch decode_step (donated cache, on-device argmax)
+    must be token-identical to the lax.scan decode path."""
+    cfg, params, batches = tiny_ptq
+    model = ptq.quantize(cfg, params, "INT8_DEFAULT_CFG", batches)
+    cm = compress.compress(model)
+    eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+    prompt = batches[0][:, :6]
+    ref = np.asarray(eng.generate(prompt, max_new_tokens=8))
+    got = np.asarray(eng.generate_host(prompt, max_new_tokens=8))
+    np.testing.assert_array_equal(got, ref)
