@@ -73,6 +73,39 @@ def _pack_outpair_nibbles(codes: np.ndarray) -> np.ndarray:
     return (((hi & 0xF) << 4) | (lo & 0xF)).astype(np.uint8)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _nvfp4_quant_pack(w32: jax.Array, gs: float, bsz: int):
+    """One fused device pass: per-block E4M3 scales + fp4 rounding + adjacent
+    nibble packing. Keeps the 70B streaming export compute-bound on XLA
+    instead of numpy (the np<->jnp ping-pong was ~10x slower per layer)."""
+    bam = jnp.max(jnp.abs(w32).reshape(w32.shape[0], -1, bsz), axis=-1)
+    s_val = numerics.cast_e4m3(bam / (6.0 * gs))
+    s_val = jnp.where(s_val <= 0, 1.0, s_val)
+    sb_full = jnp.repeat(s_val * gs, bsz, axis=-1)
+    qv = numerics.fp4_round(w32 / sb_full)
+    codes = numerics.fp4_to_codes(qv).astype(jnp.uint8)
+    lo = codes[..., 0::2]
+    hi = codes[..., 1::2]
+    packed = (hi << 4) | (lo & 0xF)
+    s8 = jnp.clip(s_val, -448, 448).astype(jnp.float8_e4m3fn)
+    return packed, s8
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _int4_quant_pack(w32: jax.Array, bam: jax.Array, bsz: int):
+    """Fused int4 block quant + output-pair nibble packing (AWQ layout)."""
+    scale = jnp.where(bam == 0, 1.0, bam / 7.0)
+    s_full = jnp.repeat(scale, bsz, axis=-1)
+    q = jnp.clip(jnp.round(w32 / s_full), -8, 7).astype(jnp.int32) & 0xF
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = (((hi & 0xF) << 4) | (lo & 0xF)).astype(jnp.uint8)
+    return packed, scale.astype(jnp.float32)
+
+
 def _quant_algo(model: QuantizedModel) -> tuple[str, Optional[int]]:
     wcfg = model.layout.get("mlp.down_proj.weight")
     base = wcfg.sequential[0] if wcfg.sequential else wcfg
@@ -141,18 +174,9 @@ def _export_weight(w, wcfg, wst, algo: str):
         bsz = dict(base.block.sizes).get(-1, 16)
         g_amax = np.asarray(amax) if amax is not None else np.abs(w32).max()
         gs = max(float(g_amax) / (6.0 * 448.0), 1e-12)
-        bam = np.abs(w32).reshape(w32.shape[0], -1, bsz).max(axis=-1)
-        s_val = np.asarray(
-            numerics.cast_e4m3(jnp.asarray(bam / (6.0 * gs)))
-        )
-        s_val = np.where(s_val <= 0, 1.0, s_val)
-        sb_full = np.repeat(s_val * gs, bsz, axis=-1)
-        qv = np.asarray(numerics.fp4_round(jnp.asarray(w32 / sb_full)))
-        codes = np.asarray(numerics.fp4_to_codes(jnp.asarray(qv)))
-        out["weight"] = _pack_adjacent_nibbles(codes)
-        out["weight_scale"] = np.asarray(
-            jnp.asarray(np.clip(s_val, -448, 448)).astype(jnp.float8_e4m3fn)
-        )
+        packed, s8 = _nvfp4_quant_pack(jnp.asarray(w32), float(gs), bsz)
+        out["weight"] = np.asarray(packed)
+        out["weight_scale"] = np.asarray(s8)
         out["weight_scale_2"] = np.asarray(gs, dtype=np.float32)
         return out
 
@@ -174,11 +198,11 @@ def _export_weight(w, wcfg, wst, algo: str):
             bam = np.abs(w32).reshape(w32.shape[0], -1, bsz).max(axis=-1)
         else:
             bam = np.asarray(amax, np.float32)
-        scale = np.where(bam == 0, 1.0, bam / 7.0)
-        s_full = np.repeat(scale, bsz, axis=-1)
-        q = np.clip(np.round(w32 / s_full), -8, 7).astype(np.int32)
-        out["weight"] = _pack_outpair_nibbles(q & 0xF)
-        out["weight_scale"] = scale.astype(np.float32)
+        packed, scale = _int4_quant_pack(
+            jnp.asarray(w32), jnp.asarray(bam, jnp.float32), bsz
+        )
+        out["weight"] = np.asarray(packed)
+        out["weight_scale"] = np.asarray(scale)
         if algo == "W4A8_AWQ":
             # Second-level scale: fp8-stage amax/448 (quant_utils.py:343) —
             # the deploy kernel dequantizes int4 to fp8 range.
@@ -226,46 +250,97 @@ def _save_safetensors_with_fp8(tensors: dict[str, np.ndarray], path: str) -> Non
     save_file(cooked, path)
 
 
-def load_exported(path: str) -> dict[str, np.ndarray]:
-    """Read back an exported checkpoint (fp8 tensors come back as ml_dtypes)."""
-    import torch
-    from safetensors.torch import load_file
+class LazyExported:
+    """Dict-like lazy view over an exported checkpoint (single-file or
+    sharded). Tensors are fetched from `safetensors` on access — the file is
+    mmapped, so host RSS stays bounded by what the caller actually touches
+    (the streaming-load counterpart of `unified_export_hf_streaming.py:445`).
+    """
 
-    import ml_dtypes
-
-    out = {}
-    for k, t in load_file(os.path.join(path, "model.safetensors")).items():
-        if t.dtype == torch.float8_e4m3fn:
-            out[k] = t.view(torch.uint8).numpy().view(ml_dtypes.float8_e4m3fn)
-        elif t.dtype == torch.bfloat16:
-            out[k] = t.float().numpy()
+    def __init__(self, path: str):
+        self._path = path
+        index = os.path.join(path, "model.safetensors.index.json")
+        if os.path.exists(index):
+            with open(index) as f:
+                self._weight_map = json.load(f)["weight_map"]
         else:
-            out[k] = t.numpy()
-    return out
+            from safetensors import safe_open
+
+            single = os.path.join(path, "model.safetensors")
+            with safe_open(single, framework="pt") as sf:
+                self._weight_map = {k: "model.safetensors" for k in sf.keys()}
+        self._handles: dict[str, Any] = {}
+
+    def _handle(self, fname: str):
+        if fname not in self._handles:
+            from safetensors import safe_open
+
+            self._handles[fname] = safe_open(
+                os.path.join(self._path, fname), framework="pt"
+            )
+        return self._handles[fname]
+
+    def keys(self):
+        return self._weight_map.keys()
+
+    def __contains__(self, k):
+        return k in self._weight_map
+
+    def __iter__(self):
+        return iter(self._weight_map)
+
+    def __len__(self):
+        return len(self._weight_map)
+
+    def __getitem__(self, k: str) -> np.ndarray:
+        import torch
+
+        import ml_dtypes
+
+        t = self._handle(self._weight_map[k]).get_tensor(k)
+        if t.dtype == torch.float8_e4m3fn:
+            return t.view(torch.uint8).numpy().view(ml_dtypes.float8_e4m3fn)
+        if t.dtype == torch.bfloat16:
+            return t.float().numpy()
+        return t.numpy()
+
+    def items(self):
+        for k in self._weight_map:
+            yield k, self[k]
 
 
-def export_hf_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
-    """Write the unified quantized HF checkpoint. Returns hf_quant_config."""
-    os.makedirs(export_dir, exist_ok=True)
+def load_exported(path: str) -> LazyExported:
+    """Read back an exported checkpoint (fp8 tensors come back as ml_dtypes).
+
+    Returns a lazy dict-like view; index over keys and fetch on demand."""
+    return LazyExported(path)
+
+
+def _iter_export_tensors(model: QuantizedModel):
+    """Yield (name, np.ndarray) for the unified checkpoint, layer-at-a-time.
+
+    This is the streaming spine of the export: only one layer's tensors are
+    ever materialized on host at once (the reference's
+    `unified_export_hf_streaming.py:445` streams per-layer the same way so a
+    70B export never holds the full state dict)."""
     cfg = model.model_cfg
-    algo, group_size = _quant_algo(model)
+    algo, _ = _quant_algo(model)
     kv_algo = _kv_algo(model)
     L = cfg.num_hidden_layers
-    tensors: dict[str, np.ndarray] = {}
 
     def to_np16(a):
         return np.asarray(jnp.asarray(a).astype(jnp.float32), dtype=np.float16)
 
-    tensors["model.embed_tokens.weight"] = to_np16(model.params["embed_tokens"])
-    tensors["model.norm.weight"] = to_np16(model.params["norm"])
+    yield "model.embed_tokens.weight", to_np16(model.params["embed_tokens"])
+    yield "model.norm.weight", to_np16(model.params["norm"])
     if "lm_head" in model.params:
-        tensors["lm_head.weight"] = to_np16(model.params["lm_head"])
+        yield "lm_head.weight", to_np16(model.params["lm_head"])
     layers = model.params["layers"]
     for i in range(L):
-        tensors[f"model.layers.{i}.input_layernorm.weight"] = to_np16(
+        yield f"model.layers.{i}.input_layernorm.weight", to_np16(
             layers["input_layernorm"][i]
         )
-        tensors[f"model.layers.{i}.post_attention_layernorm.weight"] = to_np16(
+        yield f"model.layers.{i}.post_attention_layernorm.weight", to_np16(
             layers["post_attention_layernorm"][i]
         )
         for name, hf_fmt in PROJ_TO_HF.items():
@@ -279,13 +354,13 @@ def export_hf_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
                 algo[: -len("_SVDQUANT")] if algo.endswith("_SVDQUANT") else algo,
             )
             for suffix, arr in exported.items():
-                tensors[f"{prefix}.{suffix}"] = arr
+                yield f"{prefix}.{suffix}", arr
             # SVDQuant low-rank factors (`<module>.svdquant_lora_{a,b}`,
             # convert_hf_config.py:214); adapter scale folds into lora_b.
             if model.adapters and name in model.adapters:
                 ad = model.adapters[name]
-                tensors[f"{prefix}.svdquant_lora_a"] = to_np16(ad["A"][i])
-                tensors[f"{prefix}.svdquant_lora_b"] = to_np16(
+                yield f"{prefix}.svdquant_lora_a", to_np16(ad["A"][i])
+                yield f"{prefix}.svdquant_lora_b", to_np16(
                     jnp.asarray(ad["B"][i]).astype(jnp.float32) * ad["scale"][i]
                 )
             # activation scales
@@ -298,9 +373,9 @@ def export_hf_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
                     div = 6.0 * 448.0 if algo.startswith("NVFP4") else (
                         448.0 if icfg.is_fp else 127.0
                     )
-                    tensors[f"{prefix}.input_scale"] = np.asarray(a / div, np.float32)
+                    yield f"{prefix}.input_scale", np.asarray(a / div, np.float32)
                 if ist.pre_quant_scale is not None:
-                    tensors[f"{prefix}.pre_quant_scale"] = np.asarray(
+                    yield f"{prefix}.pre_quant_scale", np.asarray(
                         ist.pre_quant_scale, np.float32
                     )
         # KV scales (`get_kv_cache_scaling_factor`, quant_utils.py:371)
@@ -323,11 +398,80 @@ def export_hf_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
                                 "KV cache may lead to higher accuracy drop."
                             )
                         scale = max(scale, 1.0)
-                    tensors[
-                        f"model.layers.{i}.self_attn.{which}_proj.{which}_scale"
-                    ] = np.asarray(scale, np.float32)
+                    yield (
+                        f"model.layers.{i}.self_attn.{which}_proj.{which}_scale",
+                        np.asarray(scale, np.float32),
+                    )
 
-    _save_safetensors_with_fp8(tensors, os.path.join(export_dir, "model.safetensors"))
+
+def _write_sharded(it, export_dir: str, max_shard_bytes: int) -> None:
+    """Stream (name, arr) pairs into HF-style shards + index.json.
+
+    Peak host memory = one shard's tensors (+ one in-flight layer), never the
+    full state dict. Shards are written under temp names and renamed once the
+    total count is known (the `-of-NNNNN` suffix needs it)."""
+    shard: dict[str, np.ndarray] = {}
+    shard_bytes = 0
+    shard_files: list[str] = []
+    weight_map: dict[str, str] = {}
+    pending: list[str] = []
+    total = 0
+
+    def flush():
+        nonlocal shard, shard_bytes
+        if not shard:
+            return
+        tmp = f"__shard_{len(shard_files):05d}.safetensors"
+        _save_safetensors_with_fp8(shard, os.path.join(export_dir, tmp))
+        shard_files.append(tmp)
+        for k in shard:
+            weight_map[k] = tmp
+        shard = {}
+        shard_bytes = 0
+
+    for name, arr in it:
+        if shard_bytes + arr.nbytes > max_shard_bytes and shard:
+            flush()
+        shard[name] = arr
+        shard_bytes += arr.nbytes
+        total += arr.nbytes
+    flush()
+
+    n = len(shard_files)
+    final = [f"model-{i + 1:05d}-of-{n:05d}.safetensors" for i in range(n)]
+    for tmp, fin in zip(shard_files, final):
+        os.replace(os.path.join(export_dir, tmp), os.path.join(export_dir, fin))
+    rename = dict(zip(shard_files, final))
+    index = {
+        "metadata": {"total_size": total},
+        "weight_map": {k: rename[v] for k, v in weight_map.items()},
+    }
+    with open(os.path.join(export_dir, "model.safetensors.index.json"), "w") as f:
+        json.dump(index, f, indent=2)
+
+
+def export_hf_checkpoint(
+    model: QuantizedModel, export_dir: str, max_shard_bytes: Optional[int] = None
+) -> dict:
+    """Write the unified quantized HF checkpoint. Returns hf_quant_config.
+
+    With `max_shard_bytes` set, streams layer-at-a-time into HF-style shards
+    (`model-XXXXX-of-NNNNN.safetensors` + `model.safetensors.index.json`) so
+    host memory never holds the full state dict — the 70B-scale path
+    (reference: `unified_export_hf_streaming.py:445`). Without it, writes a
+    single `model.safetensors` with identical tensors."""
+    os.makedirs(export_dir, exist_ok=True)
+    cfg = model.model_cfg
+    algo, group_size = _quant_algo(model)
+    kv_algo = _kv_algo(model)
+
+    if max_shard_bytes is not None:
+        _write_sharded(_iter_export_tensors(model), export_dir, max_shard_bytes)
+    else:
+        tensors = dict(_iter_export_tensors(model))
+        _save_safetensors_with_fp8(
+            tensors, os.path.join(export_dir, "model.safetensors")
+        )
 
     hf_quant_config = {
         "producer": {"name": "tensorrt_model_optimizer_tpu", "version": "0.1.0"},

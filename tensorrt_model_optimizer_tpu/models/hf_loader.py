@@ -84,24 +84,52 @@ def config_to_hf(cfg: LlamaConfig) -> dict:
     }
 
 
-def _load_all_tensors(path: str) -> dict[str, np.ndarray]:
-    from safetensors import safe_open
+class _LazyTensors:
+    """Lazy dict-like view over a (possibly sharded) safetensors directory.
 
-    out: dict[str, np.ndarray] = {}
-    files = sorted(glob(os.path.join(path, "*.safetensors")))
-    if not files:
-        raise FileNotFoundError(f"no safetensors under {path}")
-    for f in files:
-        with safe_open(f, framework="np") as sf:
-            for k in sf.keys():
-                try:
-                    out[k] = sf.get_tensor(k)
-                except (TypeError, ValueError):
-                    # bf16 via numpy is unsupported in some versions; go torch
-                    with safe_open(f, framework="pt") as sft:
-                        t = sft.get_tensor(k)
-                        out[k] = t.float().numpy()
-    return out
+    Files are mmapped and tensors fetched on access, so loading a sharded
+    70B checkpoint never materializes the full state dict on host — one
+    stacked parameter at a time is the peak (streaming-load counterpart of
+    the reference's `unified_export_hf_streaming.py:445`)."""
+
+    def __init__(self, path: str):
+        from safetensors import safe_open
+
+        self._path = path
+        self._map: dict[str, str] = {}
+        self._handles: dict[str, object] = {}
+        files = sorted(glob(os.path.join(path, "*.safetensors")))
+        if not files:
+            raise FileNotFoundError(f"no safetensors under {path}")
+        for f in files:
+            with safe_open(f, framework="pt") as sf:
+                for k in sf.keys():
+                    self._map[k] = f
+
+    def _handle(self, fname: str):
+        if fname not in self._handles:
+            from safetensors import safe_open
+
+            self._handles[fname] = safe_open(fname, framework="pt")
+        return self._handles[fname]
+
+    def keys(self):
+        return self._map.keys()
+
+    def __contains__(self, k):
+        return k in self._map
+
+    def __getitem__(self, k: str) -> np.ndarray:
+        import torch
+
+        t = self._handle(self._map[k]).get_tensor(k)
+        if t.dtype in (torch.bfloat16, torch.float16):
+            return t.float().numpy()
+        return t.numpy()
+
+
+def _load_all_tensors(path: str) -> _LazyTensors:
+    return _LazyTensors(path)
 
 
 def save_hf_checkpoint(cfg: LlamaConfig, params: dict, path: str) -> None:
