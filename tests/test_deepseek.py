@@ -1,0 +1,210 @@
+"""DeepSeek-style MLA + MoE model tests.
+
+Reference surface: `examples/deepseek/deepseek_v3/ptq.py` (quantized parallel
+linears over the V3 model) and `export/plugins/mcore_deepseek.py` (MLA tensor
+naming). Key invariants tested here:
+ - absorbed/latent decode attention == naive expanded attention (bit-level
+   agreement of logits between cached decode and full prefill),
+ - group-limited sigmoid routing picks experts only from the top groups,
+ - PTQ calibration collects sane per-expert amax and fake-quant keeps logits
+   correlated,
+ - EP/TP-sharded calibration on the CPU mesh matches single-device bit-for-bit
+   (GSPMD amax sync, `model_calib.py:390-498` analog).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.models import deepseek, llama
+from tensorrt_model_optimizer_tpu.quant import quantizer as Q
+from tensorrt_model_optimizer_tpu.quant.config import get_preset
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = deepseek.DeepseekConfig.tiny()
+    params = deepseek.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 16)))
+    return cfg, params, tokens
+
+
+def test_forward_shapes(tiny):
+    cfg, params, tokens = tiny
+    logits, st, _ = deepseek.forward(cfg, params, tokens)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+    assert st is None
+
+
+def test_decode_matches_prefill(tiny):
+    """Absorbed-latent cached decode must equal the naive full forward."""
+    cfg, params, tokens = tiny
+    full, _, _ = deepseek.forward(cfg, params, tokens)
+
+    cache = deepseek.init_cache(cfg, 2, 32)
+    # prefill first 8 tokens through the cached path, then decode one by one
+    logits, _, cache = deepseek.forward(cfg, params, tokens[:, :8], cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full[:, :8]), atol=2e-4, rtol=1e-3
+    )
+    for t in range(8, 16):
+        logits, _, cache = deepseek.forward(
+            cfg, params, tokens[:, t : t + 1], cache=cache
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits[:, 0]), np.asarray(full[:, t]), atol=2e-4, rtol=1e-3,
+            err_msg=f"step {t}",
+        )
+
+
+def test_no_qlora_rank_variant(tiny):
+    cfg, _, tokens = tiny
+    cfg2 = dataclasses.replace(cfg, q_lora_rank=0)
+    params2 = deepseek.init_params(cfg2, jax.random.PRNGKey(0))
+    assert "self_attn.q_proj" in params2["layers_moe"]
+    assert "self_attn.q_a_proj" not in params2["layers_moe"]
+    logits, _, _ = deepseek.forward(cfg2, params2, tokens)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_group_limited_routing():
+    cfg = deepseek.DeepseekConfig.tiny(n_group=2, topk_group=1, n_routed_experts=4)
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    e_bias = jnp.zeros((4,), jnp.float32)
+    topw, topi = deepseek._route(cfg, logits, e_bias)
+    topi = np.asarray(topi)
+    # both picks must come from the same group (group size 2: {0,1} or {2,3})
+    groups = topi // 2
+    assert (groups[:, 0] == groups[:, 1]).all()
+    assert np.asarray(topw).min() >= 0
+
+
+def test_e_bias_shifts_selection():
+    cfg = deepseek.DeepseekConfig.tiny(
+        n_group=1, topk_group=1, n_routed_experts=4, num_experts_per_tok=1
+    )
+    logits = jnp.zeros((8, 4), jnp.float32)
+    e_bias = jnp.asarray([0.0, 5.0, 0.0, 0.0], jnp.float32)
+    _, topi = deepseek._route(cfg, logits, e_bias)
+    assert (np.asarray(topi) == 1).all()
+    # but the returned WEIGHT uses original scores (sigmoid(0) = .5), not bias
+    topw, _ = deepseek._route(cfg, logits, e_bias)
+    np.testing.assert_allclose(np.asarray(topw), 0.5, atol=1e-6)
+
+
+def test_ptq_calibration_and_fakequant(tiny):
+    cfg, params, tokens = tiny
+    preset = get_preset("NVFP4_DEFAULT_CFG")
+    layout = deepseek.build_layout(cfg, preset)
+    qstate = deepseek.init_quant_state(cfg, layout)
+
+    _, qstate, _ = deepseek.forward(
+        cfg, params, tokens, layout=layout, qstate=qstate, calib=True
+    )
+    # per-expert amax present and positive
+    moe_amax = qstate["moe"]["moe.gate_proj"]["weight"].amax
+    Lm = cfg.num_hidden_layers - cfg.first_k_dense_replace
+    assert moe_amax.shape[:2] == (Lm, cfg.n_routed_experts)
+    assert (np.asarray(moe_amax) > 0).all()
+    # MLA site amax present
+    assert (np.asarray(qstate["moe"]["self_attn.kv_b_proj"]["weight"].amax) > 0).all()
+
+    ref, _, _ = deepseek.forward(cfg, params, tokens)
+    qlogits, _, _ = deepseek.forward(
+        cfg, params, tokens, layout=layout, qstate=qstate
+    )
+    a, b = np.asarray(ref).ravel(), np.asarray(qlogits).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    # tiny-scale random weights + 4-bit: same bar as test_mixtral's NVFP4
+    assert corr > 0.8, corr
+
+    # FP8 should track much tighter
+    layout8 = deepseek.build_layout(cfg, get_preset("FP8_DEFAULT_CFG"))
+    qs8 = deepseek.init_quant_state(cfg, layout8)
+    _, qs8, _ = deepseek.forward(
+        cfg, params, tokens, layout=layout8, qstate=qs8, calib=True
+    )
+    q8, _, _ = deepseek.forward(cfg, params, tokens, layout=layout8, qstate=qs8)
+    corr8 = np.corrcoef(a, np.asarray(q8).ravel())[0, 1]
+    # MLA chains 4 quantized matmuls before attention (q_a>q_b, kv_a>kv_b) —
+    # fp8 error compounds ~2x vs llama's 2-deep chain at this tiny scale
+    assert corr8 > 0.98, corr8
+
+
+def test_latent_cache_sites_collect(tiny):
+    cfg, params, tokens = tiny
+    preset = get_preset("NVFP4_KV_CFG")
+    layout = deepseek.build_layout(cfg, preset)
+    assert layout.get("self_attn.ckv_bmm").enable
+    qstate = deepseek.init_quant_state(cfg, layout)
+    _, qstate, _ = deepseek.forward(
+        cfg, params, tokens, layout=layout, qstate=qstate, calib=True
+    )
+    assert (np.asarray(qstate["moe"]["self_attn.ckv_bmm"].amax) > 0).all()
+    assert (np.asarray(qstate["moe"]["self_attn.kpe_bmm"].amax) > 0).all()
+
+
+def test_sharded_calibration_parity(tiny):
+    """EP+TP-sharded calibration over the 8-device CPU mesh must reproduce
+    the single-device amax bit-for-bit (GSPMD sync is exact for max)."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    cfg, params, tokens = tiny
+    preset = get_preset("FP8_DEFAULT_CFG")
+    layout = deepseek.build_layout(cfg, preset)
+    qstate0 = deepseek.init_quant_state(cfg, layout)
+
+    _, ref_state, _ = deepseek.forward(
+        cfg, params, tokens, layout=layout, qstate=qstate0, calib=True
+    )
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "expert", "tensor"))
+    specs = deepseek.param_specs(cfg)
+
+    def put(tree, spec_tree):
+        return jax.tree.map(
+            lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, spec_tree,
+            is_leaf=lambda x: x is None,
+        )
+
+    with mesh:
+        params_s = {
+            "embed_tokens": jax.device_put(
+                params["embed_tokens"], NamedSharding(mesh, specs["embed_tokens"])
+            ),
+            "norm": jax.device_put(params["norm"], NamedSharding(mesh, specs["norm"])),
+            "lm_head": jax.device_put(
+                params["lm_head"], NamedSharding(mesh, specs["lm_head"])
+            ),
+            "layers_moe": put(params["layers_moe"], specs["layers_moe"]),
+            "layers_dense": put(params["layers_dense"], specs["layers_dense"]),
+        }
+        toks_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+
+        fn = jax.jit(
+            lambda p, t, qs: deepseek.forward(
+                cfg, p, t, layout=layout, qstate=qs, calib=True
+            )[1]
+        )
+        sharded_state = fn(params_s, toks_s, qstate0)
+
+    flat_r = jax.tree_util.tree_flatten_with_path(ref_state)[0]
+    flat_s = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(sharded_state)[0]
+    }
+    for k, v in flat_r:
+        ks = jax.tree_util.keystr(k)
+        # weight amax is bit-exact; ACTIVATION amax inherits the sharded
+        # matmul's reduction order (1-ulp differences) — hence rtol
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_s[ks]), rtol=1e-5, atol=1e-6, err_msg=ks
+        )
