@@ -36,7 +36,7 @@ BATCH = int(os.environ.get("BENCH_BS", "8"))
 PREFILL = int(os.environ.get("BENCH_PREFILL", "128"))
 STEPS = int(os.environ.get("BENCH_STEPS", "64"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
-MAXLEN = int(os.environ.get("BENCH_MAXLEN", "512"))
+MAXLEN = int(os.environ.get("BENCH_MAXLEN", "768"))
 
 # Reference's published H200 numbers (examples/benchmark.md:23-25), kept as
 # cross-hardware CONTEXT only — not the judged baseline.
@@ -161,30 +161,83 @@ def build_engine(fmt, n_layers):
     return cfg, cm, eng
 
 
-def time_decode(cfg, eng, label):
-    """Median ms/step of the fused decode step over REPEATS x STEPS."""
-    import jax
-    import jax.numpy as jnp
+class TimedEngine:
+    """Holds an engine + persistent decode state for interleaved timing.
 
-    rng = np.random.default_rng(1)
-    times = []
-    cache = eng.init_cache(BATCH, MAXLEN)
-    cache["pos"] = jnp.asarray(PREFILL, jnp.int32)
-    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(BATCH, 1), dtype=np.int32))
-    t0 = time.time()
-    tok, cache = eng.decode_step(tok, cache)  # compile
-    jax.block_until_ready(tok)
-    compile_s = time.time() - t0
-    log(f"{label}: decode-step compile+first {compile_s:.1f}s")
-    for _ in range(REPEATS):
+    Times at `unroll` chained steps per dispatch (multi-step scheduling).
+    Also runs an unroll=1 series so the per-dispatch overhead floor is
+    visible: floor ~= ms1 - msK (per real step)."""
+
+    def __init__(self, fmt, n_layers, label, unroll):
+        import jax
+        import jax.numpy as jnp
+
+        self.label = label
+        self.unroll = unroll
+        self.cfg, self.cm, self.eng = build_engine(fmt, n_layers)
+        rng = np.random.default_rng(1)
+        self.cache = self.eng.init_cache(BATCH, MAXLEN)
+        self.cache["pos"] = jnp.asarray(PREFILL, jnp.int32)
+        self.tok = jnp.asarray(
+            rng.integers(0, self.cfg.vocab_size, size=(BATCH, 1), dtype=np.int32)
+        )
         t0 = time.time()
-        for _ in range(STEPS):
-            tok, cache = eng.decode_step(tok, cache)
-        jax.block_until_ready(tok)
-        times.append((time.time() - t0) / STEPS * 1e3)
-    ms = sorted(times)[len(times) // 2]
-    log(f"{label}: {ms:.3f} ms/step (all: {[round(t, 3) for t in times]})")
-    return ms, compile_s
+        self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, unroll)
+        if unroll > 1:  # compile the unroll=1 variant too
+            self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, 1)
+        jax.block_until_ready(self.tok)
+        self.compile_s = time.time() - t0
+        log(f"{label}: built ({cm_bytes(self.cm)/1e9:.2f} GB), "
+            f"decode-step compile+first {self.compile_s:.1f}s")
+        self.times: list = []
+        self.times1: list = []
+
+    def _block(self, unroll, out):
+        import jax
+
+        # Never reset pos to a constant: replaying the identical computation
+        # can hit relay-level caching (0.01 ms "steps"). MAXLEN is sized so
+        # the whole run advances monotonically. Barrier on the FULL cache,
+        # not just tok — with donation the relay can report the token early
+        # and spill cache-update work into the next (differently-labeled)
+        # block.
+        n_disp = max(STEPS // unroll, 1)
+        t0 = time.time()
+        for _ in range(n_disp):
+            self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, unroll)
+        jax.block_until_ready((self.tok, self.cache))
+        out.append((time.time() - t0) / (n_disp * unroll) * 1e3)
+
+    def run_block(self):
+        self._block(self.unroll, self.times)
+        if self.unroll > 1:
+            self._block(1, self.times1)
+
+    @staticmethod
+    def _median(ts):
+        ts = sorted(ts[1:] or ts)
+        return ts[len(ts) // 2]
+
+    def median_ms(self):
+        return self._median(self.times)
+
+    def median_ms1(self):
+        return self._median(self.times1) if self.times1 else None
+
+
+def interleaved_time(engines, rounds):
+    """Alternate STEPS-step blocks across the engines, `rounds` times each.
+
+    The axon pool drifts up to 100x between windows (memory notes); only
+    comparisons whose blocks alternate inside one window are trustworthy."""
+    for r in range(rounds):
+        for e in engines:
+            e.run_block()
+    for e in engines:
+        m1 = e.median_ms1()
+        log(f"{e.label}: median {e.median_ms():.3f} ms/step at unroll={e.unroll}"
+            + (f", {m1:.3f} at unroll=1" if m1 else "")
+            + f" (blocks: {[round(t, 3) for t in e.times]})")
 
 
 def main():
@@ -197,23 +250,40 @@ def main():
         pass
     import jax.numpy as jnp
 
-    # ---- bf16 anchor: half model (per-chip slice of an ideal TP2) -------
-    cfg16, cm16, eng16 = build_engine("bf16", 16)
-    bf16_ms, _ = time_decode(cfg16, eng16, "bf16 L16 (TP2 per-chip anchor)")
-    bf16_toks = BATCH * 1e3 / bf16_ms
+    rounds = int(os.environ.get("BENCH_ROUNDS", "5"))
+    unroll = int(os.environ.get("BENCH_UNROLL", "8"))
+    budget = PREFILL + (unroll + 1) + rounds * 2 * STEPS
+    if budget > MAXLEN:
+        raise SystemExit(
+            f"decode budget {budget} exceeds BENCH_MAXLEN={MAXLEN}: raise "
+            "BENCH_MAXLEN or lower BENCH_ROUNDS/BENCH_STEPS (pos never resets "
+            "— constant-pos replay hits relay caching)"
+        )
 
-    fmt_l16_ms = None
-    if FORMAT != "bf16":
-        cfgf16, cmf16, engf16 = build_engine(FORMAT, 16)
-        fmt_l16_ms, _ = time_decode(cfgf16, engf16, f"{FORMAT} L16 (raw-ratio leg)")
-        del cfgf16, cmf16, engf16
-    del cm16, eng16
-
-    # ---- the measured format: full 8B (32 layers) on ONE chip -----------
+    # HBM budget (~15.7 GB): bf16-L16 anchor (8 GB) + fmt-L32 (<=4 GB for the
+    # 4-bit formats) + fmt-L16 raw-ratio leg coexist for 4-bit formats. The
+    # 8-bit formats' L32 (8 GB) can't share the chip with the bf16 anchor +
+    # an L16 leg, so they interleave anchor + L32 only.
+    fourbit = FORMAT in ("int4", "nvfp4")
+    anchor = TimedEngine("bf16", 16, "bf16 L16 (TP2 per-chip anchor)", unroll)
+    engines = [anchor]
+    fmt_l16 = None
+    if FORMAT != "bf16" and fourbit:
+        fmt_l16 = TimedEngine(FORMAT, 16, f"{FORMAT} L16 (raw-ratio leg)", unroll)
+        engines.append(fmt_l16)
     n_layers = 16 if FORMAT == "bf16" else 32
-    cfg, cm, eng = build_engine(FORMAT, n_layers)
-    log(f"packed model built: format={FORMAT} L={n_layers} bytes={cm_bytes(cm)/1e9:.2f} GB")
-    fmt_ms, compile_s = time_decode(cfg, eng, f"{FORMAT} L{n_layers}")
+    full = (anchor if FORMAT == "bf16"
+            else TimedEngine(FORMAT, n_layers, f"{FORMAT} L{n_layers}", unroll))
+    if full is not anchor:
+        engines.append(full)
+
+    interleaved_time(engines, rounds)
+    bf16_ms = anchor.median_ms()
+    bf16_toks = BATCH * 1e3 / bf16_ms
+    fmt_l16_ms = fmt_l16.median_ms() if fmt_l16 else None
+    fmt_ms = full.median_ms()
+    compile_s = full.compile_s
+    cfg, eng = full.cfg, full.eng
     tok_s = BATCH * 1e3 / fmt_ms
 
     # TTFT: prefill latency for the PREFILL-token prompt (baseline scenario
@@ -252,6 +322,10 @@ def main():
         "bf16_anchor_ms_L16": round(bf16_ms, 3),
         **({"raw_same_shape_ratio_L16": round(raw_ratio, 3)}
            if raw_ratio is not None else {}),
+        "unroll": unroll,
+        **({"step_ms_unroll1": round(full.median_ms1(), 3),
+            "bf16_anchor_ms_unroll1": round(anchor.median_ms1(), 3)}
+           if unroll > 1 else {}),
         "compile_s": round(compile_s, 1),
         "format": FORMAT, "bs": BATCH, "prefill": PREFILL, "steps": STEPS,
         "hw": jax.devices()[0].device_kind,

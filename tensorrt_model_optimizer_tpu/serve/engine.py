@@ -583,38 +583,47 @@ class Engine:
             self._decode_steps = steps
         return self._decode_fn(self.cm.params, self.cm.qstate, first_token, cache)
 
-    def decode_step(self, tok: jax.Array, cache: dict):
-        """One fused greedy decode step: (tok [B,1], cache) -> (next [B,1], cache).
+    def decode_step(self, tok: jax.Array, cache: dict, unroll: int = 1):
+        """Fused greedy decode: (tok [B,1], cache) -> (next [B,1], cache).
 
-        Single dispatch: argmax runs on device and the cache is DONATED, so
-        the step is in-place on the KV buffers. This is the serving hot path
-        on backends where a steps-scan over the layers-scan won't compile
-        (the remote TPU relay); `decode()` (lax.scan) is one dispatch for a
-        whole sequence and preferred where it compiles. The caller must drop
-        its reference to the passed cache (donated = invalidated).
+        Single dispatch for `unroll` chained steps: argmax runs on device,
+        each step's token feeds the next, and the cache is DONATED (in-place
+        KV update). `unroll > 1` amortizes per-dispatch overhead the way
+        multi-step scheduling does in serving engines — the returned token is
+        the last of the `unroll` steps (use unroll=1 when every intermediate
+        token is needed). This is the hot path on backends where a steps-scan
+        over the layers-scan won't compile (the remote TPU relay);
+        `decode()` (lax.scan) is preferred where it compiles. The caller must
+        drop its reference to the passed cache (donated = invalidated).
         """
-        if getattr(self, "_step1_fn", None) is None:
+        if getattr(self, "_stepk_fns", None) is None:
+            self._stepk_fns = {}
+        if unroll not in self._stepk_fns:
             cfg, ecfg, cm, backend = self._fwd_cfg, self.ecfg, self.cm, self.backend
             tp_ax = self._tp_axis
 
-            def one(params, qstate, tok, cache):
-                B = tok.shape[0]
-                positions = jnp.broadcast_to(
-                    cache["pos"][None, None], (B, 1)
-                ).astype(jnp.int32)
-                logits, cache = _model_step(
-                    cfg, ecfg, cm, backend, params, qstate, tok, cache,
-                    positions, tp_axis=tp_ax,
-                )
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], cache
+            def k_steps(params, qstate, tok, cache):
+                for _ in range(unroll):
+                    B = tok.shape[0]
+                    positions = jnp.broadcast_to(
+                        cache["pos"][None, None], (B, 1)
+                    ).astype(jnp.int32)
+                    logits, cache = _model_step(
+                        cfg, ecfg, cm, backend, params, qstate, tok, cache,
+                        positions, tp_axis=tp_ax,
+                    )
+                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+                return tok, cache
 
             from jax.sharding import PartitionSpec as P
 
             from . import tp as tp_mod
 
             cs = tp_mod.cache_specs(self.ecfg.tp_axis)
-            self._step1_fn = self._wrap_step(one, (P(), cs), (P(), cs), donate=(3,))
-        return self._step1_fn(self.cm.params, self.cm.qstate, tok, cache)
+            self._stepk_fns[unroll] = self._wrap_step(
+                k_steps, (P(), cs), (P(), cs), donate=(3,)
+            )
+        return self._stepk_fns[unroll](self.cm.params, self.cm.qstate, tok, cache)
 
     def generate_host(self, prompt: jax.Array, max_new_tokens: int = 32):
         """Greedy generation via host-stepped fused decode (relay-safe)."""

@@ -111,6 +111,29 @@ def main():
 
     os.makedirs(OUT, exist_ok=True)
     hf_loader.save_hf_checkpoint(cfg, params, OUT)
+
+    # Fidelity gate: reload and compare. The axon relay backend has corrupted
+    # host transfers of trained tensors before (down_proj, round 2) — a
+    # silently-corrupt committed anchor poisons every downstream accuracy
+    # number, so fail loudly here rather than let that happen.
+    _, params2 = hf_loader.load_hf_checkpoint(OUT, dtype=jnp.float32)
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    k2 = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(params2)[0]
+    }
+    for k, v in flat1:
+        ks = jax.tree_util.keystr(k)
+        a = np.asarray(jnp.asarray(v).astype(jnp.float32))
+        b = np.asarray(k2[ks])
+        if not np.allclose(a, b, atol=1e-6):
+            raise RuntimeError(
+                f"save/reload mismatch on {ks}: max|diff|={np.abs(a-b).max()}"
+            )
+    ppl2 = perplexity(cfg, params2, list(lang.eval_batches(4, 8, SEQ, seed=999)))
+    if not (abs(ppl2 - ppl) < 0.05 * ppl + 0.05):
+        raise RuntimeError(f"reload ppl {ppl2} != in-process ppl {ppl}")
+    print(f"[anchor] save verified (reload ppl {ppl2:.4f})", flush=True)
     with open(os.path.join(OUT, "metrics.json"), "w") as f:
         json.dump(
             {
