@@ -194,3 +194,166 @@ def make_eagle_ttt_train_step(cfg: llama.LlamaConfig, ttt_steps: int = 3,
         return new, loss, accs
 
     return step
+
+
+# --------------------------------------------------------------------------
+# EAGLE-3: multi-layer auxiliary feature taps
+# --------------------------------------------------------------------------
+
+
+def default_aux_layer_ids(num_layers: int) -> list[int]:
+    """Default EAGLE-3 tap layers: near start / middle / end of the stack
+    (reference `hf_eagle.py:58` `default_eagle_aux_layer_ids`)."""
+    return sorted({1, max(0, num_layers // 2 - 1), max(0, num_layers - 4)})
+
+
+def aux_hidden_states(cfg, params, tokens, layer_ids, layout=None, qstate=None):
+    """Base forward capturing the PRE-norm hidden state after each tapped
+    layer (reference collects the decoder-layer outputs via forward hooks,
+    `hf_eagle.py:208`). Returns [B, T, len(layer_ids)*H], low-to-high."""
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T)).astype(jnp.int32)
+    x = params["embed_tokens"][tokens].astype(cfg.dtype)
+    mask = jnp.where(
+        jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e9
+    )[None, None, :, :].astype(jnp.float32)
+    lstate = llama._strip_global(qstate)
+    lay = layout or llama.QuantLayout(sites=())
+
+    def body(carry, per_layer):
+        x = carry
+        lp, ls = per_layer
+        x, _, _, _ = llama._decoder_layer(
+            cfg, lay, False, x, lp, ls, positions, mask, None
+        )
+        return x, x  # emit every layer's output; taps indexed after the scan
+
+    _, all_h = jax.lax.scan(body, x, (params["layers"], lstate))
+    taps = [all_h[i] for i in layer_ids]  # each [B, T, H]
+    return jnp.concatenate(taps, axis=-1)
+
+
+def init_eagle3(cfg: llama.LlamaConfig, ecfg: EagleConfig, key: jax.Array,
+                layer_ids: Optional[list] = None) -> dict:
+    """EAGLE-3 draft: an EAGLE-1 module plus an aux-feature fusion projection
+    fc3 [H, k*H] mapping the concatenated tapped hiddens into the draft's
+    hidden input (reference `hf_eagle.py:231,491`: `self.eagle_module.fc`
+    over `aux_hiddens`)."""
+    h = cfg.hidden_size
+    layer_ids = layer_ids or default_aux_layer_ids(cfg.num_hidden_layers)
+    base = init_eagle(cfg, ecfg, key)
+    k = len(layer_ids)
+    base["fc3"] = (
+        jax.random.normal(jax.random.fold_in(key, 7), (h, k * h), jnp.float32)
+        / math.sqrt(k * h)
+    ).astype(cfg.dtype)
+    base["aux_layer_ids"] = tuple(layer_ids)
+    return base
+
+
+def eagle3_fuse(eagle: dict, aux: jax.Array) -> jax.Array:
+    """[B, T, k*H] tapped features -> [B, T, H] draft input."""
+    return aux @ eagle["fc3"].T.astype(aux.dtype)
+
+
+def make_eagle3_ttt_train_step(cfg: llama.LlamaConfig, ttt_steps: int = 3,
+                               lr: float = 1e-3):
+    """EAGLE-3 TTT training: step 0 consumes the fused multi-layer features,
+    later steps recurse on the draft's own hiddens (same TTT mask/objective
+    as EAGLE-1 TTT; no hidden-regression term — EAGLE-3 drops it since the
+    fused feature space no longer matches the base hidden space)."""
+
+    def loss_fn(eagle, params, tokens):
+        layer_ids = list(eagle["aux_layer_ids"])
+        aux = jax.lax.stop_gradient(
+            aux_hidden_states(cfg, params, tokens, layer_ids)
+        )
+        fused = eagle3_fuse(eagle, aux)
+        outs = eagle_ttt_forward(cfg, params, eagle, tokens, fused, ttt_steps)
+        total = 0.0
+        accs = []
+        for s, (_, logits) in enumerate(outs):
+            off = s + 1
+            if tokens.shape[1] <= off:
+                break
+            lg = logits[:, :-off]
+            tg = tokens[:, off:]
+            total = total + qat_mod.cross_entropy(lg, tg)
+            accs.append(jnp.mean((jnp.argmax(lg, -1) == tg).astype(jnp.float32)))
+        return total, jnp.stack(accs)
+
+    def step(eagle, params, tokens):
+        grad_keys = [k for k in eagle if k != "aux_layer_ids"]
+        def wrapped(trainable):
+            return loss_fn({**eagle, **trainable}, params, tokens)
+        trainable = {k: eagle[k] for k in grad_keys}
+        (loss, accs), grads = jax.value_and_grad(wrapped, has_aux=True)(trainable)
+        new = {**eagle, **jax.tree.map(
+            lambda p, g: p - lr * g.astype(p.dtype), trainable, grads)}
+        return new, loss, accs
+
+    return step
+
+
+def propose_and_verify(cfg, params, eagle, prompt, steps=16, draft_len=3,
+                       layout=None, qstate=None):
+    """Greedy EAGLE decoding + acceptance stats (specdec_bench analog).
+
+    Each iteration: the draft proposes `draft_len` tokens autoregressively
+    from the base hidden (EAGLE-1) or fused aux features (EAGLE-3, detected
+    by the `fc3` key); one base forward verifies the chain; accept the
+    longest matching prefix + bonus. Returns (tokens, accept_rate)."""
+    B = prompt.shape[0]
+    assert B == 1, "acceptance harness is single-sequence"
+    is_e3 = "fc3" in eagle
+    tokens = prompt
+    accepted_total = proposed_total = produced = 0
+    while produced < steps:
+        if is_e3:
+            aux = aux_hidden_states(
+                cfg, params, tokens, list(eagle["aux_layer_ids"]), layout, qstate
+            )
+            hidden = eagle3_fuse(eagle, aux)
+        else:
+            hidden = _hidden_states(cfg, params, tokens, layout, qstate)
+        # verified next token from one base forward
+        full_logits, _, _ = llama.forward(
+            cfg, params, tokens, layout=layout, qstate=qstate
+        )
+        nxt = int(jnp.argmax(full_logits[0, -1]))
+        # draft chain: recurse the draft on its own predictions
+        draft = []
+        cur_tokens = jnp.concatenate(
+            [tokens, jnp.asarray([[nxt]], jnp.int32)], axis=1
+        )
+        cur_hidden = jnp.concatenate(
+            [hidden, hidden[:, -1:]], axis=1
+        )  # approximate hidden for the new token (EAGLE uses shifted hiddens)
+        for _ in range(draft_len):
+            _, dlogits = eagle_forward(cfg, params, eagle, cur_tokens, cur_hidden)
+            d = int(jnp.argmax(dlogits[0, -1]))
+            draft.append(d)
+            cur_tokens = jnp.concatenate(
+                [cur_tokens, jnp.asarray([[d]], jnp.int32)], axis=1
+            )
+            cur_hidden = jnp.concatenate([cur_hidden, cur_hidden[:, -1:]], axis=1)
+        # verify with one base forward over tokens + [nxt] + draft
+        chain = jnp.concatenate(
+            [tokens, jnp.asarray([[nxt] + draft], jnp.int32)], axis=1
+        )
+        ver_logits, _, _ = llama.forward(
+            cfg, params, chain, layout=layout, qstate=qstate
+        )
+        n_acc = 0
+        for i, d in enumerate(draft):
+            pos = tokens.shape[1] + i
+            if int(jnp.argmax(ver_logits[0, pos])) == d:
+                n_acc += 1
+            else:
+                break
+        keep = [nxt] + draft[:n_acc]
+        tokens = jnp.concatenate([tokens, jnp.asarray([keep], jnp.int32)], axis=1)
+        produced += len(keep)
+        accepted_total += n_acc
+        proposed_total += draft_len
+    return tokens, accepted_total / max(proposed_total, 1)

@@ -209,3 +209,49 @@ class TestEagleTTT:
         for _ in range(10):
             draft, loss, accs = step(draft, params, toks)
         assert float(loss) < float(l0)
+
+
+class TestEagle3:
+    """EAGLE-3 multi-layer feature taps (reference hf_eagle.py aux hiddens)."""
+
+    def test_default_aux_layers(self):
+        from tensorrt_model_optimizer_tpu.speculative import eagle
+
+        assert eagle.default_aux_layer_ids(32) == [1, 15, 28]
+        assert eagle.default_aux_layer_ids(4) == [0, 1]
+
+    def test_aux_capture_and_fuse(self, tiny):
+        from tensorrt_model_optimizer_tpu.speculative import eagle
+
+        cfg, params, tokens = tiny
+        ids = eagle.default_aux_layer_ids(cfg.num_hidden_layers)
+        aux = eagle.aux_hidden_states(cfg, params, tokens, ids)
+        assert aux.shape == (*tokens.shape, len(ids) * cfg.hidden_size)
+        e3 = eagle.init_eagle3(cfg, eagle.EagleConfig(), jax.random.key(5))
+        fused = eagle.eagle3_fuse(e3, aux)
+        assert fused.shape == (*tokens.shape, cfg.hidden_size)
+        assert np.isfinite(np.asarray(fused)).all()
+
+    def test_eagle3_ttt_training_improves(self, tiny):
+        from tensorrt_model_optimizer_tpu.speculative import eagle
+
+        cfg, params, tokens = tiny
+        e3 = eagle.init_eagle3(cfg, eagle.EagleConfig(), jax.random.key(5))
+        step = jax.jit(eagle.make_eagle3_ttt_train_step(cfg, ttt_steps=2, lr=1e-2))
+        e3b, loss0, _ = step(e3, params, tokens)
+        for _ in range(30):
+            e3b, loss, _ = step(e3b, params, tokens)
+        assert float(loss) < float(loss0)
+        # aux layer ids survive training untouched
+        assert e3b["aux_layer_ids"] == e3["aux_layer_ids"]
+
+    def test_eagle3_acceptance_harness(self, tiny):
+        from tensorrt_model_optimizer_tpu.speculative import eagle
+
+        cfg, params, tokens = tiny
+        e3 = eagle.init_eagle3(cfg, eagle.EagleConfig(), jax.random.key(5))
+        out, rate = eagle.propose_and_verify(
+            cfg, params, e3, tokens[:1, :8], steps=8, draft_len=2
+        )
+        assert out.shape[1] >= 8 + 8
+        assert 0.0 <= rate <= 1.0
