@@ -26,8 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scale, log_thresh, nq, nk, q_ref, k_ref, v_ref, o_ref, keep_ref,
-            m_ref, l_ref, acc_ref):
+def _kernel(scale, log_thresh, nq, nk, bq, bk, causal, q_ref, k_ref, v_ref,
+            o_ref, keep_ref, m_ref, l_ref, acc_ref):
     i = pl.program_id(1)
     j = pl.program_id(2)
     n_kt = pl.num_programs(2)
@@ -48,10 +48,21 @@ def _kernel(scale, log_thresh, nq, nk, q_ref, k_ref, v_ref, o_ref, keep_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [Tq, Tk]
 
+    if causal:
+        rows = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(cols <= rows, s, -1e30)
+
     blk_max = jnp.max(s)
-    # keep iff the block can contribute >= threshold relative mass for at
-    # least one query row (conservative tile-level test on the running max)
-    keep = blk_max >= jnp.min(m_ref[:]) + log_thresh
+    # Tile-level skip test matching `attention_sparsity.block_skip_mask` (so
+    # calibrated thresholds transfer): skip when the tile's max sits more
+    # than log(threshold) below the q-tile's running max. (The earlier
+    # min-over-rows form was so conservative it never skipped on real data.)
+    # Under causality, tiles fully above the diagonal mask to -1e30 and the
+    # structural term kills them outright.
+    keep = blk_max >= jnp.max(m_ref[:]) + log_thresh
+    if causal:
+        keep = keep & (j * bk <= i * bq + bq - 1)
     # dynamic-lane stores aren't legal on Mosaic; mask-update the whole
     # (tiny) [nq, nk] map instead
     cell = (jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0) == i) & (
@@ -64,6 +75,10 @@ def _kernel(scale, log_thresh, nq, nk, q_ref, k_ref, v_ref, o_ref, keep_ref,
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
+        if causal:
+            # rows with no unmasked entry yet have m_new = -1e30 and
+            # exp(s - m_new) = 1 garbage; zero masked lanes explicitly
+            p = jnp.where(s > -1e29, p, 0.0)
         corr = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
@@ -85,12 +100,15 @@ def skip_softmax_flash(
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool | None = None,
+    causal: bool = False,
 ):
     """Returns (out [BH, S, d], keep [BH, nQt, nKt] int32).
 
     NOTE the skip test compares against the running max, so k-tiles visited
     BEFORE the row max is seen are kept conservatively — same behavior as
     the reference kernel (skipping only provably-negligible blocks).
+    With `causal=True` the standard LLM-prefill mask applies inside the
+    kernel and tiles fully above the diagonal are skipped structurally.
     """
     BH, S, d = q.shape
     bq = min(block_q, S)
@@ -105,7 +123,8 @@ def skip_softmax_flash(
 
         interpret = _interpret()
     kern = functools.partial(_kernel, 1.0 / math.sqrt(d),
-                             math.log(max(threshold, 1e-30)), nq, nk)
+                             math.log(max(threshold, 1e-30)), nq, nk, bq, bk,
+                             causal)
     out, keep = pl.pallas_call(
         kern,
         grid=(BH, nq, nk),

@@ -47,6 +47,14 @@ class EngineConfig:
     # under shard_map (Pallas kernels see local shards; two psums/layer).
     mesh: Any = None
     tp_axis: str = "tp"
+    # Prefill skip-softmax attention sparsity (reference
+    # `sparsity/attention_sparsity/methods/flash_skip_softmax.py`): score
+    # blocks contributing < this relative probability mass are skipped in
+    # the Pallas flash kernel. None = dense. Calibrate with
+    # `sparsity.attention_sparsity.calibrate_threshold`. Prefill-only
+    # (`Engine.prefill`); decode and tree-verify stay dense.
+    attn_sparsity: Optional[float] = None
+    attn_sparsity_blocks: tuple = (128, 128)
 
 
 def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
@@ -155,7 +163,8 @@ def _kv_amax_from(qstate, which: str) -> Optional[jax.Array]:
 
 
 def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask,
-                   ck, cv, pos, k_amax_l, v_amax_l, tp_axis=None):
+                   ck, cv, pos, k_amax_l, v_amax_l, tp_axis=None,
+                   sparse_prefill=False):
     """One decoder layer on packed weights. ck/cv: [B, S, n_kv, hd] stored."""
     B, T, H = x.shape
     hd, nH, nKV = cfg.hd, cfg.num_attention_heads, cfg.num_key_value_heads
@@ -191,16 +200,36 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     cv = jax.lax.dynamic_update_slice_in_dim(
         cv, _kv_store(v, kv_dtype, v_amax_l).astype(cv.dtype), pos, axis=1
     )
-    k_all = _kv_load(ck, cfg.dtype, kv_dtype, k_amax_l)
-    v_all = _kv_load(cv, cfg.dtype, kv_dtype, v_amax_l)
+    keep_frac = None
+    if sparse_prefill:
+        # Skip-softmax flash kernel over the T fresh tokens (prefill into an
+        # empty cache: attention span == the new tokens, causal). Scores use
+        # the pre-store (unquantized) k/v; the cache keeps stored form.
+        from ..ops.pallas import sparse_attention
 
-    rep = nH // nKV
-    k_all = jnp.repeat(k_all, rep, axis=2)
-    v_all = jnp.repeat(v_all, rep, axis=2)
-    scores = jnp.einsum("bqnd,bknd->bnqk", q, k_all, preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(hd) + mask
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B * T, nH * hd)
+        rep = nH // nKV
+        kf = jnp.repeat(k, rep, axis=2).transpose(0, 2, 1, 3).reshape(B * nH, T, hd)
+        vf = jnp.repeat(v, rep, axis=2).transpose(0, 2, 1, 3).reshape(B * nH, T, hd)
+        qf = q.transpose(0, 2, 1, 3).reshape(B * nH, T, hd)
+        bqt, bkt = ecfg.attn_sparsity_blocks
+        ctx, keep = sparse_attention.skip_softmax_flash(
+            qf, kf, vf, threshold=ecfg.attn_sparsity,
+            block_q=bqt, block_k=bkt, causal=True,
+        )
+        ctx = ctx.reshape(B, nH, T, hd).transpose(0, 2, 1, 3).reshape(B * T, nH * hd)
+        ctx = ctx.astype(x.dtype)
+        keep_frac = jnp.mean(keep.astype(jnp.float32))
+    else:
+        k_all = _kv_load(ck, cfg.dtype, kv_dtype, k_amax_l)
+        v_all = _kv_load(cv, cfg.dtype, kv_dtype, v_amax_l)
+
+        rep = nH // nKV
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k_all, preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(hd) + mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B * T, nH * hd)
 
     attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True)
     x = x + attn.reshape(B, T, H)
@@ -212,12 +241,12 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
     d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"), tp_axis, row=True)
     x = x + d.reshape(B, T, H)
-    return x, ck, cv
+    return x, ck, cv, keep_frac
 
 
 def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions,
                 mask_override=None, full_logits=False, return_hidden=False,
-                tp_axis=None):
+                tp_axis=None, sparse_prefill=False):
     """Forward over packed weights with cache update. tokens [B, T].
 
     `params`/`qstate` are explicit jit arguments — closing over them would
@@ -242,11 +271,12 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
     def body(carry, per_layer):
         x = carry
         lp, lstate, ck, cv, ka, va = per_layer
-        x, ck, cv = _layer_forward(
+        x, ck, cv, keep_frac = _layer_forward(
             cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask, ck, cv,
-            cache["pos"], ka, va, tp_axis=tp_axis,
+            cache["pos"], ka, va, tp_axis=tp_axis, sparse_prefill=sparse_prefill,
         )
-        return x, (ck, cv)
+        ys = (ck, cv) if not sparse_prefill else (ck, cv, keep_frac)
+        return x, ys
 
     L = cfg.num_hidden_layers
     ka = k_amax if k_amax is not None else jnp.zeros((L,))
@@ -258,7 +288,11 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
         if isinstance(sub, dict) and "input" in sub
     }
     xs = (params["layers"], act_state, cache["k"], cache["v"], ka, va)
-    x, (ck, cv) = jax.lax.scan(body, x, xs)
+    keep_fracs = None
+    if sparse_prefill:
+        x, (ck, cv, keep_fracs) = jax.lax.scan(body, x, xs)
+    else:
+        x, (ck, cv) = jax.lax.scan(body, x, xs)
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head_w = params.get("lm_head", params["embed_tokens"])
     if full_logits:
@@ -268,6 +302,8 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
     new_cache = {"k": ck, "v": cv, "pos": cache["pos"] + T}
     if return_hidden:
         return logits, new_cache, x
+    if sparse_prefill:
+        return logits, new_cache, keep_fracs
     return logits, new_cache
 
 
@@ -469,7 +505,7 @@ class Engine:
         if backend == "auto":
             backend = "pallas" if qmm.pallas_supported() else "xla"
         self.backend = backend
-        self._prefill_fn = None
+        self._prefill_fns = {}
         self._decode_fn = None
         self._decode_steps = None
         self._fwd_cfg = self.cfg
@@ -536,18 +572,33 @@ class Engine:
         return cache
 
     def prefill(self, tokens: jax.Array, cache: dict):
+        """Prefill a fresh cache. With `ecfg.attn_sparsity` set, runs the
+        skip-softmax flash kernel (prefill-only sparsity) and records the
+        per-layer kept-block fraction in `self.last_prefill_keep_frac`."""
         B, T = tokens.shape
+        sparse = self.ecfg.attn_sparsity is not None and T > 1
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T)).astype(jnp.int32)
-        if self._prefill_fn is None:
+        if getattr(self, "_prefill_fns", None) is None:
+            self._prefill_fns = {}
+        if sparse not in self._prefill_fns:
             from jax.sharding import PartitionSpec as P
 
             from . import tp as tp_mod
 
             fn = partial(_model_step, self._fwd_cfg, self.ecfg, self.cm,
-                         self.backend, tp_axis=self._tp_axis)
+                         self.backend, tp_axis=self._tp_axis,
+                         sparse_prefill=sparse)
             cs = tp_mod.cache_specs(self.ecfg.tp_axis)
-            self._prefill_fn = self._wrap_step(fn, (P(), cs, P()), (P(), cs))
-        return self._prefill_fn(self.cm.params, self.cm.qstate, tokens, cache, positions)
+            out_specs = (P(), cs, P()) if sparse else (P(), cs)
+            self._prefill_fns[sparse] = self._wrap_step(fn, (P(), cs, P()), out_specs)
+        out = self._prefill_fns[sparse](
+            self.cm.params, self.cm.qstate, tokens, cache, positions
+        )
+        if sparse:
+            logits, cache, keep_fracs = out
+            self.last_prefill_keep_frac = keep_fracs
+            return logits, cache
+        return out
 
     def decode(self, first_token: jax.Array, cache: dict, steps: int):
         """Greedy decode `steps` tokens fully on device (one dispatch)."""

@@ -379,3 +379,65 @@ def test_decode_step_matches_scan_decode(tiny_ptq):
     ref = np.asarray(eng.generate(prompt, max_new_tokens=8))
     got = np.asarray(eng.generate_host(prompt, max_new_tokens=8))
     np.testing.assert_array_equal(got, ref)
+
+
+class TestSparsePrefill:
+    """Prefill skip-softmax in the engine (VERDICT round-1 item #8;
+    reference methods/flash_skip_softmax.py + calibration sweep)."""
+
+    def _engine(self, tiny_ptq, threshold):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT8_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        return serve_engine.Engine(
+            cm,
+            serve_engine.EngineConfig(
+                max_seq_len=64, backend="xla", attn_sparsity=threshold,
+                attn_sparsity_blocks=(8, 8),
+            ),
+        )
+
+    def test_tiny_threshold_matches_dense(self, tiny_ptq):
+        """threshold -> 0 keeps every block: tokens identical to dense."""
+        cfg, params, batches = tiny_ptq
+        prompt = batches[0][:, :16]
+        dense = self._engine(tiny_ptq, None)
+        sparse = self._engine(tiny_ptq, 1e-30)
+        ref = np.asarray(dense.generate(prompt, max_new_tokens=4))
+        got = np.asarray(sparse.generate(prompt, max_new_tokens=4))
+        np.testing.assert_array_equal(got, ref)
+        # causal structural skip: strictly-above-diagonal blocks dropped
+        keep = np.asarray(sparse.last_prefill_keep_frac)
+        assert keep.shape == (cfg.num_hidden_layers,)
+        # 16 tokens / 8-blocks -> 2x2 tiles; the strictly-above-diagonal one
+        # is structurally skipped: 3 of 4 kept
+        np.testing.assert_allclose(keep, 0.75, atol=1e-6)
+
+    def test_aggressive_threshold_skips_blocks(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        prompt = batches[0][:, :16]
+        # random tiny-model scores are nearly flat across blocks, so only a
+        # near-1 threshold (skip anything below ~row max) actually triggers
+        sparse = self._engine(tiny_ptq, 0.999999)
+        logits, _ = sparse.prefill(prompt, sparse.init_cache(prompt.shape[0], 64))
+        keep_hi = np.asarray(sparse.last_prefill_keep_frac).mean()
+        lo = self._engine(tiny_ptq, 1e-30)
+        logits2, _ = lo.prefill(prompt, lo.init_cache(prompt.shape[0], 64))
+        keep_lo = np.asarray(lo.last_prefill_keep_frac).mean()
+        assert keep_hi < keep_lo  # higher threshold skips more
+        assert np.isfinite(np.asarray(logits)).all()
+        # logits stay correlated with dense at moderate sparsity
+        dense = self._engine(tiny_ptq, None)
+        dl, _ = dense.prefill(prompt, dense.init_cache(prompt.shape[0], 64))
+        corr = np.corrcoef(
+            np.asarray(dl).ravel(), np.asarray(logits2).ravel()
+        )[0, 1]
+        assert corr > 0.999
+
+    def test_decode_stays_dense_after_sparse_prefill(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        prompt = batches[0][:, :16]
+        eng = self._engine(tiny_ptq, 1e-30)
+        out = eng.generate(prompt, max_new_tokens=6)
+        assert out.shape == (prompt.shape[0], 6)
+        assert np.isfinite(np.asarray(out)).all()
