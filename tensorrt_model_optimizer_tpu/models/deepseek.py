@@ -653,3 +653,52 @@ def forward(
     logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
     out_state = new_qstate if (calib or qstate) else None
     return logits, out_state, new_cache
+
+
+# --------------------------------------------------------------------------
+# PTQ entry (the `examples/deepseek/ptq.py` flow, functional form)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DeepseekQuantizedModel:
+    """PTQ handle for the DeepSeek model (QuantizedModel analog)."""
+
+    model_cfg: DeepseekConfig
+    params: dict
+    layout: llama.QuantLayout
+    qstate: dict
+    quant_cfg: QuantizeConfig
+
+    def forward(self, tokens, **kw):
+        return forward(
+            self.model_cfg, self.params, tokens,
+            layout=self.layout, qstate=self.qstate, **kw,
+        )
+
+
+def quantize(
+    cfg: DeepseekConfig,
+    params: dict,
+    quant_cfg,
+    calib_batches,
+) -> DeepseekQuantizedModel:
+    """Max-calibration PTQ over the MLA + MoE model.
+
+    The reference quantizes DeepSeek by wrapping its parallel linears with
+    TensorQuantizers and running max calibration (`deepseek_v3/ptq.py:129`);
+    here the same in-forward collection runs through the quant sites of
+    `build_layout` — under an EP/TP mesh the amax reductions come from GSPMD
+    (see `examples/deepseek_ptq_sharded.py`)."""
+    from ..quant.config import get_preset
+
+    if isinstance(quant_cfg, str):
+        quant_cfg = get_preset(quant_cfg)
+    layout = build_layout(cfg, quant_cfg)
+    qstate = init_quant_state(cfg, layout)
+    step = jax.jit(
+        lambda p, t, q: forward(cfg, p, t, layout=layout, qstate=q, calib=True)[1]
+    )
+    for batch in calib_batches:
+        qstate = step(params, jnp.asarray(batch), qstate)
+    return DeepseekQuantizedModel(cfg, params, layout, qstate, quant_cfg)

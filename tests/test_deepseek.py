@@ -208,3 +208,16 @@ def test_sharded_calibration_parity(tiny):
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_s[ks]), rtol=1e-5, atol=1e-6, err_msg=ks
         )
+
+
+def test_quantize_api(tiny):
+    """deepseek.quantize: max-calibration PTQ handle (deepseek_v3/ptq.py flow)."""
+    from tensorrt_model_optimizer_tpu.models.deepseek import quantize
+
+    cfg, params, tokens = tiny
+    qm = quantize(cfg, params, "FP8_DEFAULT_CFG", [tokens, tokens[:, :8]])
+    assert (np.asarray(qm.qstate["moe"]["moe.gate_proj"]["weight"].amax) > 0).all()
+    logits, _, _ = qm.forward(tokens)
+    ref, _, _ = deepseek.forward(cfg, params, tokens)
+    corr = np.corrcoef(np.asarray(ref).ravel(), np.asarray(logits).ravel())[0, 1]
+    assert corr > 0.98, corr
