@@ -221,3 +221,54 @@ def test_quantize_api(tiny):
     ref, _, _ = deepseek.forward(cfg, params, tokens)
     corr = np.corrcoef(np.asarray(ref).ravel(), np.asarray(logits).ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+class TestDeepseekEngine:
+    """Real-quant serving over the MLA latent cache (VERDICT item #7:
+    'engine decode test')."""
+
+    def _setup(self, tiny, preset):
+        from tensorrt_model_optimizer_tpu.models.deepseek import quantize
+        from tensorrt_model_optimizer_tpu.serve import deepseek_engine as dse
+
+        cfg, params, tokens = tiny
+        qm = quantize(cfg, params, preset, [tokens])
+        cm = dse.compress(qm)
+        eng = dse.DeepseekEngine(cm, max_seq_len=48)
+        return cfg, params, qm, eng, tokens
+
+    def test_generate_matches_fakequant_decode(self, tiny):
+        """Engine greedy tokens == fake-quant cached-forward greedy tokens
+        (packed weights store the same grid values fake-quant rounds to)."""
+        cfg, params, qm, eng, tokens = self._setup(tiny, "INT8_DEFAULT_CFG")
+        prompt = tokens[:, :8]
+        got = np.asarray(eng.generate(prompt, max_new_tokens=6))
+
+        cache = deepseek.init_cache(cfg, prompt.shape[0], 48)
+        logits, _, cache = deepseek.forward(
+            cfg, params, prompt, layout=qm.layout, qstate=qm.qstate, cache=cache
+        )
+        tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        ref = [np.asarray(tok)]
+        for _ in range(5):
+            lg, _, cache = deepseek.forward(
+                cfg, params, tok, layout=qm.layout, qstate=qm.qstate, cache=cache
+            )
+            tok = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+            ref.append(np.asarray(tok))
+        np.testing.assert_array_equal(got, np.concatenate(ref, axis=1))
+
+    def test_nvfp4_generate_finite_and_correlated(self, tiny):
+        cfg, params, qm, eng, tokens = self._setup(tiny, "NVFP4_DEFAULT_CFG")
+        prompt = tokens[:, :8]
+        cache = eng.init_cache(prompt.shape[0])
+        logits, _ = eng.prefill(prompt, cache)
+        ref, _, _ = deepseek.forward(
+            cfg, params, prompt, layout=qm.layout, qstate=qm.qstate
+        )
+        corr = np.corrcoef(
+            np.asarray(ref[:, -1]).ravel(), np.asarray(logits).ravel()
+        )[0, 1]
+        assert corr > 0.99, corr
+        out = eng.generate(prompt, max_new_tokens=4)
+        assert np.isfinite(np.asarray(out)).all()
