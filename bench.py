@@ -185,7 +185,7 @@ class TimedEngine:
         self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, unroll)
         if unroll > 1:  # compile the unroll=1 variant too
             self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, 1)
-        jax.block_until_ready(self.tok)
+        _ = np.asarray(self.tok)  # VALUE readback: drain compile + first exec
         self.compile_s = time.time() - t0
         log(f"{label}: built ({cm_bytes(self.cm)/1e9:.2f} GB), "
             f"decode-step compile+first {self.compile_s:.1f}s")
@@ -193,19 +193,17 @@ class TimedEngine:
         self.times1: list = []
 
     def _block(self, unroll, out):
-        import jax
-
-        # Never reset pos to a constant: replaying the identical computation
-        # can hit relay-level caching (0.01 ms "steps"). MAXLEN is sized so
-        # the whole run advances monotonically. Barrier on the FULL cache,
-        # not just tok — with donation the relay can report the token early
-        # and spill cache-update work into the next (differently-labeled)
-        # block.
+        # Timing protocol for the axon relay (memory notes): dispatches are
+        # async and `block_until_ready` can return at dispatch time for
+        # donated buffers (0.014 ms "8B steps" = 262 TB/s, impossible), so
+        # every block ends with a VALUE readback of the final token, which
+        # drains the chain for real. Positions advance monotonically — a
+        # constant-pos replay can hit relay-level caching.
         n_disp = max(STEPS // unroll, 1)
         t0 = time.time()
         for _ in range(n_disp):
             self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, unroll)
-        jax.block_until_ready((self.tok, self.cache))
+        _ = np.asarray(self.tok)
         out.append((time.time() - t0) / (n_disp * unroll) * 1e3)
 
     def run_block(self):

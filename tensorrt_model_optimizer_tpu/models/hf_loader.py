@@ -132,6 +132,39 @@ def _load_all_tensors(path: str) -> _LazyTensors:
     return _LazyTensors(path)
 
 
+def _verified_transfer(arr, name: str, retries: int = 4) -> np.ndarray:
+    """Device->host transfer with device-side fidelity check and retries.
+
+    The axon relay backend has corrupted host transfers of trained tensors
+    (observed twice on the anchor's down_proj after long training sessions;
+    short sessions transfer cleanly — a transient relay fault, not a layout
+    rule). Each attempt re-uploads the host copy and compares ON DEVICE; a
+    mismatch retries through an alternate route (flattened transfer). Raises
+    after `retries` failures rather than writing a silently-broken file.
+    Single-pass on CPU (attempt 0 verifies cheaply there too)."""
+    routes = [
+        lambda a: np.asarray(a),
+        lambda a: np.asarray(jnp.ravel(a)).reshape(a.shape),
+        lambda a: np.asarray(a.astype(jnp.float32) + 0.0),
+    ]
+    last = None
+    for attempt in range(retries):
+        host = routes[attempt % len(routes)](arr)
+        diff = float(jnp.max(jnp.abs(arr - jnp.asarray(host))))
+        if diff == 0.0:
+            return host
+        last = diff
+        import warnings
+
+        warnings.warn(
+            f"host transfer of {name} corrupted (max|diff|={diff}); retrying"
+        )
+    raise RuntimeError(
+        f"host transfer of {name} failed verification {retries}x "
+        f"(last max|diff|={last})"
+    )
+
+
 def save_hf_checkpoint(cfg: LlamaConfig, params: dict, path: str) -> None:
     """Inverse of `load_hf_checkpoint`: write config.json + model.safetensors.
 
@@ -149,7 +182,7 @@ def save_hf_checkpoint(cfg: LlamaConfig, params: dict, path: str) -> None:
     flat: dict[str, np.ndarray] = {}
 
     def put(name, arr):
-        flat[name] = np.asarray(jnp.asarray(arr).astype(jnp.float32))
+        flat[name] = _verified_transfer(jnp.asarray(arr).astype(jnp.float32), name)
 
     put("model.embed_tokens.weight", params["embed_tokens"])
     put("model.norm.weight", params["norm"])

@@ -27,10 +27,16 @@ def perplexity(
     qstate: Optional[llama.QuantState] = None,
     adapters: Optional[dict] = None,
 ) -> float:
-    """exp(mean next-token NLL) over the batches."""
+    """exp(mean next-token NLL) over the batches.
+
+    Params/qstate are jit ARGUMENTS, not captured constants: besides the
+    usual compile-size argument, the axon relay backend corrupts subsequent
+    host transfers of arrays it has baked into an executable as constants
+    (observed on the anchor's down_proj; see hf_loader._verified_transfer).
+    """
 
     @jax.jit
-    def nll(tokens):
+    def nll(params, qstate, adapters, tokens):
         logits, _, _ = llama.forward(
             model_cfg, params, tokens[:, :-1], layout=layout, qstate=qstate,
             adapters=adapters,
@@ -41,7 +47,7 @@ def perplexity(
 
     total, count = 0.0, 0
     for b in batches:
-        s, n = nll(jnp.asarray(b))
+        s, n = nll(params, qstate, adapters, jnp.asarray(b))
         total += float(s)
         count += int(n)
     return float(np.exp(total / max(count, 1)))
@@ -54,10 +60,13 @@ def logit_divergence(
     layout: llama.QuantLayout,
     qstate: llama.QuantState,
 ) -> float:
-    """Mean KL(bf16 || quantized) over tokens — the accuracy-delta probe."""
+    """Mean KL(bf16 || quantized) over tokens — the accuracy-delta probe.
+
+    Params/qstate ride as jit arguments (never captured constants — see
+    `perplexity`)."""
 
     @jax.jit
-    def kl(tokens):
+    def kl(params, qstate, tokens):
         ref, _, _ = llama.forward(model_cfg, params, tokens)
         q, _, _ = llama.forward(model_cfg, params, tokens, layout=layout, qstate=qstate)
         p = jax.nn.softmax(ref.astype(jnp.float32), axis=-1)
@@ -65,5 +74,5 @@ def logit_divergence(
         lq = jax.nn.log_softmax(q.astype(jnp.float32), axis=-1)
         return jnp.mean(jnp.sum(p * (lp - lq), axis=-1))
 
-    vals = [float(kl(jnp.asarray(b))) for b in batches]
+    vals = [float(kl(params, qstate, jnp.asarray(b))) for b in batches]
     return float(np.mean(vals))
