@@ -49,10 +49,11 @@ def main():
         try:
             f = chain(fn_one)
             r = f(x0, *ws)
-            jax.block_until_ready(r)  # compile + first
+            _ = np.asarray(r)  # VALUE readback: compile + first (the relay's
+            # block_until_ready can return at dispatch time — memory notes)
             t0 = time.time()
             r = f(x0, *ws)
-            jax.block_until_ready(r)
+            _ = np.asarray(r)
             dt = (time.time() - t0) / ITERS
             gbs = weight_bytes / dt / 1e9
             results[name] = {"us": round(dt * 1e6, 1), "GBps": round(gbs, 1)}
