@@ -432,7 +432,9 @@ def _write_sharded(it, export_dir: str, max_shard_bytes: int) -> None:
     for name, arr in it:
         if shard_bytes + arr.nbytes > max_shard_bytes and shard:
             flush()
-        shard[name] = arr
+        # own the buffer: relay staging buffers can be recycled by later
+        # transfers while the shard is still accumulating
+        shard[name] = np.array(arr, copy=True)
         shard_bytes += arr.nbytes
         total += arr.nbytes
     flush()
@@ -468,7 +470,9 @@ def export_hf_checkpoint(
     if max_shard_bytes is not None:
         _write_sharded(_iter_export_tensors(model), export_dir, max_shard_bytes)
     else:
-        tensors = dict(_iter_export_tensors(model))
+        tensors = {
+            k: np.array(v, copy=True) for k, v in _iter_export_tensors(model)
+        }
         _save_safetensors_with_fp8(
             tensors, os.path.join(export_dir, "model.safetensors")
         )

@@ -149,7 +149,10 @@ def _verified_transfer(arr, name: str, retries: int = 4) -> np.ndarray:
     ]
     last = None
     for attempt in range(retries):
-        host = routes[attempt % len(routes)](arr)
+        # .copy() immediately: long-held np.asarray results of relay arrays
+        # have been observed to change after later transfers (staging-buffer
+        # recycling) — verification would pass and the file still write junk
+        host = routes[attempt % len(routes)](arr).copy()
         diff = float(jnp.max(jnp.abs(arr - jnp.asarray(host))))
         if diff == 0.0:
             return host
@@ -180,9 +183,12 @@ def save_hf_checkpoint(cfg: LlamaConfig, params: dict, path: str) -> None:
         json.dump(config_to_hf(cfg), f, indent=1)
 
     flat: dict[str, np.ndarray] = {}
+    dev_sums: dict[str, float] = {}
 
     def put(name, arr):
-        flat[name] = _verified_transfer(jnp.asarray(arr).astype(jnp.float32), name)
+        a = jnp.asarray(arr).astype(jnp.float32)
+        dev_sums[name] = float(jnp.sum(a.astype(jnp.float64)))
+        flat[name] = _verified_transfer(a, name)
 
     put("model.embed_tokens.weight", params["embed_tokens"])
     put("model.norm.weight", params["norm"])
@@ -209,6 +215,17 @@ def save_hf_checkpoint(cfg: LlamaConfig, params: dict, path: str) -> None:
         stacked = layers[ours]
         for i in range(cfg.num_hidden_layers):
             put(fmt.format(i=i), stacked[i])
+    # Final pre-write audit: host checksums against the device-side sums
+    # captured at transfer time — catches staging-buffer recycling that
+    # happened AFTER the per-tensor verification (observed on the relay).
+    for name, arr in flat.items():
+        hs = float(arr.astype(np.float64).sum())
+        if not np.isclose(hs, dev_sums[name], rtol=1e-5, atol=1e-4):
+            raise RuntimeError(
+                f"host buffer for {name} changed after transfer "
+                f"(host sum {hs} vs device {dev_sums[name]}) — refusing to "
+                "write a corrupt checkpoint"
+            )
     save_file(flat, os.path.join(path, "model.safetensors"))
 
 

@@ -77,10 +77,10 @@ def _save_safetensors(path: str, named: dict[str, Any]):
 
     cooked = {}
     for k, v in named.items():
-        arr = np.asarray(v)
-        if arr.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") else False:
-            pass
-        cooked[k] = arr
+        # copy=True: np.asarray results of relay-backend arrays have been
+        # observed to change after later transfers (staging-buffer
+        # recycling) — hold owned buffers until the write completes
+        cooked[k] = np.array(v, copy=True)
     save_file(cooked, path)
 
 
