@@ -242,3 +242,170 @@ def forward_hetero(
     x = llama.rms_norm(x, params["norm"], base_cfg.rms_norm_eps)
     head_w = params.get("lm_head", params["embed_tokens"])
     return (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Subblock cost models (reference `subblock_stats/`: params+memory+runtime)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SubblockStats:
+    """Cost model for one candidate layer (reference
+    `calc_subblock_params_and_memory.py` + `calc_runtime_stats.py`, as an
+    analytic TPU roofline instead of vLLM runtime measurements)."""
+
+    params: int
+    weights_mib: float
+    kv_cache_mib: float
+    memory_mib: float
+    decode_ms: float  # per decode token, this layer
+    prefill_ms: float  # for the full prompt
+
+
+def subblock_stats(
+    cand: Candidate,
+    *,
+    batch: int = 1,
+    seq_len: int = 4096,
+    weight_bytes: float = 2.0,  # bf16; 0.5 for nvfp4/int4 serving
+    kv_bytes: float = 2.0,
+    hbm_gbps: float = 819.0,  # TPU v5e HBM bandwidth
+    tflops: float = 197.0,  # TPU v5e bf16 peak
+) -> SubblockStats:
+    """Analytic roofline: per-step time = max(bytes/BW, flops/peak)."""
+    if cand.cfg is None:  # no-op layer
+        return SubblockStats(0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    cfg = cand.cfg
+    sh = llama._layer_shapes(cfg)
+    attn_names = ("self_attn.q_proj", "self_attn.k_proj",
+                  "self_attn.v_proj", "self_attn.o_proj")
+    mlp_names = ("mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
+    names = []
+    if cand.skip != "attn":
+        names += list(attn_names)
+    if cand.skip != "mlp":
+        names += list(mlp_names)
+    p = sum(int(np.prod(sh[n])) for n in names if n in sh) + 2 * cfg.hidden_size
+    weights_b = p * weight_bytes
+    kv_b = 0.0
+    attn_flops_tok = 0.0
+    if cand.skip != "attn":
+        kv_dim = 2 * cfg.num_key_value_heads * cfg.hd
+        kv_b = batch * seq_len * kv_dim * kv_bytes
+        attn_flops_tok = 2.0 * 2.0 * cfg.num_attention_heads * cfg.hd * seq_len
+    proj_flops_tok = 2.0 * sum(int(np.prod(sh[n])) for n in names if n in sh)
+    # decode: read all weights + the kv cache once per step
+    dec_bytes = weights_b + kv_b
+    dec_flops = batch * (proj_flops_tok + attn_flops_tok)
+    decode_ms = max(dec_bytes / (hbm_gbps * 1e9), dec_flops / (tflops * 1e12)) * 1e3
+    # prefill: weights read once, flops dominate
+    pre_flops = batch * seq_len * proj_flops_tok + batch * attn_flops_tok * seq_len / 2
+    prefill_ms = max(weights_b / (hbm_gbps * 1e9), pre_flops / (tflops * 1e12)) * 1e3
+    return SubblockStats(
+        params=p,
+        weights_mib=weights_b / 2**20,
+        kv_cache_mib=kv_b / 2**20,
+        memory_mib=(weights_b + kv_b) / 2**20,
+        decode_ms=decode_ms,
+        prefill_ms=prefill_ms,
+    )
+
+
+def _solve_multi_ilp(scores, constraint_rows, budgets):
+    """One-hot-per-layer MILP with multiple <=-budget constraints.
+    scores/each constraint row: [L, ncand]. Returns pick [L]."""
+    L, ncand = scores.shape
+    try:
+        from scipy.optimize import Bounds, LinearConstraint, milp
+
+        cons = []
+        for row, b in zip(constraint_rows, budgets):
+            cons.append(LinearConstraint(row.reshape(1, -1), -np.inf, b))
+        onehot = np.zeros((L, L * ncand))
+        for r in range(L):
+            onehot[r, r * ncand : (r + 1) * ncand] = 1.0
+        cons.append(LinearConstraint(onehot, 1.0, 1.0))
+        res = milp(c=scores.reshape(-1), constraints=cons,
+                   integrality=np.ones(L * ncand), bounds=Bounds(0, 1))
+        if res.success:
+            return np.argmax(res.x.reshape(L, ncand), axis=1)
+    except Exception:
+        pass
+    # greedy fallback: cheapest (by first constraint) everywhere, then
+    # upgrade best score-gain moves that fit ALL budgets
+    main = constraint_rows[0]
+    pick = np.argmin(main, axis=1)
+
+    def fits(p):
+        return all(row[np.arange(L), p].sum() <= b
+                   for row, b in zip(constraint_rows, budgets))
+
+    while True:
+        best, best_gain = None, 0.0
+        cur = scores[np.arange(L), pick].sum()
+        for i in range(L):
+            for j in range(ncand):
+                if j == pick[i]:
+                    continue
+                trial = pick.copy()
+                trial[i] = j
+                if not fits(trial):
+                    continue
+                gain = cur - scores[np.arange(L), trial].sum()
+                if gain > best_gain:
+                    best, best_gain = (i, j), gain
+        if best is None:
+            return pick
+        pick[best[0]] = best[1]
+
+
+def run_puzzle_constrained(
+    library: list[list[Candidate]],
+    *,
+    memory_budget_mib: Optional[float] = None,
+    decode_budget_ms: Optional[float] = None,
+    param_budget_ratio: Optional[float] = None,
+    stats_kw: Optional[dict] = None,
+) -> PuzzleResult:
+    """MIP over the candidate library under memory and/or latency budgets
+    (reference `mip/run_puzzle.py:764` 'stats.memory_mib'/'stats.runtime_ms'
+    constraints; costs come from `subblock_stats` instead of vLLM runs)."""
+    stats_kw = stats_kw or {}
+    L = len(library)
+    ncand = max(len(c) for c in library)
+    scores = np.full((L, ncand), 1e9)
+    stats = [[None] * ncand for _ in range(L)]
+    for i, cands in enumerate(library):
+        for j, c in enumerate(cands):
+            scores[i, j] = c.score
+            stats[i][j] = subblock_stats(c, **stats_kw)
+
+    rows, budgets = [], []
+    if memory_budget_mib is not None:
+        rows.append(np.array([[s.memory_mib if s else 1e12 for s in r]
+                              for r in stats]))
+        budgets.append(memory_budget_mib)
+    if decode_budget_ms is not None:
+        rows.append(np.array([[s.decode_ms if s else 1e12 for s in r]
+                              for r in stats]))
+        budgets.append(decode_budget_ms)
+    if param_budget_ratio is not None:
+        costs = np.array([[c.cost for c in cands] + [0] * (ncand - len(cands))
+                          for cands in library], dtype=float)
+        full = sum(c.cost for cands in library for c in cands
+                   if c.name == "full")
+        rows.append(costs)
+        budgets.append(param_budget_ratio * full)
+    if not rows:
+        raise ValueError("give at least one budget")
+
+    pick = _solve_multi_ilp(scores, rows, budgets)
+    chosen = [library[i][int(pick[i])] for i in range(L)]
+    full = sum(c.cost for cands in library for c in cands if c.name == "full")
+    return PuzzleResult(
+        choices=[c.name for c in chosen],
+        layers=chosen,
+        total_params=int(sum(c.cost for c in chosen)),
+        full_params=int(full),
+    )

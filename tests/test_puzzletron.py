@@ -71,3 +71,64 @@ def test_skip_candidates_semantics(setup):
     logits = puzzle.forward_hetero(cfg, params, res, batches[0][:, :8])
     assert np.isfinite(np.asarray(logits)).all()
     assert any(c in ("attn_skip", "mlp_skip", "noop") for c in res.choices)
+
+
+@pytest.fixture(scope="module")
+def scored_library(setup):
+    cfg, params, batches = setup
+    return puzzle.build_and_score_library(cfg, params, batches)
+
+
+class TestSubblockStats:
+    """Cost models (reference subblock_stats/: params+memory+runtime)."""
+
+    def test_stats_scale_with_candidate(self, scored_library):
+        from tensorrt_model_optimizer_tpu.puzzletron.puzzle import subblock_stats
+
+        lib = scored_library
+        full = next(c for c in lib[0] if c.name == "full")
+        noop = next(c for c in lib[0] if c.name == "noop")
+        s_full = subblock_stats(full, batch=2, seq_len=512)
+        s_noop = subblock_stats(noop)
+        assert s_full.params > 0 and s_full.memory_mib > 0
+        assert s_full.decode_ms > 0 and s_full.prefill_ms > 0
+        assert s_noop.memory_mib == 0 and s_noop.decode_ms == 0
+        # kv cache grows with batch
+        s_b8 = subblock_stats(full, batch=8, seq_len=512)
+        assert s_b8.kv_cache_mib > s_full.kv_cache_mib
+        # an ffn-pruned candidate costs less
+        pruned = next((c for c in lib[0] if "ffn" in c.name), None)
+        if pruned is not None:
+            sp = subblock_stats(pruned, batch=2, seq_len=512)
+            assert sp.weights_mib < s_full.weights_mib
+        # attn-skipped candidate has no kv cache
+        askip = next((c for c in lib[0] if c.skip == "attn"), None)
+        if askip is not None:
+            assert subblock_stats(askip).kv_cache_mib == 0
+
+    def test_memory_constrained_puzzle(self, scored_library):
+        from tensorrt_model_optimizer_tpu.puzzletron.puzzle import (
+            run_puzzle_constrained, subblock_stats)
+
+        lib = scored_library
+        full_mem = sum(
+            subblock_stats(next(c for c in cands if c.name == "full")).memory_mib
+            for cands in lib
+        )
+        res = run_puzzle_constrained(lib, memory_budget_mib=0.6 * full_mem)
+        got_mem = sum(subblock_stats(c).memory_mib for c in res.layers)
+        assert got_mem <= 0.6 * full_mem + 1e-6
+        assert any(n != "full" for n in res.choices)
+
+    def test_latency_constrained_puzzle(self, scored_library):
+        from tensorrt_model_optimizer_tpu.puzzletron.puzzle import (
+            run_puzzle_constrained, subblock_stats)
+
+        lib = scored_library
+        full_ms = sum(
+            subblock_stats(next(c for c in cands if c.name == "full")).decode_ms
+            for cands in lib
+        )
+        res = run_puzzle_constrained(lib, decode_budget_ms=0.5 * full_ms)
+        got = sum(subblock_stats(c).decode_ms for c in res.layers)
+        assert got <= 0.5 * full_ms + 1e-9

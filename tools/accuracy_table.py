@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Per-preset accuracy table on the trained anchor model.
+
+The judged accuracy anchor (VERDICT round-1 missing item #1, reference
+`examples/benchmark.md:37-40` MMLU table + `llm_eval/mmlu.py:183`): for every
+quantization preset, PTQ the trained synthetic-language anchor and measure
+
+  ppl        held-out perplexity (wikitext analog)
+  d_ppl      ppl - bf16 ppl
+  kl         mean logit KL(bf16 || quantized)
+  mmlu       MMLU-format accuracy (capitals/jobs/arithmetic), k=3 shot
+  d_mmlu_pct accuracy drop vs bf16 in percent (reference reports this)
+
+Writes ACCURACY.md + artifacts/accuracy_table.json. Optionally runs QAT
+recovery on the worst-Δppl preset (reference `benchmark.md:58-63` PTQ->QAT).
+
+Env: ACC_PRESETS=comma,list (default all), ACC_QAT=1 (default on),
+ACC_CPU=1, ACC_MMLU_N (questions/subject, default 24).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if os.environ.get("ACC_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+ANCHOR = os.environ.get("ANCHOR_OUT", "artifacts/anchor-llama")
+MMLU_N = int(os.environ.get("ACC_MMLU_N", "24"))
+QAT = os.environ.get("ACC_QAT", "1") == "1"
+
+
+def log(m):
+    print(f"[acc] {m}", file=sys.stderr, flush=True)
+
+
+def padded_logits_fn(fwd, bucket=32, max_len=512):
+    """Wrap a jitted forward so every MMLU prompt length hits one of a few
+    padded shapes (the relay recompiles per shape; unpadded MMLU prompts
+    would each compile)."""
+    import jax.numpy as jnp
+
+    def fn(tokens):
+        B, T = tokens.shape
+        Tp = min(((T + bucket - 1) // bucket) * bucket, max_len)
+        pad = np.zeros((B, Tp - T), np.int32)
+        full = jnp.asarray(np.concatenate([tokens, pad], axis=1))
+        out = np.asarray(fwd(full))
+        return out[:, :T]
+
+    return fn
+
+
+def evaluate(tag, fwd_fn, eval_batches, data_dir, encode, ans_ids, ref_logits=None):
+    """Returns dict(ppl, kl, mmlu). fwd_fn: jitted tokens->logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.utils import mmlu
+
+    # ppl + KL over the same batches
+    tot_nll, n_tok, kls = 0.0, 0, []
+    for i, b in enumerate(eval_batches):
+        logits = fwd_fn(jnp.asarray(b[:, :-1]))
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, jnp.asarray(b[:, 1:, None]), axis=-1)[..., 0]
+        tot_nll += float(-jnp.sum(ll))
+        n_tok += ll.size
+        if ref_logits is not None:
+            ref = ref_logits[i]
+            p = jax.nn.softmax(ref.astype(jnp.float32), axis=-1)
+            lp = jax.nn.log_softmax(ref.astype(jnp.float32), axis=-1)
+            kls.append(float(jnp.mean(jnp.sum(p * (lp - logp), axis=-1))))
+    ppl = float(np.exp(tot_nll / n_tok))
+    res = mmlu.mmlu_eval(
+        padded_logits_fn(fwd_fn), encode, ans_ids, data_dir,
+        k_shot=3, max_questions_per_subject=MMLU_N,
+    )
+    out = {"ppl": ppl, "mmlu": res["accuracy"],
+           "mmlu_subjects": res["per_subject"]}
+    if kls:
+        out["kl"] = float(np.mean(kls))
+    log(f"{tag}: ppl {ppl:.4f} mmlu {res['accuracy']:.3f}"
+        + (f" kl {out['kl']:.5f}" if kls else ""))
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import hf_loader, llama
+    from tensorrt_model_optimizer_tpu.quant import ptq
+    from tensorrt_model_optimizer_tpu.quant.config import PRESETS
+    from tensorrt_model_optimizer_tpu.utils import synthlang
+
+    cfg, params = hf_loader.load_hf_checkpoint(ANCHOR, dtype=jnp.float32)
+    lang = synthlang.SynthLang(0)
+    eval_batches = list(lang.eval_batches(4, 8, 256, seed=999))
+    calib_batches = [jnp.asarray(b) for b in lang.eval_batches(8, 4, 256, seed=555)]
+    data_dir = lang.write_mmlu_data(tempfile.mkdtemp(prefix="accmmlu"), n_test=MMLU_N)
+
+    preset_names = (
+        os.environ.get("ACC_PRESETS", "").split(",")
+        if os.environ.get("ACC_PRESETS")
+        else list(PRESETS)
+    )
+
+    @jax.jit
+    def bf16_fwd(tokens):
+        return llama.forward(cfg, params, tokens)[0]
+
+    base = evaluate("bf16", bf16_fwd, eval_batches, data_dir,
+                    synthlang.encode, synthlang.ANSWER_TOKEN_IDS)
+    ref_logits = [bf16_fwd(jnp.asarray(b[:, :-1])) for b in eval_batches]
+
+    rows = {}
+    for name in preset_names:
+        t0 = time.time()
+        try:
+            model = ptq.quantize(cfg, params, name, calib_batches)
+        except Exception as e:  # keep the sweep alive; record the failure
+            log(f"{name}: PTQ FAILED: {e}")
+            rows[name] = {"error": str(e)}
+            continue
+
+        fwd = jax.jit(lambda tokens, m=model: m.forward(tokens)[0])
+        r = evaluate(name, fwd, eval_batches, data_dir, synthlang.encode,
+                     synthlang.ANSWER_TOKEN_IDS, ref_logits)
+        r["d_ppl"] = r["ppl"] - base["ppl"]
+        r["d_mmlu_pct"] = (base["mmlu"] - r["mmlu"]) * 100.0
+        r["calib_s"] = round(time.time() - t0, 1)
+        rows[name] = r
+
+    # ---- QAT recovery for the worst preset (benchmark.md:58-63) ---------
+    qat_row = None
+    if QAT:
+        worst = max(
+            (n for n, r in rows.items() if "d_ppl" in r),
+            key=lambda n: rows[n]["d_ppl"],
+            default=None,
+        )
+        if worst is not None and rows[worst]["d_ppl"] > 0.005:
+            log(f"QAT recovery on worst preset: {worst} "
+                f"(d_ppl {rows[worst]['d_ppl']:.4f})")
+            import optax
+
+            from tensorrt_model_optimizer_tpu.quant.qat import make_optax_train_step
+
+            model = ptq.quantize(cfg, params, worst, calib_batches)
+            step_fn, init_fn = make_optax_train_step(
+                cfg, model.layout, optax.adam(2e-4)
+            )
+            step_fn = jax.jit(step_fn)
+            p, qs = model.params, model.qstate
+            opt_state = init_fn(p, qs)
+            stream = lang.token_stream(600 * 8 * 129, seed=123)
+            rng = np.random.default_rng(5)
+            for i in range(600):
+                starts = rng.integers(0, stream.size - 130, size=8)
+                toks = jnp.asarray(np.stack([stream[s:s + 129] for s in starts]))
+                p, qs, opt_state, loss = step_fn(p, qs, opt_state, toks)
+            fwd = jax.jit(
+                lambda tokens: llama.forward(
+                    cfg, p, tokens, layout=model.layout, qstate=qs,
+                    adapters=model.adapters,
+                )[0]
+            )
+            qat_row = evaluate(f"{worst}+QAT", fwd, eval_batches, data_dir,
+                               synthlang.encode, synthlang.ANSWER_TOKEN_IDS,
+                               ref_logits)
+            qat_row["preset"] = worst
+            qat_row["d_ppl"] = qat_row["ppl"] - base["ppl"]
+            qat_row["d_mmlu_pct"] = (base["mmlu"] - qat_row["mmlu"]) * 100.0
+
+    # ---- write artifacts -----------------------------------------------
+    os.makedirs("artifacts", exist_ok=True)
+    out = {"bf16": base, "presets": rows, "qat_recovery": qat_row,
+           "anchor": ANCHOR, "mmlu_n_per_subject": MMLU_N}
+    with open("artifacts/accuracy_table.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+    lines = [
+        "# ACCURACY — per-preset PTQ on the trained anchor model",
+        "",
+        f"Anchor: `{ANCHOR}` (trained on the seeded synthetic language, "
+        "tools/train_anchor.py; metrics.json has training details).",
+        "Reference analog: `examples/benchmark.md:37-40` (MMLU loss vs BF16) "
+        "and `:58-63` (PTQ->QAT recovery).",
+        "",
+        f"| preset | ppl | Δppl | KL | MMLU | ΔMMLU (pts) |",
+        f"|---|---|---|---|---|---|",
+        f"| bf16 | {base['ppl']:.4f} | — | — | {base['mmlu']:.3f} | — |",
+    ]
+    for name, r in sorted(rows.items(), key=lambda kv: kv[1].get("d_ppl", 1e9)):
+        if "error" in r:
+            lines.append(f"| {name} | FAILED | | | | |")
+            continue
+        lines.append(
+            f"| {name} | {r['ppl']:.4f} | {r['d_ppl']:+.4f} | "
+            f"{r.get('kl', float('nan')):.5f} | {r['mmlu']:.3f} | "
+            f"{r['d_mmlu_pct']:+.2f} |"
+        )
+    if qat_row:
+        lines += [
+            "",
+            f"QAT recovery (worst preset {qat_row['preset']}): "
+            f"ppl {rows[qat_row['preset']]['ppl']:.4f} -> {qat_row['ppl']:.4f} "
+            f"(bf16 {base['ppl']:.4f}); "
+            f"MMLU {rows[qat_row['preset']]['mmlu']:.3f} -> {qat_row['mmlu']:.3f} "
+            f"(bf16 {base['mmlu']:.3f}).",
+        ]
+    with open("ACCURACY.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    log("wrote ACCURACY.md + artifacts/accuracy_table.json")
+
+
+if __name__ == "__main__":
+    main()
