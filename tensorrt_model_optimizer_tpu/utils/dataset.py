@@ -92,3 +92,84 @@ def get_calib_batches(
     if data and tokenizer_dir:
         return batches_from_text(data, tokenizer_dir, batch_size, seq_len, num_batches)
     return synthetic_batches(vocab_size, num_batches, batch_size, seq_len)
+
+
+def batches_from_hf_dataset(
+    path: str,
+    tokenizer_dir: str,
+    text_field: str = "text",
+    batch_size: int = 2,
+    seq_len: int = 512,
+    num_batches: int = 8,
+    pack: bool = True,
+) -> list[np.ndarray]:
+    """Local HF `datasets` loader (`dataset_utils.py:745` analog).
+
+    Zero-egress: `path` must be a local dataset directory (save_to_disk
+    format) or a local file readable by `datasets` — nothing is fetched.
+    With `pack=True` samples are concatenated and chunked to fixed seq_len
+    (the reference's `pack` mode); otherwise each sample is truncated/padded.
+    """
+    from datasets import load_from_disk  # baked-in package, local only
+    from transformers import AutoTokenizer
+
+    ds = load_from_disk(path)
+    tok = AutoTokenizer.from_pretrained(tokenizer_dir)
+    texts = (ex[text_field] for ex in ds)
+    if pack:
+        ids: list[int] = []
+        need = num_batches * batch_size * seq_len
+        for t in texts:
+            ids.extend(tok(t, add_special_tokens=False)["input_ids"])
+            if len(ids) >= need:
+                break
+        arr = np.asarray(ids[: need // seq_len * seq_len], np.int32)
+        chunks = arr.reshape(-1, seq_len)
+    else:
+        rows = []
+        for t in texts:
+            e = tok(t, add_special_tokens=False)["input_ids"][:seq_len]
+            rows.append(np.pad(e, (0, seq_len - len(e))))
+            if len(rows) >= num_batches * batch_size:
+                break
+        chunks = np.asarray(rows, np.int32)
+    n = min(num_batches, len(chunks) // batch_size)
+    return [chunks[i * batch_size : (i + 1) * batch_size] for i in range(n)]
+
+
+def get_max_batch_size(
+    forward_fn,
+    seq_len: int = 512,
+    vocab_size: int = 32000,
+    start: int = 1,
+    cap: int = 512,
+    headroom: float = 0.85,
+) -> int:
+    """Probe the largest power-of-two batch that runs (`dataset_utils.py:996`
+    `get_max_batch_size` analog).
+
+    Doubles the batch until the forward raises a resource error (or `cap`),
+    then returns the last good size scaled by `headroom` semantics of the
+    reference (we keep the last power of two that fit — the reference
+    reserves memory headroom the same way via its usage ratio)."""
+    rng = np.random.default_rng(0)
+    good = 0
+    b = max(start, 1)
+    while b <= cap:
+        toks = rng.integers(0, vocab_size, size=(b, seq_len), dtype=np.int32)
+        try:
+            out = forward_fn(toks)
+            import jax
+
+            jax.block_until_ready(out)
+        except Exception as e:  # RESOURCE_EXHAUSTED / XlaRuntimeError
+            msg = str(e).lower()
+            if "resource" in msg or "memory" in msg or "oom" in msg:
+                break
+            raise
+        good = b
+        b *= 2
+    if good == 0:
+        raise RuntimeError(f"even batch={start} does not fit at seq_len={seq_len}")
+    del headroom  # power-of-two backoff already leaves >= 2x compute headroom
+    return good
