@@ -63,7 +63,12 @@ def local_hessian_amax_search(
     w32 = w.astype(jnp.float32)
     O, K = w32.shape
     bsz = min(block_size, K)
-    nblk = K // bsz
+    nblk = -(-K // bsz)  # ceil: non-divisible K pads with zeros (block quant
+    # pads the same way; zero columns contribute nothing to the loss)
+    Kp = nblk * bsz
+    if Kp != K:
+        x32 = jnp.pad(x32, ((0, 0), (0, Kp - K)))
+        w32 = jnp.pad(w32, ((0, 0), (0, Kp - K)))
     ratios = jnp.linspace(start, 1.0, n_steps)
     # per-block output-energy loss: sum over tokens of (x_blk @ dW_blk^T)^2,
     # accumulated per block independently (blocks' errors are approximately
@@ -72,7 +77,7 @@ def local_hessian_amax_search(
 
     def loss_for(r):
         amax = amax0 * r
-        full = jnp.repeat(amax, bsz, axis=-1)
+        full = jnp.repeat(amax, bsz, axis=-1)[:, :Kp]
         dw = (w32 - quant_with_amax(w32, full)).reshape(O, nblk, bsz)
         # err_b[o, blk] = sum_t (sum_k x[t,blk,k] dw[o,blk,k])^2
         e = jnp.einsum("tbk,obk->obt", xb, dw)

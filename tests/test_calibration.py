@@ -311,3 +311,17 @@ class TestLocalHessian:
         model = ptq.quantize(cfg, params, "INT4_LOCAL_HESSIAN_CFG", batches)
         logits, _, _ = model.forward(batches[0])
         assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_local_hessian_non_divisible_axis():
+    """704-ish input dims (not a multiple of the 128 block) must pad, not
+    crash — caught by the round-2 anchor accuracy sweep."""
+    import dataclasses
+
+    cfg = llama.LlamaConfig.tiny(intermediate_size=88)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    m = ptq.quantize(cfg, params, "INT4_LOCAL_HESSIAN_CFG", batches)
+    logits, _, _ = m.forward(batches[0])
+    assert np.isfinite(np.asarray(logits)).all()
