@@ -1,0 +1,71 @@
+"""Accuracy CI gate on the trained anchor (VERDICT round-1 missing item #1).
+
+The committed `artifacts/anchor-llama` checkpoint is a genuinely trained
+model (synthetic language, held-out ppl ~2.68, MMLU 1.0 — see its
+metrics.json). This gate quantizes it with the flagship preset and pins the
+perplexity delta: a quantization-quality regression (bad amax plumbing,
+broken packing, calibration running on the wrong branch...) shows up here
+as an accuracy loss, not just a numerics-parity break.
+
+Reference analog: `examples/benchmark.md:37-40` (NVFP4 within ~1% of BF16)
+and the llm_eval accuracy gates (`lm_eval_hf.py:296`).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ANCHOR = os.path.join(os.path.dirname(__file__), "..", "artifacts", "anchor-llama")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(ANCHOR, "model.safetensors")),
+    reason="trained anchor checkpoint not present",
+)
+
+
+@pytest.fixture(scope="module")
+def anchor():
+    from tensorrt_model_optimizer_tpu.models import hf_loader
+    from tensorrt_model_optimizer_tpu.utils import synthlang
+
+    cfg, params = hf_loader.load_hf_checkpoint(ANCHOR, dtype=jnp.float32)
+    lang = synthlang.SynthLang(0)
+    ev = [np.asarray(b) for b in lang.eval_batches(2, 8, 256, seed=999)]
+    calib = [jnp.asarray(b) for b in lang.eval_batches(4, 4, 256, seed=555)]
+    return cfg, params, ev, calib
+
+
+def test_anchor_is_trained(anchor):
+    from tensorrt_model_optimizer_tpu.utils.evaluate import perplexity
+
+    cfg, params, ev, _ = anchor
+    ppl = perplexity(cfg, params, ev)
+    # random-init is ~vocab_size (512); the trained anchor sits near 2.7
+    assert ppl < 4.0, f"anchor checkpoint looks untrained/corrupt: ppl={ppl}"
+
+
+@pytest.mark.parametrize("preset,bound", [
+    # bounds pinned ~5-10x above the round-2 sweep's measured deltas (NVFP4
+    # +0.015, FP8 -0.000, INT4-AWQ +0.004 on the full eval set) with slack
+    # for this test's smaller calib/eval subset; the gate exists to catch
+    # gross regressions (the SVDQuant live-adapter bug cost >100 ppl)
+    ("NVFP4_DEFAULT_CFG", 0.10),
+    ("FP8_DEFAULT_CFG", 0.02),
+    ("INT4_AWQ_CFG", 0.10),
+])
+def test_quantized_ppl_delta_gate(anchor, preset, bound):
+    from tensorrt_model_optimizer_tpu.quant import ptq
+    from tensorrt_model_optimizer_tpu.utils.evaluate import perplexity
+
+    cfg, params, ev, calib = anchor
+    base = perplexity(cfg, params, ev)
+    model = ptq.quantize(cfg, params, preset, calib)
+    qppl = perplexity(cfg, params, ev, layout=model.layout,
+                      qstate=model.qstate, adapters=model.adapters)
+    assert qppl - base < bound, (
+        f"{preset}: ppl {base:.4f} -> {qppl:.4f} "
+        f"(+{qppl - base:.4f} > pinned {bound})"
+    )
