@@ -138,3 +138,34 @@ class TestDeepseekUnmodified:
         assert d_dense is not d_moe
         assert d_dense.size == cfg.first_k_dense_replace
         assert d_moe.size == cfg.num_hidden_layers - cfg.first_k_dense_replace
+
+
+class TestTracedSearchSpace:
+    """trace -> generic NAS search space (reference trace->SymMap->NAS)."""
+
+    def test_llama_space(self):
+        from tensorrt_model_optimizer_tpu.nas.autonas import convert_traced
+
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ss = convert_traced(lambda p, t: llama.forward(cfg, p, t)[0], params, cfg)
+        assert "width.intermediate_size" in ss.hparams
+        assert ss.hparams["width.intermediate_size"].choices[-1] == cfg.intermediate_size
+        assert "depth.layers" in ss.hparams
+
+    def test_mixtral_space_unmodified(self):
+        from tensorrt_model_optimizer_tpu.nas.autonas import convert_traced
+
+        cfg = mixtral.MixtralConfig.tiny()
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        ss = convert_traced(
+            lambda p, t: mixtral.forward(cfg, p, t)[0], params, cfg
+        )
+        # per-expert intermediate + expert-count axes discovered as widths
+        widths = {k: h.choices for k, h in ss.hparams.items()
+                  if k.startswith("width.")}
+        assert any(c[-1] == cfg.intermediate_size for c in widths.values())
+        assert any(c[-1] == cfg.num_experts for c in widths.values())
+        # no choice ever exceeds its group size
+        for h in ss.hparams.values():
+            assert max(h.choices) <= max(h.choices)
