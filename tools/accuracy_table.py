@@ -183,6 +183,16 @@ def main():
 
     # ---- write artifacts -----------------------------------------------
     os.makedirs("artifacts", exist_ok=True)
+    if os.environ.get("ACC_MERGE") and os.path.exists("artifacts/accuracy_table.json"):
+        # merge this run's rows into the existing table (re-running a fixed
+        # preset without redoing the whole sweep)
+        with open("artifacts/accuracy_table.json") as f:
+            prev = json.load(f)
+        merged = dict(prev.get("presets", {}))
+        merged.update(rows)
+        rows = merged
+        qat_row = qat_row or prev.get("qat_recovery")
+        base = prev.get("bf16", base)
     out = {"bf16": base, "presets": rows, "qat_recovery": qat_row,
            "anchor": ANCHOR, "mmlu_n_per_subject": MMLU_N}
     with open("artifacts/accuracy_table.json", "w") as f:
