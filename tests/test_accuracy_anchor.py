@@ -63,7 +63,9 @@ def test_quantized_ppl_delta_gate(anchor, preset, bound):
     cfg, params, ev, calib = anchor
     base = perplexity(cfg, params, ev)
     model = ptq.quantize(cfg, params, preset, calib)
-    qppl = perplexity(cfg, params, ev, layout=model.layout,
+    # model.params, not params: folding algorithms (AWQ/SmoothQuant) rescale
+    # the weights; the pre_quant_scale state only matches the FOLDED weights
+    qppl = perplexity(cfg, model.params, ev, layout=model.layout,
                       qstate=model.qstate, adapters=model.adapters)
     assert qppl - base < bound, (
         f"{preset}: ppl {base:.4f} -> {qppl:.4f} "
