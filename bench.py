@@ -181,9 +181,10 @@ class TimedEngine:
         self.tok = jnp.asarray(
             rng.integers(0, self.cfg.vocab_size, size=(BATCH, 1), dtype=np.int32)
         )
+        self.also_unroll1 = os.environ.get("BENCH_UNROLL1", "0") == "1"
         t0 = time.time()
         self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, unroll)
-        if unroll > 1:  # compile the unroll=1 variant too
+        if unroll > 1 and self.also_unroll1:
             self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, 1)
         _ = np.asarray(self.tok)  # VALUE readback: drain compile + first exec
         self.compile_s = time.time() - t0
@@ -208,7 +209,7 @@ class TimedEngine:
 
     def run_block(self):
         self._block(self.unroll, self.times)
-        if self.unroll > 1:
+        if self.unroll > 1 and self.also_unroll1:
             self._block(1, self.times1)
 
     @staticmethod
@@ -266,7 +267,9 @@ def main():
     anchor = TimedEngine("bf16", 16, "bf16 L16 (TP2 per-chip anchor)", unroll)
     engines = [anchor]
     fmt_l16 = None
-    if FORMAT != "bf16" and fourbit:
+    # raw-ratio leg off by default: a third engine + compile arena pushed
+    # the chip into RESOURCE_EXHAUSTED alongside the bf16 anchor
+    if FORMAT != "bf16" and fourbit and os.environ.get("BENCH_RAW_LEG", "0") == "1":
         fmt_l16 = TimedEngine(FORMAT, 16, f"{FORMAT} L16 (raw-ratio leg)", unroll)
         engines.append(fmt_l16)
     n_layers = 16 if FORMAT == "bf16" else 32
@@ -323,7 +326,8 @@ def main():
         "unroll": unroll,
         **({"step_ms_unroll1": round(full.median_ms1(), 3),
             "bf16_anchor_ms_unroll1": round(anchor.median_ms1(), 3)}
-           if unroll > 1 else {}),
+           if unroll > 1 and full.median_ms1() is not None
+           and anchor.median_ms1() is not None else {}),
         "compile_s": round(compile_s, 1),
         "format": FORMAT, "bs": BATCH, "prefill": PREFILL, "steps": STEPS,
         "hw": jax.devices()[0].device_kind,

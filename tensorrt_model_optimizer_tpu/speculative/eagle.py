@@ -321,22 +321,23 @@ def propose_and_verify(cfg, params, eagle, prompt, steps=16, draft_len=3,
             cfg, params, tokens, layout=layout, qstate=qstate
         )
         nxt = int(jnp.argmax(full_logits[0, -1]))
-        # draft chain: recurse the draft on its own predictions
+        # draft chain: recurse the draft on its OWN predicted hiddens (the
+        # TTT training objective — feeding copied base hiddens instead
+        # collapses acceptance)
         draft = []
         cur_tokens = jnp.concatenate(
             [tokens, jnp.asarray([[nxt]], jnp.int32)], axis=1
         )
-        cur_hidden = jnp.concatenate(
-            [hidden, hidden[:, -1:]], axis=1
-        )  # approximate hidden for the new token (EAGLE uses shifted hiddens)
+        ph, _ = eagle_forward(cfg, params, eagle, tokens, hidden)
+        cur_hidden = jnp.concatenate([hidden, ph[:, -1:]], axis=1)
         for _ in range(draft_len):
-            _, dlogits = eagle_forward(cfg, params, eagle, cur_tokens, cur_hidden)
+            ph, dlogits = eagle_forward(cfg, params, eagle, cur_tokens, cur_hidden)
             d = int(jnp.argmax(dlogits[0, -1]))
             draft.append(d)
             cur_tokens = jnp.concatenate(
                 [cur_tokens, jnp.asarray([[d]], jnp.int32)], axis=1
             )
-            cur_hidden = jnp.concatenate([cur_hidden, cur_hidden[:, -1:]], axis=1)
+            cur_hidden = jnp.concatenate([cur_hidden, ph[:, -1:]], axis=1)
         # verify with one base forward over tokens + [nxt] + draft
         chain = jnp.concatenate(
             [tokens, jnp.asarray([[nxt] + draft], jnp.int32)], axis=1
