@@ -116,6 +116,40 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+BARRIER_FLAGS = {"readback_timeouts": 0}
+
+
+def value_barrier(arr, timeout_s=None):
+    """Force true completion via a value readback, with a watchdog.
+
+    Value readbacks are the only honest barrier on this relay
+    (block_until_ready returns at dispatch for donated buffers), but in some
+    pool windows a readback stalls for many minutes. The watchdog runs the
+    readback in a worker thread; on timeout it falls back to
+    block_until_ready and marks the run so the JSON reports the barrier as
+    unreliable rather than hanging the whole bench."""
+    import threading
+
+    import jax
+
+    timeout_s = timeout_s or float(os.environ.get("BENCH_READBACK_TIMEOUT", "420"))
+    done = threading.Event()
+
+    def worker():
+        try:
+            np.asarray(arr)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        BARRIER_FLAGS["readback_timeouts"] += 1
+        log(f"value readback exceeded {timeout_s:.0f}s — falling back to "
+            "block_until_ready for this barrier (result flagged)")
+        jax.block_until_ready(arr)
+
+
 def build_engine(fmt, n_layers):
     import dataclasses
 
@@ -158,7 +192,9 @@ def build_engine(fmt, n_layers):
     eng = serve_engine.Engine(
         cm, serve_engine.EngineConfig(max_seq_len=MAXLEN, backend="pallas")
     )
-    return cfg, cm, eng
+    # return the ENGINE's cm: Engine converts nvfp4 to the perm layout, and
+    # holding the pre-conversion packed weights too doubles HBM (OOMed)
+    return cfg, eng.cm, eng
 
 
 class TimedEngine:
@@ -186,7 +222,7 @@ class TimedEngine:
         self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, unroll)
         if unroll > 1 and self.also_unroll1:
             self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, 1)
-        _ = np.asarray(self.tok)  # VALUE readback: drain compile + first exec
+        value_barrier(self.tok)  # drain compile + first exec
         self.compile_s = time.time() - t0
         log(f"{label}: built ({cm_bytes(self.cm)/1e9:.2f} GB), "
             f"decode-step compile+first {self.compile_s:.1f}s")
@@ -204,7 +240,7 @@ class TimedEngine:
         t0 = time.time()
         for _ in range(n_disp):
             self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, unroll)
-        _ = np.asarray(self.tok)
+        value_barrier(self.tok)
         out.append((time.time() - t0) / (n_disp * unroll) * 1e3)
 
     def run_block(self):
@@ -264,19 +300,23 @@ def main():
     # 8-bit formats' L32 (8 GB) can't share the chip with the bf16 anchor +
     # an L16 leg, so they interleave anchor + L32 only.
     fourbit = FORMAT in ("int4", "nvfp4")
+    # Build the measured-format engine FIRST: its packed-layout conversion
+    # (nvfp4 perm) needs transient headroom that isn't there once the bf16
+    # anchor is resident (observed RESOURCE_EXHAUSTED the other way round).
+    n_layers = 16 if FORMAT == "bf16" else 32
+    full = (None if FORMAT == "bf16"
+            else TimedEngine(FORMAT, n_layers, f"{FORMAT} L{n_layers}", unroll))
     anchor = TimedEngine("bf16", 16, "bf16 L16 (TP2 per-chip anchor)", unroll)
-    engines = [anchor]
+    if full is None:
+        full = anchor
+    engines = [e for e in (full, anchor) if e is not None]
+    engines = list(dict.fromkeys(engines))
     fmt_l16 = None
     # raw-ratio leg off by default: a third engine + compile arena pushed
     # the chip into RESOURCE_EXHAUSTED alongside the bf16 anchor
     if FORMAT != "bf16" and fourbit and os.environ.get("BENCH_RAW_LEG", "0") == "1":
         fmt_l16 = TimedEngine(FORMAT, 16, f"{FORMAT} L16 (raw-ratio leg)", unroll)
         engines.append(fmt_l16)
-    n_layers = 16 if FORMAT == "bf16" else 32
-    full = (anchor if FORMAT == "bf16"
-            else TimedEngine(FORMAT, n_layers, f"{FORMAT} L{n_layers}", unroll))
-    if full is not anchor:
-        engines.append(full)
 
     interleaved_time(engines, rounds)
     bf16_ms = anchor.median_ms()
@@ -331,6 +371,8 @@ def main():
         "compile_s": round(compile_s, 1),
         "format": FORMAT, "bs": BATCH, "prefill": PREFILL, "steps": STEPS,
         "hw": jax.devices()[0].device_kind,
+        **({"barrier_unreliable": BARRIER_FLAGS["readback_timeouts"]}
+           if BARRIER_FLAGS["readback_timeouts"] else {}),
         **({"ttft_ms": round(ttft_ms, 1)} if ttft_ms is not None else {}),
         "h200_context_tok_s": H200_BS8.get(FORMAT),
     }))

@@ -121,7 +121,7 @@ def main():
         # tokens/step: every loop produces 1 bonus + accepted draft tokens
         k = {"medusa": 3, "eagle": 3, "eagle3": 3, "dflash": 4}[m]
         r["tokens_per_step"] = round(1 + r["accept_rate"] * k, 3)
-        print(json.dumps({"method": m, **r}))
+        print(json.dumps({"method": m, **r}, default=lambda o: float(o)))
 
 
 if __name__ == "__main__":
