@@ -73,7 +73,8 @@ def main():
 
     t0 = time.time()
     logits, cache = eng.paged_step(tok, cache, active)
-    jax.block_until_ready(logits)
+    _ = np.asarray(logits)  # VALUE readback: block_until_ready can return at
+    # dispatch time on the relay (memory notes) — drain compile + first exec
     compile_s = time.time() - t0
 
     t0 = time.time()
@@ -81,7 +82,7 @@ def main():
         logits, cache = eng.paged_step(tok, cache, active)
         # serialize: next step's token depends on this step's logits
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
-    jax.block_until_ready(tok)
+    _ = np.asarray(tok)
     dt = (time.time() - t0) / steps
     print(json.dumps({
         "metric": f"llama3.1-8b-int4-paged-decode-tok/s-slots{slots}-ctx{ctx}",
