@@ -287,7 +287,8 @@ def main():
 
     rounds = int(os.environ.get("BENCH_ROUNDS", "5"))
     unroll = int(os.environ.get("BENCH_UNROLL", "8"))
-    budget = PREFILL + (unroll + 1) + rounds * 2 * STEPS
+    unroll1_series = os.environ.get("BENCH_UNROLL1", "0") == "1"
+    budget = PREFILL + (unroll + 1) + rounds * STEPS * (2 if unroll1_series else 1)
     if budget > MAXLEN:
         raise SystemExit(
             f"decode budget {budget} exceeds BENCH_MAXLEN={MAXLEN}: raise "
