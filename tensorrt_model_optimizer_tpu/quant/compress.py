@@ -127,12 +127,29 @@ def compress_weight(
         }
 
     if base.is_fp and base.block is not None and base.block.scale_bits == (8, 0):
-        # MX formats: store the fake-quantized weight in bf16 (serving kind
-        # "bf16"); a packed MX serving layout is a round-2 item. Numerics
-        # stay exact: the stored values ARE the MX grid points.
         e, m = base.num_bits
-        bsz = dict(base.block.sizes).get(-1, 32)
-        wq = numerics.fake_quant_mx(w.astype(jnp.float32), e, m, min(bsz, w.shape[-1]))
+        bsz = min(dict(base.block.sizes).get(-1, 32), w.shape[-1])
+        if (e, m) == (2, 1) and w.shape[-1] % bsz == 0 and w.shape[-2] % 2 == 0:
+            # MXFP4: E2M1 elements plane-packed (same grid as NVFP4) +
+            # per-block E8M0 scale stored as its int8 EXPONENT — 4 bits/elem
+            # served instead of the former bf16 fake-quant fallback.
+            w32 = w.astype(jnp.float32)
+            bam = numerics.block_amax_compact(w32, ((-1, bsz),))
+            scale = numerics.e8m0_scale(bam, numerics.fp_emax(2, 1))
+            s_full = numerics.expand_block_scale(scale, w32.shape, ((-1, bsz),))
+            qv = numerics.fp4_round(w32 / s_full)
+            packed = plane_pack(numerics.fp4_to_codes(qv))
+            _, fe = jnp.frexp(scale)
+            O = w.shape[-2]
+            exp = (fe - 1).astype(jnp.int8)  # scale = 2^exp exactly
+            return "mxfp4", {
+                "packed": packed,
+                "exp_lo": exp[..., : O // 2, :],
+                "exp_hi": exp[..., O // 2 :, :],
+            }
+        # MXFP6/MXFP8 (and ragged shapes): store the fake-quantized weight in
+        # bf16 — the values ARE the MX grid points, numerics stay exact.
+        wq = numerics.fake_quant_mx(w.astype(jnp.float32), e, m, bsz)
         return "bf16", {"w": wq.astype(jnp.bfloat16)}
 
     if not base.is_fp and base.num_bits == 8:
@@ -204,6 +221,16 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
         hi_f = hi * numerics.expand_block_scale(
             arrays["scale_hi"].astype(jnp.float32) * gsb, hi.shape, ((-1, bsz),)
         )
+        return jnp.concatenate([lo_f, hi_f], axis=-2).astype(out_dtype)
+    if kind == "mxfp4":
+        p = arrays["packed"]
+        lo = numerics.codes_to_fp4(p & 0xF)
+        hi = numerics.codes_to_fp4((p >> 4) & 0xF)
+        bsz = p.shape[-1] // arrays["exp_lo"].shape[-1]
+        s_lo = jnp.ldexp(jnp.float32(1.0), arrays["exp_lo"].astype(jnp.int32))
+        s_hi = jnp.ldexp(jnp.float32(1.0), arrays["exp_hi"].astype(jnp.int32))
+        lo_f = lo * numerics.expand_block_scale(s_lo, lo.shape, ((-1, bsz),))
+        hi_f = hi * numerics.expand_block_scale(s_hi, hi.shape, ((-1, bsz),))
         return jnp.concatenate([lo_f, hi_f], axis=-2).astype(out_dtype)
     if kind == "nvfp4p":
         from ..ops.pallas import qmm as qmm_mod

@@ -262,10 +262,11 @@ class TestMoreFormats:
         rng = np.random.default_rng(0)
         w = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
         kind, arrays = compress.compress_weight(w, MXFP4_BLOCK32, None)
-        assert kind == "bf16"
-        deq = np.asarray(arrays["w"], dtype=np.float32)
+        # round 2: MXFP4 packs to 4-bit planes + int8 E8M0 exponents
+        assert kind == "mxfp4"
+        deq = np.asarray(compress.decompress_weight(kind, arrays, jnp.float32))
         ref = np.asarray(numerics.fake_quant_mx(w, 2, 1, 32))
-        np.testing.assert_allclose(deq, ref, rtol=1e-2, atol=1e-3)
+        np.testing.assert_allclose(deq, ref, rtol=1e-6, atol=1e-7)
 
     def test_svdquant_adapters_survive_compress_and_serve(self, tiny_ptq):
         """The low-rank branch must be applied by the serving engine
@@ -441,3 +442,25 @@ class TestSparsePrefill:
         out = eng.generate(prompt, max_new_tokens=6)
         assert out.shape == (prompt.shape[0], 6)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mxfp4_packed_serving(tiny_ptq):
+    """MXFP4 serves from 4-bit planes + int8 E8M0 exponents (was bf16
+    fake-quant fallback, 4x the bytes); engine output matches fake-quant."""
+    cfg, params, batches = tiny_ptq
+    model = ptq.quantize(cfg, params, "MXFP4_DEFAULT_CFG", batches)
+    cm = compress.compress(model)
+    assert cm.kinds["mlp.gate_proj"] == "mxfp4"
+    packed = cm.params["layers"]["mlp.gate_proj"]
+    assert packed["packed"].dtype == jnp.uint8
+    assert packed["exp_lo"].dtype == jnp.int8
+    eng = serve_engine.Engine(
+        cm, serve_engine.EngineConfig(max_seq_len=32, backend="xla")
+    )
+    prompt = batches[0][:, :8]
+    ref, _, _ = model.forward(prompt)
+    cache = eng.init_cache(prompt.shape[0], 32)
+    logits, _ = eng.prefill(prompt, cache)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref[:, -1]), atol=2e-3, rtol=1e-3
+    )
