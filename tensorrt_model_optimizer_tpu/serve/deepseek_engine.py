@@ -70,21 +70,40 @@ def _deq(cm: DeepseekCompressedModel, name: str, arrays, dtype):
     return decompress_weight(kind, arrays, out_dtype=dtype)
 
 
-def _lin(cm, lstate, name, x, lp, dtype):
-    """y = q_act(x) @ dequant(W)^T for a [*, K] input."""
+def _lin(cm, lstate, name, x, lp, dtype, tp_axis=None, row=False, psum_out=True):
+    """y = q_act(x) @ dequant(W)^T for a [*, K] input.
+
+    Under TP (`tp_axis` set inside shard_map), `row=True` marks
+    row-parallel sites whose K dim is sharded: dynamic per-token act amaxes
+    pmax-reduce across the axis (single-device bit parity) and the partial
+    product psum-reduces (`psum_out=False` lets the caller fold several
+    partials into one psum)."""
     w = _deq(cm, name, lp[name], dtype)
     icfg = cm.layout.get(f"{name}.input")
     ist = (lstate or {}).get(name, {}).get("input")
     if icfg.enable or (ist is not None and ist.pre_quant_scale is not None):
-        x = Q.quantize(x, icfg, ist)
-    return x @ w.T.astype(x.dtype)
+        reduce = (
+            (lambda am: jax.lax.pmax(am, tp_axis))
+            if (tp_axis is not None and row)
+            else None
+        )
+        x = Q.quantize(x, icfg, ist, amax_reduce=reduce)
+    y = x @ w.T.astype(x.dtype)
+    if tp_axis is not None and row and psum_out:
+        y = jax.lax.psum(y, tp_axis)
+    return y
 
 
-def _mla_decode(cfg, cm, x, lp, lstate, positions, mask, ckv, kpe, pos, dtype):
+def _mla_decode(cfg, cm, x, lp, lstate, positions, mask, ckv, kpe, pos, dtype,
+                tp_axis=None):
     """Absorbed MLA over the latent cache (serving form of
-    `models/deepseek._mla_attention`'s cached branch)."""
+    `models/deepseek._mla_attention`'s cached branch).
+
+    Under TP the head projections are column-sharded so the local head
+    count comes from the projection output (not cfg); the latent cache and
+    latent projections are replicated, so attention is fully local and only
+    o_proj psums."""
     B, T, _ = x.shape
-    nH = cfg.num_attention_heads
     dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
     r = cfg.kv_lora_rank
     import math
@@ -92,16 +111,17 @@ def _mla_decode(cfg, cm, x, lp, lstate, positions, mask, ckv, kpe, pos, dtype):
     scale = 1.0 / math.sqrt(dn + dr)
 
     if cfg.q_lora_rank:
-        cq = _lin(cm, lstate, "self_attn.q_a_proj", x, lp, dtype)
+        cq = _lin(cm, lstate, "self_attn.q_a_proj", x, lp, dtype, tp_axis)
         cq = llama.rms_norm(cq, lp["self_attn.q_a_norm"], cfg.rms_norm_eps)
-        q = _lin(cm, lstate, "self_attn.q_b_proj", cq, lp, dtype)
+        q = _lin(cm, lstate, "self_attn.q_b_proj", cq, lp, dtype, tp_axis)
     else:
-        q = _lin(cm, lstate, "self_attn.q_proj", x, lp, dtype)
+        q = _lin(cm, lstate, "self_attn.q_proj", x, lp, dtype, tp_axis)
+    nH = q.shape[-1] // (dn + dr)  # LOCAL heads under TP
     q = q.reshape(B, T, nH, dn + dr)
     q_nope, q_pe = q[..., :dn], q[..., dn:]
     q_pe = llama.rope(q_pe, positions, cfg.rope_theta, cfg.rope_scaling)
 
-    ckv_full = _lin(cm, lstate, "self_attn.kv_a_proj", x, lp, dtype)
+    ckv_full = _lin(cm, lstate, "self_attn.kv_a_proj", x, lp, dtype, tp_axis)
     c_kv = llama.rms_norm(
         ckv_full[..., :r], lp["self_attn.kv_a_norm"], cfg.rms_norm_eps
     )
@@ -143,12 +163,18 @@ def _mla_decode(cfg, cm, x, lp, lstate, positions, mask, ckv, kpe, pos, dtype):
     ctx_lat = jnp.einsum("bnts,bsr->btnr", probs, ckv.astype(jnp.float32))
     ctx = jnp.einsum("btnr,ndr->btnd", ctx_lat, wv.astype(jnp.float32))
     ctx = ctx.astype(x.dtype).reshape(B, T, nH * dv)
-    out = _lin(cm, lstate, "self_attn.o_proj", ctx, lp, dtype)
+    out = _lin(cm, lstate, "self_attn.o_proj", ctx, lp, dtype, tp_axis, row=True)
     return out, ckv, kpe
 
 
-def _moe_ffn(cfg, cm, x, lp, lstate, dtype):
-    """Routed + shared experts on dequantized expert stacks (T small)."""
+def _moe_ffn(cfg, cm, x, lp, lstate, dtype, tp_axis=None):
+    """Routed + shared experts on dequantized expert stacks (T small).
+
+    Under TP: routing runs replicated over the FULL expert set (router and
+    capacity positions are global so token->slot assignment matches the
+    single-device engine exactly); each shard then applies its local E/d
+    expert block (EP) and the routed partial rides ONE psum together with
+    the shared-expert row-parallel down partial."""
     B, T, H = x.shape
     E, k = cfg.n_routed_experts, cfg.num_experts_per_tok
     S = B * T
@@ -163,11 +189,15 @@ def _moe_ffn(cfg, cm, x, lp, lstate, dtype):
     assign = onehot[..., None] * in_cap[..., None] * slot
     dispatch = jnp.sum(assign, axis=1)
     combine = jnp.einsum("skec,sk->sec", assign, topw.astype(jnp.float32))
-    xe = jnp.einsum("sec,sh->ech", dispatch, xf.astype(jnp.float32)).astype(x.dtype)
 
-    wg = _deq(cm, "moe.gate_proj", lp["moe.gate_proj"], dtype)  # [E, m, H]
+    wg = _deq(cm, "moe.gate_proj", lp["moe.gate_proj"], dtype)  # [E_local, m, H]
     wu = _deq(cm, "moe.up_proj", lp["moe.up_proj"], dtype)
     wd = _deq(cm, "moe.down_proj", lp["moe.down_proj"], dtype)
+    if tp_axis is not None:
+        e_off = jax.lax.axis_index(tp_axis) * wg.shape[0]
+        dispatch = jax.lax.dynamic_slice_in_dim(dispatch, e_off, wg.shape[0], axis=1)
+        combine = jax.lax.dynamic_slice_in_dim(combine, e_off, wg.shape[0], axis=1)
+    xe = jnp.einsum("sec,sh->ech", dispatch, xf.astype(jnp.float32)).astype(x.dtype)
     icfg = cm.layout.get("moe.gate_proj.input")
     ist = (lstate or {}).get("moe.gate_proj", {}).get("input")
 
@@ -188,23 +218,28 @@ def _moe_ffn(cfg, cm, x, lp, lstate, dtype):
     routed = jnp.einsum("sec,ech->sh", combine, d.astype(jnp.float32)).astype(x.dtype)
 
     h2 = x.reshape(S, H)
-    sg = _lin(cm, lstate, "shared.gate_proj", h2, lp, dtype)
-    su = _lin(cm, lstate, "shared.up_proj", h2, lp, dtype)
+    sg = _lin(cm, lstate, "shared.gate_proj", h2, lp, dtype, tp_axis)
+    su = _lin(cm, lstate, "shared.up_proj", h2, lp, dtype, tp_axis)
     sy = (jax.nn.silu(sg.astype(jnp.float32)) * su.astype(jnp.float32)).astype(x.dtype)
-    sd = _lin(cm, lstate, "shared.down_proj", sy, lp, dtype)
-    return (routed + sd).reshape(B, T, H)
+    sd = _lin(cm, lstate, "shared.down_proj", sy, lp, dtype, tp_axis,
+              row=True, psum_out=False)
+    out = routed + sd
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    return out.reshape(B, T, H)
 
 
-def _dense_ffn(cm, x, lp, lstate, dtype):
+def _dense_ffn(cm, x, lp, lstate, dtype, tp_axis=None):
     B, T, H = x.shape
     h2 = x.reshape(B * T, H)
-    g = _lin(cm, lstate, "mlp.gate_proj", h2, lp, dtype)
-    u = _lin(cm, lstate, "mlp.up_proj", h2, lp, dtype)
+    g = _lin(cm, lstate, "mlp.gate_proj", h2, lp, dtype, tp_axis)
+    u = _lin(cm, lstate, "mlp.up_proj", h2, lp, dtype, tp_axis)
     y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
-    return _lin(cm, lstate, "mlp.down_proj", y, lp, dtype).reshape(B, T, H)
+    return _lin(cm, lstate, "mlp.down_proj", y, lp, dtype, tp_axis,
+                row=True).reshape(B, T, H)
 
 
-def _model_step(cfg, cm, params, qstate, tokens, cache, positions):
+def _model_step(cfg, cm, params, qstate, tokens, cache, positions, tp_axis=None):
     B, T = tokens.shape
     dtype = cfg.dtype
     x = params["embed_tokens"][tokens].astype(dtype)
@@ -221,12 +256,12 @@ def _model_step(cfg, cm, params, qstate, tokens, cache, positions):
             h = llama.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
             attn, c1, c2 = _mla_decode(
                 cfg, cm, h, lp, lstate, positions, mask, c1, c2, cache["pos"],
-                dtype,
+                dtype, tp_axis,
             )
             x = x + attn
             h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-            y = (_moe_ffn(cfg, cm, h, lp, lstate, dtype) if is_moe
-                 else _dense_ffn(cm, h, lp, lstate, dtype))
+            y = (_moe_ffn(cfg, cm, h, lp, lstate, dtype, tp_axis) if is_moe
+                 else _dense_ffn(cm, h, lp, lstate, dtype, tp_axis))
             return x + y, (c1, c2)
 
         x, (nckv, nkpe) = jax.lax.scan(body, x, (gp, gs, ckv, kpe))
@@ -252,13 +287,45 @@ def _model_step(cfg, cm, params, qstate, tokens, cache, positions):
 
 
 class DeepseekEngine:
-    """Greedy serving over the latent cache (dense + fused decode step)."""
+    """Greedy serving over the latent cache (dense + fused decode step).
 
-    def __init__(self, cm: DeepseekCompressedModel, max_seq_len: int = 2048):
+    Passing `mesh` (a jax.sharding.Mesh with a `tp_axis` axis) shards the
+    model TP/EP-style (serve/deepseek_tp.py) and runs every step under
+    shard_map — token-identical to the single-device engine."""
+
+    def __init__(self, cm: DeepseekCompressedModel, max_seq_len: int = 2048,
+                 mesh=None, tp_axis: str = "tp"):
         self.cm = cm
         self.max_seq_len = max_seq_len
+        self.mesh, self.tp_axis = mesh, tp_axis
         self._prefill_fn = None
         self._step_fn = None
+        if mesh is not None:
+            from . import deepseek_tp as dtp
+            from . import tp as tp_mod
+
+            d = int(mesh.shape[tp_axis])
+            cm2, specs = dtp.shard_deepseek(cm, d, tp_axis)
+            self.cm = dtp.device_put_sharded(cm2, mesh, specs)
+            self._pspec = tp_mod._concretize(specs.params, self.cm.params)
+            self._qspec = tp_mod._concretize(specs.qstate, self.cm.qstate)
+
+    def _wrap(self, fn, cache, donate=()):
+        """jit, or shard_map+jit under TP (cache/tokens replicate)."""
+        if self.mesh is None:
+            return jax.jit(fn, donate_argnums=donate)
+        from . import tp as tp_mod
+        from jax.sharding import PartitionSpec as P
+
+        cspec = jax.tree.map(lambda _: P(), cache)
+        return jax.jit(
+            tp_mod.shard_map_fn(
+                fn, self.mesh,
+                in_specs=(self._pspec, self._qspec, P(), cspec, P()),
+                out_specs=(P(), cspec),
+            ),
+            donate_argnums=donate,
+        )
 
     def init_cache(self, batch: int, max_len: Optional[int] = None):
         return ds.init_cache(
@@ -271,9 +338,13 @@ class DeepseekEngine:
             jnp.arange(T)[None, :], (B, T)
         ).astype(jnp.int32)
         if self._prefill_fn is None:
-            self._prefill_fn = jax.jit(
-                partial(_model_step, self.cm.model_cfg, self.cm)
-            )
+            step = partial(_model_step, self.cm.model_cfg, self.cm,
+                           tp_axis=self.tp_axis if self.mesh is not None else None)
+
+            def pf(params, qstate, tokens, cache, positions):
+                return step(params, qstate, tokens, cache, positions)
+
+            self._prefill_fn = self._wrap(pf, cache)
         return self._prefill_fn(
             self.cm.params, self.cm.qstate, tokens, cache, positions
         )
@@ -282,6 +353,7 @@ class DeepseekEngine:
         """Fused single-dispatch step (donated cache, on-device argmax)."""
         if self._step_fn is None:
             cfg, cm = self.cm.model_cfg, self.cm
+            tpx = self.tp_axis if self.mesh is not None else None
 
             def one(params, qstate, tok, cache):
                 B = tok.shape[0]
@@ -289,11 +361,25 @@ class DeepseekEngine:
                     cache["pos"][None, None], (B, 1)
                 ).astype(jnp.int32)
                 logits, cache = _model_step(
-                    cfg, cm, params, qstate, tok, cache, positions
+                    cfg, cm, params, qstate, tok, cache, positions, tpx
                 )
                 return jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], cache
 
-            self._step_fn = jax.jit(one, donate_argnums=(3,))
+            if self.mesh is None:
+                self._step_fn = jax.jit(one, donate_argnums=(3,))
+            else:
+                from . import tp as tp_mod
+                from jax.sharding import PartitionSpec as P
+
+                cspec = jax.tree.map(lambda _: P(), cache)
+                self._step_fn = jax.jit(
+                    tp_mod.shard_map_fn(
+                        one, self.mesh,
+                        in_specs=(self._pspec, self._qspec, P(), cspec),
+                        out_specs=(P(), cspec),
+                    ),
+                    donate_argnums=(3,),
+                )
         return self._step_fn(self.cm.params, self.cm.qstate, tok, cache)
 
     def generate(self, prompt: jax.Array, max_new_tokens: int = 32):
