@@ -1,0 +1,122 @@
+"""Hybrid Mamba2 model: SSD numerics, cache parity, PTQ, pruning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.models import mamba
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = mamba.MambaConfig.tiny()
+    params = mamba.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 0, cfg.vocab_size)
+    return cfg, params, tokens
+
+
+def test_ssd_matches_recurrence():
+    """Chunked SSD == naive per-step state recurrence."""
+    key = jax.random.PRNGKey(2)
+    B, T, H, P, G, N = 2, 13, 4, 8, 2, 16
+    ks = jax.random.split(key, 4)
+    x = jax.random.normal(ks[0], (B, T, H, P), jnp.float32)
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (B, T, H), jnp.float32))
+    A = -jnp.exp(jax.random.normal(ks[2], (H,), jnp.float32) * 0.3)
+    Bm = jax.random.normal(ks[3], (B, T, G, N), jnp.float32) * 0.5
+    Cm = jax.random.normal(jax.random.fold_in(key, 9), (B, T, G, N), jnp.float32) * 0.5
+
+    y, final = mamba._ssd(x, dt, A, Bm, Cm, chunk=4)
+
+    rep = H // G
+    h = np.zeros((B, H, P, N), np.float64)
+    ys = np.zeros((B, T, H, P), np.float64)
+    xn, dtn, An = np.asarray(x, np.float64), np.asarray(dt, np.float64), np.asarray(A, np.float64)
+    Bn = np.repeat(np.asarray(Bm, np.float64), rep, axis=2)
+    Cn = np.repeat(np.asarray(Cm, np.float64), rep, axis=2)
+    for t in range(T):
+        dA = np.exp(dtn[:, t] * An[None, :])  # [B,H]
+        h = h * dA[..., None, None] + (
+            (dtn[:, t, :, None] * xn[:, t])[..., None] * Bn[:, t, :, None, :]
+        )
+        ys[:, t] = np.einsum("bhpn,bhn->bhp", h, Cn[:, t])
+    np.testing.assert_allclose(np.asarray(y), ys, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(final), h, rtol=2e-4, atol=2e-4)
+
+
+def test_prefill_decode_parity(tiny):
+    """Full-sequence forward == chunked prefill + recurrent decode."""
+    cfg, params, tokens = tiny
+    full, _, _ = mamba.forward(cfg, params, tokens)
+
+    cache = mamba.init_cache(cfg, tokens.shape[0], 32)
+    logits, _, cache = mamba.forward(cfg, params, tokens[:, :20], cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(logits[:, -1]), np.asarray(full[:, 19]), rtol=2e-4, atol=2e-4)
+    for t in range(20, 24):
+        logits, _, cache = mamba.forward(cfg, params, tokens[:, t:t + 1], cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(logits[:, -1]), np.asarray(full[:, -1]), rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_prefill_parity(tiny):
+    """Prefill in two cache chunks == one-shot prefill (SSD state handoff)."""
+    cfg, params, tokens = tiny
+    c1 = mamba.init_cache(cfg, tokens.shape[0], 32)
+    one, _, _ = mamba.forward(cfg, params, tokens, cache=c1)
+    c2 = mamba.init_cache(cfg, tokens.shape[0], 32)
+    _, _, c2 = mamba.forward(cfg, params, tokens[:, :11], cache=c2)
+    two, _, _ = mamba.forward(cfg, params, tokens[:, 11:], cache=c2)
+    np.testing.assert_allclose(
+        np.asarray(two[:, -1]), np.asarray(one[:, -1]), rtol=2e-4, atol=2e-4)
+
+
+# 4-bit is looser: in_proj's dt columns feed exp(dt·A), which compounds
+# over the sequence — at random init the tiny model is maximally sensitive
+@pytest.mark.parametrize("preset,min_corr",
+                         [("FP8_DEFAULT_CFG", 0.98), ("NVFP4_DEFAULT_CFG", 0.75)])
+def test_ptq(tiny, preset, min_corr):
+    cfg, params, tokens = tiny
+    qm = mamba.quantize(cfg, params, preset, [tokens])
+    ref, _, _ = mamba.forward(cfg, params, tokens)
+    got, _, _ = qm.forward(tokens)
+    assert np.all(np.isfinite(np.asarray(got)))
+    # fake-quant perturbs but must stay correlated with bf16 logits
+    a, b = np.asarray(got).ravel(), np.asarray(ref).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > min_corr, corr
+
+
+def test_ptq_decode_cache(tiny):
+    cfg, params, tokens = tiny
+    qm = mamba.quantize(cfg, params, "FP8_DEFAULT_CFG", [tokens])
+    full, _, _ = qm.forward(tokens)
+    cache = mamba.init_cache(cfg, tokens.shape[0], 32)
+    logits, _, cache = qm.forward(tokens[:, :-1], cache=cache)
+    logits, _, cache = qm.forward(tokens[:, -1:], cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(logits[:, -1]), np.asarray(full[:, -1]), rtol=2e-4, atol=2e-4)
+
+
+def test_generate_shape(tiny):
+    cfg, params, _ = tiny
+    prompt = jnp.ones((2, 5), jnp.int32)
+    out = mamba.generate(cfg, params, prompt, max_new_tokens=4, max_len=16)
+    assert out.shape == (2, 4)
+
+
+def test_tp_sharded_forward(tiny):
+    """Forward + calibration under a tensor mesh matches single-device."""
+    from jax.sharding import Mesh, NamedSharding
+
+    cfg, params, tokens = tiny
+    ref, _, _ = mamba.forward(cfg, params, tokens)
+    devices = np.array(jax.devices()[:2])
+    mesh = Mesh(devices.reshape(1, 2), axis_names=("data", "tensor"))
+    specs = mamba.param_specs(cfg)
+    sharded = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs)
+    with jax.set_mesh(mesh):
+        got, _, _ = jax.jit(lambda p, t: mamba.forward(cfg, p, t))(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
