@@ -120,3 +120,38 @@ def test_tp_sharded_forward(tiny):
     with jax.set_mesh(mesh):
         got, _, _ = jax.jit(lambda p, t: mamba.forward(cfg, p, t))(sharded, tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_minitron_hybrid_prune(tiny):
+    """Width (mamba heads / kv / ffn / hidden) + depth pruning of the hybrid
+    stack keeps a runnable, finite model and slices the right shapes."""
+    from tensorrt_model_optimizer_tpu.prune import minitron_hybrid as mh
+
+    cfg, params, tokens = tiny
+    scores = mh.importance(cfg, params, [tokens])
+    assert scores.mamba_head.shape == (3, cfg.mamba_num_heads)
+    assert scores.kv_group.shape == (1, cfg.num_key_value_heads)
+
+    new_cfg, new_params, plan = mh.prune(
+        cfg, params, scores,
+        mamba_num_heads=2, num_kv_heads=1, intermediate_size=96,
+        hidden_size=48, num_blocks=4,
+    )
+    assert new_cfg.mamba_num_heads == 2 and new_cfg.hidden_size == 48
+    assert len(new_cfg.hybrid_pattern) == 4
+    assert new_params["layers_mamba"]["mixer.in_proj"].shape[1] == new_cfg.d_in_proj
+    logits, _, _ = mamba.forward(new_cfg, new_params, tokens)
+    assert logits.shape == (2, 24, cfg.vocab_size)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_minitron_hybrid_head_prune_is_exact(tiny):
+    """Pruning to ALL heads/blocks (no-op targets) reproduces the model."""
+    from tensorrt_model_optimizer_tpu.prune import minitron_hybrid as mh
+
+    cfg, params, tokens = tiny
+    scores = mh.importance(cfg, params, [tokens])
+    new_cfg, new_params, _ = mh.prune(cfg, params, scores)
+    ref, _, _ = mamba.forward(cfg, params, tokens)
+    got, _, _ = mamba.forward(new_cfg, new_params, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
