@@ -409,3 +409,102 @@ def run_puzzle_constrained(
         total_params=int(sum(c.cost for c in chosen)),
         full_params=int(full),
     )
+
+
+# --------------------------------------------------------------------------
+# Checkpoint sewing kit (reference `puzzletron/sewing_kit` + anymodel
+# converters: persist the stitched child as a standalone checkpoint)
+# --------------------------------------------------------------------------
+
+
+def save_child(path: str, base_cfg: llama.LlamaConfig,
+               params: llama.Params, result: PuzzleResult) -> None:
+    """Write the stitched heterogeneous child to `path`.
+
+    Layout: `puzzle_config.json` (base config + one entry per layer with the
+    candidate name, sub-block skip, and that layer's full config) and
+    `model.safetensors` holding embed/norm/lm_head plus `layers.{i}.*`
+    per-layer weights. The child is self-contained — `load_child` rebuilds a
+    runnable PuzzleResult without the replacement library or the parent.
+    """
+    import json
+    import os
+
+    from ..opt.state import _model_cfg_to_dict, _save_safetensors
+
+    os.makedirs(path, exist_ok=True)
+    manifest = {
+        "base_config": _model_cfg_to_dict(base_cfg),
+        "choices": result.choices,
+        "total_params": result.total_params,
+        "full_params": result.full_params,
+        "layers": [
+            {
+                "name": c.name,
+                "skip": c.skip,
+                "config": _model_cfg_to_dict(c.cfg) if c.cfg is not None else None,
+            }
+            for c in result.layers
+        ],
+    }
+    with open(os.path.join(path, "puzzle_config.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+    def cook(a):
+        a = np.asarray(a)
+        if a.dtype == jnp.bfloat16:
+            return a.view(np.uint16), "::bf16"
+        return a, ""
+
+    named = {}
+    for k in ("embed_tokens", "norm", "lm_head"):
+        if k in params:
+            a, tag = cook(params[k])
+            named[k + tag] = a
+    for i, c in enumerate(result.layers):
+        if c.params is None:
+            continue
+        for pname, arr in c.params.items():
+            a, tag = cook(arr)
+            named[f"layers.{i}.{pname}{tag}"] = a
+    _save_safetensors(os.path.join(path, "model.safetensors"), named)
+
+
+def load_child(path: str) -> tuple[llama.LlamaConfig, llama.Params, PuzzleResult]:
+    """Load a `save_child` checkpoint back into forward_hetero inputs."""
+    import json
+    import os
+
+    from safetensors.numpy import load_file
+
+    from ..opt.state import _model_cfg_from_dict
+
+    with open(os.path.join(path, "puzzle_config.json")) as f:
+        manifest = json.load(f)
+    base_cfg = _model_cfg_from_dict(manifest["base_config"])
+
+    raw = load_file(os.path.join(path, "model.safetensors"))
+    arrays: dict = {}
+    for k, v in raw.items():
+        if k.endswith("::bf16"):
+            arrays[k[: -len("::bf16")]] = jnp.asarray(v.view(np.uint16)).view(jnp.bfloat16)
+        else:
+            arrays[k] = jnp.asarray(v)
+
+    params: llama.Params = {k: arrays[k] for k in ("embed_tokens", "norm", "lm_head")
+                            if k in arrays}
+    layers = []
+    for i, ent in enumerate(manifest["layers"]):
+        prefix = f"layers.{i}."
+        lp = {k[len(prefix):]: v for k, v in arrays.items() if k.startswith(prefix)}
+        ccfg = _model_cfg_from_dict(ent["config"]) if ent["config"] else None
+        cost = _layer_param_count(ccfg) if ccfg is not None else 0
+        layers.append(Candidate(ent["name"], ccfg, lp or None, cost,
+                                skip=ent["skip"]))
+    result = PuzzleResult(
+        choices=manifest["choices"],
+        layers=layers,
+        total_params=manifest["total_params"],
+        full_params=manifest["full_params"],
+    )
+    return base_cfg, params, result

@@ -132,3 +132,19 @@ class TestSubblockStats:
         res = run_puzzle_constrained(lib, decode_budget_ms=0.5 * full_ms)
         got = sum(subblock_stats(c).decode_ms for c in res.layers)
         assert got <= 0.5 * full_ms + 1e-9
+
+
+def test_sewing_kit_roundtrip(setup, tmp_path):
+    """save_child -> load_child reproduces the stitched model bit-for-bit."""
+    cfg, params, batches = setup
+    lib = puzzle.build_and_score_library(cfg, params, batches)
+    res = puzzle.run_puzzle(lib, param_budget_ratio=0.7)
+    ref = puzzle.forward_hetero(cfg, params, res, batches[0])
+
+    path = str(tmp_path / "child")
+    puzzle.save_child(path, cfg, params, res)
+    cfg2, params2, res2 = puzzle.load_child(path)
+    assert res2.choices == res.choices
+    assert [c.skip for c in res2.layers] == [c.skip for c in res.layers]
+    got = puzzle.forward_hetero(cfg2, params2, res2, batches[0])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
