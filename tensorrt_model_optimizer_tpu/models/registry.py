@@ -55,6 +55,7 @@ def families() -> list[str]:
 def _register_builtins():
     from . import dit as dit_mod
     from . import llama as llama_mod
+    from . import mamba as mamba_mod
     from . import mixtral as mixtral_mod
 
     register(ModelFamily(
@@ -76,6 +77,16 @@ def _register_builtins():
         init_quant_state=mixtral_mod.init_quant_state,
         param_specs=mixtral_mod.param_specs,
         hf_model_types=("mixtral",),
+    ))
+    register(ModelFamily(
+        name="mamba",
+        config_cls=mamba_mod.MambaConfig,
+        init_params=mamba_mod.init_params,
+        forward=mamba_mod.forward,
+        build_layout=mamba_mod.build_layout,
+        init_quant_state=mamba_mod.init_quant_state,
+        param_specs=mamba_mod.param_specs,
+        hf_model_types=("nemotron_h", "mamba2"),
     ))
     register(ModelFamily(
         name="dit",

@@ -155,3 +155,32 @@ def test_minitron_hybrid_head_prune_is_exact(tiny):
     ref, _, _ = mamba.forward(cfg, params, tokens)
     got, _, _ = mamba.forward(new_cfg, new_params, tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_trace_derives_mamba_groups(tiny):
+    """The jaxpr tracer derives hybrid prunable-dim groups unmodified:
+    mamba heads (A_log/D/dt_bias), conv channels, d_inner, ffn, hidden."""
+    from tensorrt_model_optimizer_tpu.trace import trace_dim_groups
+
+    cfg, params, _ = tiny
+    res = trace_dim_groups(lambda p, t: mamba.forward(cfg, p, t)[0], params, cfg)
+
+    def group_of(site):
+        for g in res["groups"]:
+            if site in g.sites:
+                return g
+        raise AssertionError(site)
+
+    heads = group_of(("layers_mamba/mixer.A_log", 1))
+    assert heads.size == cfg.mamba_num_heads
+    assert ("layers_mamba/mixer.dt_bias", 1) in heads.sites
+    conv = group_of(("layers_mamba/mixer.conv_b", 1))
+    assert conv.size == cfg.conv_dim
+    dinner = group_of(("layers_mamba/mixer.gnorm", 1))
+    assert dinner.size == cfg.d_inner
+    assert ("layers_mamba/mixer.out_proj", 2) in dinner.sites
+    ffn = group_of(("layers_mlp/mlp.up_proj", 1))
+    assert ffn.size == cfg.intermediate_size
+    hidden = group_of(("embed_tokens", 1))
+    assert hidden.size == cfg.hidden_size
+    assert ("layers_mamba/mixer.in_proj", 2) in hidden.sites
