@@ -37,9 +37,11 @@ def _rope_scaling_from_hf(d: dict) -> Optional[RopeScaling]:
 
 
 def config_from_hf(d: dict) -> LlamaConfig:
+    mt = d.get("model_type")
     return LlamaConfig(
         rope_scaling=_rope_scaling_from_hf(d),
-        attention_bias=d.get("attention_bias", d.get("model_type") == "qwen2"),
+        attention_bias=d.get("attention_bias", mt == "qwen2"),
+        qk_norm=mt in ("qwen3", "qwen3_moe"),
         vocab_size=d["vocab_size"],
         hidden_size=d["hidden_size"],
         intermediate_size=d["intermediate_size"],
@@ -67,8 +69,8 @@ def config_to_hf(cfg: LlamaConfig) -> dict:
             "original_max_position_embeddings": rs.original_max_position_embeddings,
         }
     return out | {
-        "architectures": ["LlamaForCausalLM"],
-        "model_type": "llama",
+        "architectures": ["Qwen3ForCausalLM"] if cfg.qk_norm else ["LlamaForCausalLM"],
+        "model_type": "qwen3" if cfg.qk_norm else "llama",
         "vocab_size": cfg.vocab_size,
         "hidden_size": cfg.hidden_size,
         "intermediate_size": cfg.intermediate_size,
@@ -208,6 +210,8 @@ def save_hf_checkpoint(cfg: LlamaConfig, params: dict, path: str) -> None:
         "self_attn.q_proj__bias": "model.layers.{i}.self_attn.q_proj.bias",
         "self_attn.k_proj__bias": "model.layers.{i}.self_attn.k_proj.bias",
         "self_attn.v_proj__bias": "model.layers.{i}.self_attn.v_proj.bias",
+        "self_attn.q_norm": "model.layers.{i}.self_attn.q_norm.weight",
+        "self_attn.k_norm": "model.layers.{i}.self_attn.k_norm.weight",
     }
     for ours, fmt in hf_names.items():
         if ours not in layers:
@@ -263,6 +267,9 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16) -> tuple[LlamaConfig, dict
             layers[f"self_attn.{proj}__bias"] = stack(
                 "model.layers.{i}.self_attn." + proj + ".bias"
             )
+    if cfg.qk_norm:
+        layers["self_attn.q_norm"] = stack("model.layers.{i}.self_attn.q_norm.weight")
+        layers["self_attn.k_norm"] = stack("model.layers.{i}.self_attn.k_norm.weight")
     params = {
         "embed_tokens": get("model.embed_tokens.weight"),
         "layers": layers,
@@ -273,4 +280,77 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16) -> tuple[LlamaConfig, dict
             params["lm_head"] = get("lm_head.weight")
         else:
             params["lm_head"] = params["embed_tokens"]
+    return cfg, params
+
+
+def load_hf_moe_checkpoint(path: str, dtype=jnp.bfloat16):
+    """Load an HF MoE checkpoint (Qwen3-MoE or Mixtral) into MixtralConfig
+    params with stacked [L, E, ...] experts.
+
+    Name tables (transformers modeling_qwen3_moe / modeling_mixtral):
+      qwen3_moe: mlp.gate (router), mlp.experts.{e}.{gate,up,down}_proj,
+                 per-head q/k norms; expert width = moe_intermediate_size.
+      mixtral:   block_sparse_moe.gate, experts.{e}.{w1,w3,w2}.
+    The reference quantizes these via its fused-MoE HF plugin
+    (`quantization/plugins/huggingface.py:751-1515`).
+    """
+    from .mixtral import MixtralConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        d = json.load(f)
+    mt = d.get("model_type")
+    if mt == "qwen3_moe":
+        router_fmt = "model.layers.{i}.mlp.gate.weight"
+        exp_fmt = "model.layers.{i}.mlp.experts.{e}.{proj}.weight"
+        projs = {"gate": "gate_proj", "up": "up_proj", "down": "down_proj"}
+        inter = d["moe_intermediate_size"]
+        norm_topk = d.get("norm_topk_prob", True)
+    elif mt == "mixtral":
+        router_fmt = "model.layers.{i}.block_sparse_moe.gate.weight"
+        exp_fmt = "model.layers.{i}.block_sparse_moe.experts.{e}.{proj}.weight"
+        projs = {"gate": "w1", "up": "w3", "down": "w2"}
+        inter = d["intermediate_size"]
+        norm_topk = True
+    else:
+        raise NotImplementedError(f"MoE model_type {mt!r}")
+    E = d.get("num_experts", d.get("num_local_experts"))
+    base = config_from_hf(d)
+    cfg = MixtralConfig(**{
+        **base.__dict__, "dtype": dtype, "intermediate_size": inter,
+        "num_experts": E, "top_k": d.get("num_experts_per_tok", 2),
+        "norm_topk_prob": norm_topk,
+    })
+    raw = _load_all_tensors(path)
+    get = lambda name: jnp.asarray(raw[name]).astype(dtype)
+    L = cfg.num_hidden_layers
+    stack = lambda fmt: jnp.stack([get(fmt.format(i=i)) for i in range(L)])
+
+    layers: dict[str, Any] = {
+        "input_layernorm": stack("model.layers.{i}.input_layernorm.weight"),
+        "post_attention_layernorm": stack(
+            "model.layers.{i}.post_attention_layernorm.weight"),
+        "moe.router": stack(router_fmt),
+    }
+    for ours in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        layers[f"self_attn.{ours}"] = stack(
+            "model.layers.{i}.self_attn." + ours + ".weight")
+    if cfg.qk_norm:
+        layers["self_attn.q_norm"] = stack("model.layers.{i}.self_attn.q_norm.weight")
+        layers["self_attn.k_norm"] = stack("model.layers.{i}.self_attn.k_norm.weight")
+    for ours, theirs in (("moe.gate_proj", projs["gate"]),
+                         ("moe.up_proj", projs["up"]),
+                         ("moe.down_proj", projs["down"])):
+        layers[ours] = jnp.stack([
+            jnp.stack([get(exp_fmt.format(i=i, e=e, proj=theirs))
+                       for e in range(E)])
+            for i in range(L)
+        ])
+    params = {
+        "embed_tokens": get("model.embed_tokens.weight"),
+        "layers": layers,
+        "norm": get("model.norm.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (get("lm_head.weight") if "lm_head.weight" in raw
+                             else params["embed_tokens"])
     return cfg, params

@@ -71,6 +71,7 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 4096
     attention_bias: bool = False  # Qwen2-style q/k/v biases
+    qk_norm: bool = False  # Qwen3-style per-head RMS norm on q/k pre-RoPE
     # "einsum" (reference path) or "flash" (fused Pallas kernel for the
     # no-cache prefill/training case; decode and cached paths fall back)
     attn_impl: str = "einsum"
@@ -176,6 +177,9 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
         for name in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
             o, _ = shapes[name]
             layers[name + "__bias"] = jnp.zeros((L, o), cfg.dtype)
+    if cfg.qk_norm:
+        layers["self_attn.q_norm"] = jnp.ones((L, cfg.hd), cfg.dtype)
+        layers["self_attn.k_norm"] = jnp.ones((L, cfg.hd), cfg.dtype)
     params: Params = {
         "embed_tokens": winit(keys[1], (cfg.vocab_size, h), h),
         "layers": layers,
@@ -213,6 +217,9 @@ def param_specs(cfg: LlamaConfig) -> Params:
     if cfg.attention_bias:
         for name in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
             layers[name + "__bias"] = P(None, "tensor")
+    if cfg.qk_norm:
+        layers["self_attn.q_norm"] = P(None, None)
+        layers["self_attn.k_norm"] = P(None, None)
     return {
         "embed_tokens": P("tensor", None),
         "layers": layers,
@@ -405,6 +412,10 @@ def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib, ada
     q = q.reshape(B, T, nH, hd)
     k = k.reshape(B, T, nKV, hd)
     v = v.reshape(B, T, nKV, hd)
+    if cfg.qk_norm:
+        # Qwen3: per-head RMS norm on q/k before RoPE
+        q = rms_norm(q, lp["self_attn.q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["self_attn.k_norm"], cfg.rms_norm_eps)
     q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
     k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 

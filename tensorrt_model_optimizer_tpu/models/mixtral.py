@@ -35,6 +35,9 @@ class MixtralConfig(llama.LlamaConfig):
     num_experts: int = 8
     top_k: int = 2
     capacity_factor: float = 2.0
+    # renormalize top-k routing weights (Mixtral always does; Qwen3-MoE
+    # exposes it as `norm_topk_prob`)
+    norm_topk_prob: bool = True
 
     @staticmethod
     def tiny(**kw) -> "MixtralConfig":
@@ -160,7 +163,8 @@ def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
     logits = (xf.astype(jnp.float32) @ router_w.T.astype(jnp.float32))  # [S, E]
     probs = jax.nn.softmax(logits, axis=-1)
     topw, topi = jax.lax.top_k(probs, k)  # [S, k]
-    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    if cfg.norm_topk_prob:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
 
     # capacity-based position assignment per expert
     onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [S, k, E]

@@ -66,7 +66,7 @@ def _register_builtins():
         build_layout=llama_mod.build_layout,
         init_quant_state=llama_mod.init_quant_state,
         param_specs=llama_mod.param_specs,
-        hf_model_types=("llama", "qwen2", "mistral"),
+        hf_model_types=("llama", "qwen2", "qwen3", "mistral"),
     ))
     register(ModelFamily(
         name="mixtral",
@@ -76,7 +76,7 @@ def _register_builtins():
         build_layout=mixtral_mod.build_layout,
         init_quant_state=mixtral_mod.init_quant_state,
         param_specs=mixtral_mod.param_specs,
-        hf_model_types=("mixtral",),
+        hf_model_types=("mixtral", "qwen3_moe"),
     ))
     register(ModelFamily(
         name="mamba",

@@ -178,3 +178,70 @@ def test_llama31_rope_scaling_matters(llama31_ckpt):
         dataclasses.replace(cfg, rope_scaling=None), params, tokens
     )
     assert np.abs(np.asarray(scaled) - np.asarray(unscaled)).max() > 1e-3
+
+
+@pytest.fixture(scope="module")
+def qwen3_ckpt(tmp_path_factory):
+    path = tmp_path_factory.mktemp("hf_qwen3")
+    cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=24, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = transformers.Qwen3ForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(str(path), safe_serialization=True)
+    return str(path), model
+
+
+def test_qwen3_logits_match_transformers(qwen3_ckpt):
+    """Qwen3 per-head q/k RMS norm + explicit head_dim parity."""
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import hf_loader, llama
+
+    path, hf_model = qwen3_ckpt
+    cfg, params = hf_loader.load_hf_checkpoint(path, dtype=jnp.float32)
+    assert cfg.qk_norm and cfg.hd == 24
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, 128, size=(2, 12))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(tokens)).logits.float().numpy()
+    ours, _, _ = llama.forward(cfg, params, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_qwen3_moe_logits_match_transformers(tmp_path_factory):
+    """Qwen3-MoE fused-expert checkpoint loads into the stacked-expert
+    layout and matches transformers' token-choice routing."""
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import hf_loader, mixtral
+
+    path = tmp_path_factory.mktemp("hf_qwen3moe")
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_experts=4, num_experts_per_tok=2,
+        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[],
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    model = transformers.Qwen3MoeForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    mcfg, params = hf_loader.load_hf_moe_checkpoint(str(path), dtype=jnp.float32)
+    assert mcfg.num_experts == 4 and mcfg.intermediate_size == 48
+    # full capacity so no tokens drop (HF has no capacity limit)
+    import dataclasses
+    mcfg = dataclasses.replace(mcfg, capacity_factor=float(mcfg.num_experts))
+    rng = np.random.default_rng(4)
+    tokens = rng.integers(0, 128, size=(2, 10))
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.float().numpy()
+    ours, _ = mixtral.forward(mcfg, params, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
