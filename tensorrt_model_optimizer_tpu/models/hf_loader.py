@@ -23,6 +23,31 @@ def _rope_scaling_from_hf(d: dict) -> Optional[RopeScaling]:
     if not rs:
         return None
     rope_type = rs.get("rope_type", rs.get("type", "llama3"))
+    if rope_type == "yarn":
+        factor = float(rs.get("factor", 1.0))
+        attention_factor = rs.get("attention_factor")
+        mscale, mscale_all = rs.get("mscale"), rs.get("mscale_all_dim")
+        if attention_factor is None and mscale and mscale_all:
+            # DeepSeek-style yarn: temperature from the mscale pair
+            # (transformers _compute_yarn_parameters)
+            import math
+
+            def _ms(m):
+                return 0.1 * m * math.log(factor) + 1.0 if factor > 1 else 1.0
+
+            attention_factor = _ms(mscale) / _ms(mscale_all)
+        return RopeScaling(
+            rope_type="yarn",
+            factor=factor,
+            attention_factor=attention_factor,
+            beta_fast=float(rs.get("beta_fast") or 32.0),
+            beta_slow=float(rs.get("beta_slow") or 1.0),
+            truncate=bool(rs.get("truncate", True)),
+            original_max_position_embeddings=int(
+                rs.get("original_max_position_embeddings")
+                or d.get("max_position_embeddings", 4096)
+            ),
+        )
     if rope_type != "llama3":
         raise NotImplementedError(f"rope_scaling type {rope_type!r} unsupported")
     return RopeScaling(
@@ -283,6 +308,65 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16) -> tuple[LlamaConfig, dict
     return cfg, params
 
 
+def _load_gpt_oss(path: str, d: dict, dtype):
+    """GPT-OSS: fused-expert MoE with biases, sinks, alternating windows.
+
+    De-interleaves `mlp.experts.gate_up_proj` [E, H, 2I] (gate = even
+    columns, up = odd — `modeling_gpt_oss.GptOssExperts.forward`) into this
+    framework's stacked [E, I, H] gate/up planes, and transposes `down_proj`
+    [E, I, H] -> [E, H, I] (we compute y @ W^T). The reference handles this
+    architecture via `_QuantGptOssExperts` dynamic-attribute wrappers
+    (`quantization/plugins/huggingface.py:1465`)."""
+    from .gpt_oss import GptOssConfig
+
+    base = config_from_hf(d)
+    E = d.get("num_local_experts", d.get("num_experts"))
+    cfg = GptOssConfig(**{
+        **base.__dict__, "dtype": dtype,
+        "num_experts": E, "top_k": d.get("num_experts_per_tok", 4),
+        "sliding_window": d.get("sliding_window", 128),
+        "layer_types": tuple(d["layer_types"]) if d.get("layer_types") else None,
+        "attention_bias": d.get("attention_bias", True),
+    })
+    raw = _load_all_tensors(path)
+    get = lambda name: jnp.asarray(raw[name]).astype(dtype)
+    L = cfg.num_hidden_layers
+    stack = lambda fmt: jnp.stack([get(fmt.format(i=i)) for i in range(L)])
+
+    layers = {
+        "input_layernorm": stack("model.layers.{i}.input_layernorm.weight"),
+        "post_attention_layernorm": stack(
+            "model.layers.{i}.post_attention_layernorm.weight"),
+        "self_attn.sinks": stack("model.layers.{i}.self_attn.sinks"),
+        "moe.router": stack("model.layers.{i}.mlp.router.weight"),
+        "moe.router__bias": stack("model.layers.{i}.mlp.router.bias"),
+    }
+    for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        layers[f"self_attn.{proj}"] = stack(
+            "model.layers.{i}.self_attn." + proj + ".weight")
+        layers[f"self_attn.{proj}__bias"] = stack(
+            "model.layers.{i}.self_attn." + proj + ".bias")
+    gate_up = stack("model.layers.{i}.mlp.experts.gate_up_proj")  # [L,E,H,2I]
+    gu_bias = stack("model.layers.{i}.mlp.experts.gate_up_proj_bias")  # [L,E,2I]
+    down = stack("model.layers.{i}.mlp.experts.down_proj")  # [L,E,I,H]
+    layers["moe.gate_proj"] = jnp.swapaxes(gate_up[..., 0::2], -1, -2)
+    layers["moe.up_proj"] = jnp.swapaxes(gate_up[..., 1::2], -1, -2)
+    layers["moe.gate_proj__bias"] = gu_bias[..., 0::2]
+    layers["moe.up_proj__bias"] = gu_bias[..., 1::2]
+    layers["moe.down_proj"] = jnp.swapaxes(down, -1, -2)
+    layers["moe.down_proj__bias"] = stack(
+        "model.layers.{i}.mlp.experts.down_proj_bias")
+    params = {
+        "embed_tokens": get("model.embed_tokens.weight"),
+        "layers": layers,
+        "norm": get("model.norm.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (get("lm_head.weight") if "lm_head.weight" in raw
+                             else params["embed_tokens"])
+    return cfg, params
+
+
 def load_hf_moe_checkpoint(path: str, dtype=jnp.bfloat16):
     """Load an HF MoE checkpoint (Qwen3-MoE or Mixtral) into MixtralConfig
     params with stacked [L, E, ...] experts.
@@ -299,6 +383,8 @@ def load_hf_moe_checkpoint(path: str, dtype=jnp.bfloat16):
     with open(os.path.join(path, "config.json")) as f:
         d = json.load(f)
     mt = d.get("model_type")
+    if mt == "gpt_oss":
+        return _load_gpt_oss(path, d, dtype)
     if mt == "qwen3_moe":
         router_fmt = "model.layers.{i}.mlp.gate.weight"
         exp_fmt = "model.layers.{i}.mlp.experts.{e}.{proj}.weight"

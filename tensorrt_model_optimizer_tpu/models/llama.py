@@ -39,14 +39,20 @@ QuantState = dict
 
 @dataclasses.dataclass(frozen=True)
 class RopeScaling:
-    """Llama-3.1-style rope frequency scaling (HF `rope_scaling` dict).
+    """Rope frequency scaling (HF `rope_scaling` dict): llama3 or yarn.
 
-    Mirrors transformers' `_compute_llama3_parameters`: wavelengths longer
-    than `original_max_position_embeddings / low_freq_factor` are divided by
-    `factor`, wavelengths shorter than `original / high_freq_factor` are kept,
-    and the band between is smoothly interpolated. Without this, real
-    llama-3.1 checkpoints degrade past ~8k context (reference consumes the HF
-    config verbatim via AutoModel; we must reproduce the math).
+    llama3 mirrors transformers' `_compute_llama3_parameters`: wavelengths
+    longer than `original_max_position_embeddings / low_freq_factor` are
+    divided by `factor`, wavelengths shorter than `original /
+    high_freq_factor` are kept, and the band between is smoothly
+    interpolated. Without this, real llama-3.1 checkpoints degrade past ~8k
+    context (reference consumes the HF config verbatim via AutoModel; we
+    must reproduce the math).
+
+    yarn mirrors `_compute_yarn_parameters` (NTK-by-parts interpolation with
+    a linear ramp between beta_fast/beta_slow correction dims, plus the
+    `0.1*ln(factor)+1` attention temperature on cos/sin) — GPT-OSS and
+    DeepSeek-V3 checkpoints ship this.
     """
 
     rope_type: str = "llama3"
@@ -54,6 +60,11 @@ class RopeScaling:
     low_freq_factor: float = 1.0
     high_freq_factor: float = 4.0
     original_max_position_embeddings: int = 8192
+    # yarn-only knobs (transformers `_compute_yarn_parameters` names)
+    attention_factor: Optional[float] = None
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    truncate: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -328,6 +339,36 @@ def rope(
     freqs = jnp.exp(
         -math.log(theta) * jnp.arange(0, half, dtype=jnp.float32) / half
     )
+    attn_factor = 1.0
+    if scaling is not None and scaling.rope_type == "yarn":
+        # transformers modeling_rope_utils._compute_yarn_parameters:
+        # NTK-by-parts — interpolate (freq/factor) below the beta_slow
+        # correction dim, extrapolate (freq) above beta_fast, linear ramp
+        # between; cos/sin get the 0.1*ln(factor)+1 temperature.
+        orig = scaling.original_max_position_embeddings
+
+        def corr_dim(n_rot):
+            return (hd * math.log(orig / (n_rot * 2 * math.pi))) / (
+                2 * math.log(theta)
+            )
+
+        low = corr_dim(scaling.beta_fast)
+        high = corr_dim(scaling.beta_slow)
+        if scaling.truncate:
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0.0), min(high, hd - 1)
+        if low == high:
+            high += 0.001
+        ramp = jnp.clip(
+            (jnp.arange(half, dtype=jnp.float32) - low) / (high - low), 0.0, 1.0
+        )
+        extrap_w = 1.0 - ramp
+        freqs = (freqs / scaling.factor) * (1.0 - extrap_w) + freqs * extrap_w
+        attn_factor = (
+            scaling.attention_factor
+            if scaling.attention_factor is not None
+            else (0.1 * math.log(scaling.factor) + 1.0 if scaling.factor > 1 else 1.0)
+        )
     if scaling is not None and scaling.rope_type == "llama3":
         # transformers modeling_rope_utils._compute_llama3_parameters
         wavelen = 2.0 * math.pi / freqs
@@ -344,8 +385,8 @@ def rope(
             jnp.where(wavelen < high_wl, freqs, interp),
         )
     angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, half]
-    cos = jnp.cos(angles)[..., None, :]
-    sin = jnp.sin(angles)[..., None, :]
+    cos = (jnp.cos(angles) * attn_factor)[..., None, :]
+    sin = (jnp.sin(angles) * attn_factor)[..., None, :]
     x1, x2 = x[..., :half], x[..., half:]
     y1 = x1 * cos - x2 * sin
     y2 = x2 * cos + x1 * sin
@@ -440,7 +481,8 @@ def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib, ada
     else:
         k_all, v_all = k, v
 
-    if cache_kv is None and cfg.attn_impl == "flash":
+    sinks = lp.get("self_attn.sinks")  # [nH] GPT-OSS learned sink logits
+    if cache_kv is None and cfg.attn_impl == "flash" and sinks is None:
         # Fused flash kernel (pure causal prefill/training; the cached
         # decode path keeps the masked einsum which handles cache[0:pos+T])
         from ..ops.pallas import flash_wrapper
@@ -456,11 +498,23 @@ def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib, ada
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k_all, preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(hd)
         scores = scores + mask
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        if sinks is not None:
+            # GPT-OSS attention sinks: a learned per-head logit joins the
+            # softmax denominator and its probability mass is dropped
+            # (modeling_gpt_oss.eager_attention_forward)
+            sk = jnp.broadcast_to(
+                sinks.astype(jnp.float32)[None, :, None, None],
+                scores.shape[:3] + (1,),
+            )
+            comb = jnp.concatenate([scores, sk], axis=-1)
+            comb = comb - jnp.max(comb, axis=-1, keepdims=True)
+            probs = jax.nn.softmax(comb, axis=-1)[..., :-1].astype(x.dtype)
+        else:
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all)
         ctx = ctx.reshape(B, T, nH * hd)
 
-    out, s = _linear(ctx, lp["self_attn.o_proj"], "self_attn.o_proj", layout, lstate, calib, adapters)
+    out, s = _linear(ctx, lp["self_attn.o_proj"], "self_attn.o_proj", layout, lstate, calib, adapters, lp.get("self_attn.o_proj__bias"))
     if s: new_state["self_attn.o_proj"] = s
     return out, new_state, new_cache, ctx
 

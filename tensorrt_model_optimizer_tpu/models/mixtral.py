@@ -38,6 +38,14 @@ class MixtralConfig(llama.LlamaConfig):
     # renormalize top-k routing weights (Mixtral always does; Qwen3-MoE
     # exposes it as `norm_topk_prob`)
     norm_topk_prob: bool = True
+    # GPT-OSS routing/activation variants (modeling_gpt_oss):
+    # softmax over the top-k LOGITS instead of topk over the softmax
+    router_softmax_after_topk: bool = False
+    router_bias: bool = False
+    moe_bias: bool = False  # per-expert gate/up/down biases
+    # clamped swiglu: gate<=limit, |up|<=limit, (up+1)*gate*sigmoid(a*gate)
+    swiglu_limit: Optional[float] = None
+    swiglu_alpha: float = 1.702
 
     @staticmethod
     def tiny(**kw) -> "MixtralConfig":
@@ -161,10 +169,18 @@ def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
 
     router_w = lp["moe.router"]  # [E, H]
     logits = (xf.astype(jnp.float32) @ router_w.T.astype(jnp.float32))  # [S, E]
-    probs = jax.nn.softmax(logits, axis=-1)
-    topw, topi = jax.lax.top_k(probs, k)  # [S, k]
-    if cfg.norm_topk_prob:
-        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    if cfg.router_bias:
+        logits = logits + lp["moe.router__bias"].astype(jnp.float32)
+    if cfg.router_softmax_after_topk:
+        # GPT-OSS GptOssTopKRouter: top-k on raw logits, softmax over the
+        # k selected values
+        topw, topi = jax.lax.top_k(logits, k)  # [S, k]
+        topw = jax.nn.softmax(topw, axis=-1)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+        topw, topi = jax.lax.top_k(probs, k)  # [S, k]
+        if cfg.norm_topk_prob:
+            topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
 
     # capacity-based position assignment per expert
     onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [S, k, E]
@@ -177,8 +193,8 @@ def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
 
     xe = jnp.einsum("sec,sh->ech", dispatch, xf.astype(jnp.float32)).astype(x.dtype)
 
-    def expert_ffn(xe_e, wg, wu, wd, wst, ist):
-        # xe_e [C, H]; weights per expert
+    def expert_ffn(xe_e, wg, wu, wd, bias, wst, ist):
+        # xe_e [C, H]; weights (and optional biases) per expert
         def q(name, w, st):
             wcfg = layout.get(f"{name}.weight")
             if not wcfg.enable or calib:
@@ -190,8 +206,21 @@ def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
             h_in = Q.quantize(h_in, icfg_g, ist)
         g = h_in @ q("moe.gate_proj", wg, wst["moe.gate_proj"]).T.astype(h_in.dtype)
         u = h_in @ q("moe.up_proj", wu, wst["moe.up_proj"]).T.astype(h_in.dtype)
-        y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(xe_e.dtype)
+        if bias is not None:
+            g = g + bias["gate"].astype(g.dtype)
+            u = u + bias["up"].astype(u.dtype)
+        gf, uf = g.astype(jnp.float32), u.astype(jnp.float32)
+        if cfg.swiglu_limit is not None:
+            # GPT-OSS clamped swiglu (GptOssExperts.forward)
+            gf = jnp.minimum(gf, cfg.swiglu_limit)
+            uf = jnp.clip(uf, -cfg.swiglu_limit, cfg.swiglu_limit)
+            y = ((uf + 1.0) * gf * jax.nn.sigmoid(cfg.swiglu_alpha * gf))
+        else:
+            y = jax.nn.silu(gf) * uf
+        y = y.astype(xe_e.dtype)
         d = y @ q("moe.down_proj", wd, wst["moe.down_proj"]).T.astype(y.dtype)
+        if bias is not None:
+            d = d + bias["down"].astype(d.dtype)
         return d
 
     wst = {
@@ -199,11 +228,14 @@ def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
         for name in MOE_NAMES
     }
     ist = (lstate or {}).get("moe.gate_proj", {}).get("input")
-    ye = jax.vmap(expert_ffn, in_axes=(0, 0, 0, 0, 0, None))(
+    bias = ({"gate": lp["moe.gate_proj__bias"], "up": lp["moe.up_proj__bias"],
+             "down": lp["moe.down_proj__bias"]} if cfg.moe_bias else None)
+    ye = jax.vmap(expert_ffn, in_axes=(0, 0, 0, 0, 0 if cfg.moe_bias else None, 0, None))(
         xe,
         lp["moe.gate_proj"],
         lp["moe.up_proj"],
         lp["moe.down_proj"],
+        bias,
         wst,
         ist,
     )  # [E, C, H]

@@ -54,6 +54,7 @@ def families() -> list[str]:
 
 def _register_builtins():
     from . import dit as dit_mod
+    from . import gpt_oss as gpt_oss_mod
     from . import llama as llama_mod
     from . import mamba as mamba_mod
     from . import mixtral as mixtral_mod
@@ -77,6 +78,16 @@ def _register_builtins():
         init_quant_state=mixtral_mod.init_quant_state,
         param_specs=mixtral_mod.param_specs,
         hf_model_types=("mixtral", "qwen3_moe"),
+    ))
+    register(ModelFamily(
+        name="gpt_oss",
+        config_cls=gpt_oss_mod.GptOssConfig,
+        init_params=gpt_oss_mod.init_params,
+        forward=gpt_oss_mod.forward,
+        build_layout=gpt_oss_mod.build_layout,
+        init_quant_state=gpt_oss_mod.init_quant_state,
+        param_specs=gpt_oss_mod.param_specs,
+        hf_model_types=("gpt_oss",),
     ))
     register(ModelFamily(
         name="mamba",

@@ -245,3 +245,69 @@ def test_qwen3_moe_logits_match_transformers(tmp_path_factory):
         ref = model(torch.tensor(tokens)).logits.float().numpy()
     ours, _ = mixtral.forward(mcfg, params, jnp.asarray(tokens))
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_gpt_oss_logits_match_transformers(tmp_path_factory):
+    """GPT-OSS: fused clamped-swiglu experts with biases, attention sinks,
+    yarn rope, alternating sliding/full attention — logits parity."""
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import gpt_oss, hf_loader
+
+    path = tmp_path_factory.mktemp("hf_gptoss")
+    cfg = transformers.GptOssConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=48,
+        num_local_experts=4, num_experts_per_tok=2,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        sliding_window=4,  # < T so the sliding layer actually differs
+        attention_bias=True,
+        rope_scaling={
+            "rope_type": "yarn", "factor": 8.0, "beta_fast": 32.0,
+            "beta_slow": 1.0, "truncate": False,
+            "original_max_position_embeddings": 16,
+        },
+    )
+    torch.manual_seed(3)
+    model = transformers.GptOssForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    gcfg, params = hf_loader.load_hf_moe_checkpoint(str(path), dtype=jnp.float32)
+    assert gcfg.num_experts == 4 and gcfg.sliding_window == 4
+    assert gcfg.resolved_layer_types()[0] == "sliding_attention"
+    assert gcfg.rope_scaling is not None and gcfg.rope_scaling.rope_type == "yarn"
+    # full capacity so no tokens drop (HF has no capacity limit)
+    import dataclasses
+    gcfg = dataclasses.replace(gcfg, capacity_factor=float(gcfg.num_experts))
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, 128, size=(2, 12))
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.float().numpy()
+    ours, _ = gpt_oss.forward(gcfg, params, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_gpt_oss_ptq_runs(tmp_path_factory):
+    """GPT-OSS family: calibrate + quantize through its MoE layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import gpt_oss
+    from tensorrt_model_optimizer_tpu.quant import get_preset
+
+    cfg = gpt_oss.GptOssConfig.tiny()
+    params = gpt_oss.init_params(cfg, jax.random.PRNGKey(0))
+    layout = gpt_oss.build_layout(cfg, get_preset("NVFP4_DEFAULT_CFG"))
+    assert layout.get("moe.gate_proj.weight").enable
+    qs = gpt_oss.init_quant_state(cfg, layout)
+    rng = np.random.default_rng(6)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 16)))
+    _, qs = gpt_oss.forward(cfg, params, tokens, layout=layout, qstate=qs, calib=True)
+    assert np.all(np.asarray(qs["moe.gate_proj"]["weight"].amax) > 0)
+    ref, _ = gpt_oss.forward(cfg, params, tokens)
+    ql, _ = gpt_oss.forward(cfg, params, tokens, layout=layout, qstate=qs)
+    assert np.all(np.isfinite(np.asarray(ql)))
+    corr = np.corrcoef(np.asarray(ref).ravel(), np.asarray(ql).ravel())[0, 1]
+    assert corr > 0.8
