@@ -36,7 +36,14 @@ BATCH = int(os.environ.get("BENCH_BS", "8"))
 PREFILL = int(os.environ.get("BENCH_PREFILL", "128"))
 STEPS = int(os.environ.get("BENCH_STEPS", "64"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
-MAXLEN = int(os.environ.get("BENCH_MAXLEN", "768"))
+MAXLEN = int(os.environ.get("BENCH_MAXLEN", "512"))
+# Max dispatches in flight before a value barrier. Donation is deferred on
+# the relay (buffers reclaim at execution, not dispatch), so every queued
+# step pins a fresh KV-cache allocation; an unbounded queue OOMed the chip
+# with the bf16 anchor resident (RESOURCE_EXHAUSTED on the first timed
+# block, 2026-08-17). Depth 2 keeps dispatch/compute overlap while capping
+# transient cache copies at ~2x.
+SYNC_EVERY = int(os.environ.get("BENCH_SYNC_EVERY", "2"))
 
 # Reference's published H200 numbers (examples/benchmark.md:23-25), kept as
 # cross-hardware CONTEXT only — not the judged baseline.
@@ -45,7 +52,15 @@ H200_BS8 = {"int4": 599.7, "nvfp4": 599.7, "fp8": 1051.2, "int8": 1051.2,
 
 
 def synth_packed_layers(cfg, fmt, rng):
-    """Packed projection weights, directly in serving layout."""
+    """Packed projection weights, directly in serving layout.
+
+    Generated ON DEVICE (jax.random bits + bitcasts inside jit): a host
+    synth of the 8B uploads 4-8 GB through the relay, which stalls for tens
+    of minutes in slow pool windows (observed 2026-08-17). Throughput is
+    value-independent, so random bit patterns in each format's valid range
+    are equivalent — and the upload disappears entirely.
+    """
+    import jax
     import jax.numpy as jnp
 
     from tensorrt_model_optimizer_tpu.models import llama
@@ -57,12 +72,22 @@ def synth_packed_layers(cfg, fmt, rng):
         "post_attention_layernorm": jnp.ones((L, cfg.hidden_size), cfg.dtype),
     }
     kinds = {}
-    for name in llama.PROJ_NAMES:
+
+    def u8(key, O, K, lo, hi):
+        r = jax.jit(
+            lambda k: jax.random.randint(k, (L, O, K), lo, hi, jnp.int32)
+            .astype(jnp.uint8)
+        )(key)
+        return r
+
+    key = jax.random.PRNGKey(int(rng.integers(1 << 30)))
+    for idx, name in enumerate(llama.PROJ_NAMES):
         O, K = shapes[name]
+        k_i = jax.random.fold_in(key, idx)
         if fmt == "int4":
             bsz = 128
             layers[name] = {
-                "packed": jnp.asarray(rng.integers(0, 256, size=(L, O // 2, K), dtype=np.uint8)),
+                "packed": u8(k_i, O // 2, K, 0, 256),
                 "scale_lo": jnp.full((L, O // 2, K // bsz), 0.01, jnp.float32),
                 "scale_hi": jnp.full((L, O // 2, K // bsz), 0.01, jnp.float32),
             }
@@ -70,35 +95,45 @@ def synth_packed_layers(cfg, fmt, rng):
         elif fmt == "nvfp4":
             bsz = 16
             layers[name] = {
-                "packed": jnp.asarray(rng.integers(0, 256, size=(L, O // 2, K), dtype=np.uint8)),
+                "packed": u8(k_i, O // 2, K, 0, 256),
                 "scale_lo": jnp.full((L, O // 2, K // bsz), 1.0, jnp.float8_e4m3fn),
                 "scale_hi": jnp.full((L, O // 2, K // bsz), 1.0, jnp.float8_e4m3fn),
                 "global_scale": jnp.full((L,), 0.01, jnp.float32),
             }
             kinds[name] = "nvfp4"
         elif fmt in ("int8", "w8a8"):
-            q = rng.integers(-127, 127, size=(L, O, K), dtype=np.int8)
+            q = jax.jit(
+                lambda k: jax.random.randint(k, (L, O, K), -127, 127, jnp.int32)
+                .astype(jnp.int8)
+            )(k_i)
             layers[name] = {
-                "q": jnp.asarray(q),
+                "q": q,
                 "scale": jnp.full((L, O, 1), 0.001, jnp.float32),
             }
             kinds[name] = "int8"
         elif fmt == "fp8":
-            # valid-e4m3 bit patterns directly (bits 0..126 = finite positives)
-            import ml_dtypes
-
-            bits = rng.integers(0, 127, size=(L, O, K), dtype=np.uint8)
+            # valid-e4m3 bit patterns (bits 0..126 = finite positives)
+            q = jax.jit(
+                lambda k: jax.lax.bitcast_convert_type(
+                    jax.random.randint(k, (L, O, K), 0, 127, jnp.int32)
+                    .astype(jnp.uint8),
+                    jnp.float8_e4m3fn,
+                )
+            )(k_i)
             layers[name] = {
-                "q": jnp.asarray(bits.view(ml_dtypes.float8_e4m3fn)),
+                "q": q,
                 "scale": jnp.full((L, O, 1), 0.01, jnp.float32),
             }
             kinds[name] = fmt
-        else:  # bf16 — synthesize small-magnitude bit patterns (fast path;
-            # sampling 8B normals in numpy takes many minutes)
-            import ml_dtypes
-
-            bits = rng.integers(0, 0x3C00, size=(L, O, K), dtype=np.uint16)
-            layers[name] = {"w": jnp.asarray(bits.view(ml_dtypes.bfloat16))}
+        else:  # bf16 — small-magnitude bit patterns (uint16 < 0x3C00)
+            w = jax.jit(
+                lambda k: jax.lax.bitcast_convert_type(
+                    jax.random.randint(k, (L, O, K), 0, 0x3C00, jnp.int32)
+                    .astype(jnp.uint16),
+                    jnp.bfloat16,
+                )
+            )(k_i)
+            layers[name] = {"w": w}
             kinds[name] = "bf16"
     return layers, kinds
 
@@ -114,6 +149,21 @@ def cm_bytes(cm):
 
 def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def log_mem(tag):
+    """Device HBM usage, when the backend exposes it."""
+    import jax
+
+    try:
+        st = jax.local_devices()[0].memory_stats() or {}
+        used = st.get("bytes_in_use", 0)
+        peak = st.get("peak_bytes_in_use", 0)
+        lim = st.get("bytes_limit", 0)
+        log(f"mem[{tag}]: in_use {used/1e9:.2f} GB, peak {peak/1e9:.2f} GB, "
+            f"limit {lim/1e9:.2f} GB")
+    except Exception as e:  # relay may not implement memory_stats
+        log(f"mem[{tag}]: unavailable ({type(e).__name__})")
 
 
 BARRIER_FLAGS = {"readback_timeouts": 0}
@@ -150,6 +200,27 @@ def value_barrier(arr, timeout_s=None):
         jax.block_until_ready(arr)
 
 
+_EMBED_CACHE: dict = {}
+
+
+def _shared_embed(vocab, h, dtype):
+    """One device-resident embed/lm_head table shared by every engine.
+
+    The 1.05 GB table is value-irrelevant to throughput; duplicating it per
+    engine wastes HBM that the L32+anchor pair needs."""
+    import jax.numpy as jnp
+
+    import jax
+
+    key = (vocab, h, jnp.dtype(dtype).name)
+    if key not in _EMBED_CACHE:
+        _EMBED_CACHE[key] = jax.jit(
+            lambda k: (jax.random.normal(k, (vocab, h), jnp.float32) * 0.01)
+            .astype(dtype)
+        )(jax.random.PRNGKey(7))
+    return _EMBED_CACHE[key]
+
+
 def build_engine(fmt, n_layers):
     import dataclasses
 
@@ -167,9 +238,7 @@ def build_engine(fmt, n_layers):
     layers, kinds = synth_packed_layers(cfg, fmt, rng)
     h = cfg.hidden_size
     params = {
-        "embed_tokens": jnp.asarray(
-            rng.normal(scale=0.01, size=(cfg.vocab_size, h)).astype(np.float32), cfg.dtype
-        ),
+        "embed_tokens": _shared_embed(cfg.vocab_size, h, cfg.dtype),
         "layers": layers,
         "norm": jnp.ones((h,), cfg.dtype),
     }
@@ -226,6 +295,7 @@ class TimedEngine:
         self.compile_s = time.time() - t0
         log(f"{label}: built ({cm_bytes(self.cm)/1e9:.2f} GB), "
             f"decode-step compile+first {self.compile_s:.1f}s")
+        log_mem(label)
         self.times: list = []
         self.times1: list = []
 
@@ -238,10 +308,14 @@ class TimedEngine:
         # constant-pos replay can hit relay-level caching.
         n_disp = max(STEPS // unroll, 1)
         t0 = time.time()
-        for _ in range(n_disp):
+        for i in range(n_disp):
             self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, unroll)
+            if SYNC_EVERY and (i + 1) % SYNC_EVERY == 0 and i + 1 < n_disp:
+                value_barrier(self.tok)  # cap in-flight donated caches
         value_barrier(self.tok)
         out.append((time.time() - t0) / (n_disp * unroll) * 1e3)
+        if os.environ.get("BENCH_MEMLOG", "0") == "1":
+            log_mem(f"{self.label} post-block")
 
     def run_block(self):
         self._block(self.unroll, self.times)
@@ -260,14 +334,28 @@ class TimedEngine:
         return self._median(self.times1) if self.times1 else None
 
 
+DEADLINE = [None]  # set in main(); soft global budget for slow pool windows
+
+
+def past_deadline():
+    return DEADLINE[0] is not None and time.time() > DEADLINE[0]
+
+
 def interleaved_time(engines, rounds):
     """Alternate STEPS-step blocks across the engines, `rounds` times each.
 
     The axon pool drifts up to 100x between windows (memory notes); only
-    comparisons whose blocks alternate inside one window are trustworthy."""
+    comparisons whose blocks alternate inside one window are trustworthy.
+    If the soft deadline passes and every engine has at least one timed
+    block, stop early and report what we have — a JSON line from a slow
+    window beats a driver timeout with no artifact at all."""
     for r in range(rounds):
         for e in engines:
             e.run_block()
+        if past_deadline() and all(e.times for e in engines):
+            log(f"deadline passed after round {r + 1}/{rounds} — reporting early")
+            BARRIER_FLAGS["deadline_cut"] = r + 1
+            break
     for e in engines:
         m1 = e.median_ms1()
         log(f"{e.label}: median {e.median_ms():.3f} ms/step at unroll={e.unroll}"
@@ -285,6 +373,7 @@ def main():
         pass
     import jax.numpy as jnp
 
+    DEADLINE[0] = time.time() + float(os.environ.get("BENCH_DEADLINE", "2700"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "5"))
     unroll = int(os.environ.get("BENCH_UNROLL", "8"))
     unroll1_series = os.environ.get("BENCH_UNROLL1", "0") == "1"
@@ -331,7 +420,7 @@ def main():
     # TTFT: prefill latency for the PREFILL-token prompt (baseline scenario
     # uses 2048-in; set BENCH_PREFILL=2048 for the full number)
     ttft_ms = None
-    if os.environ.get("BENCH_TTFT", "1") == "1":
+    if os.environ.get("BENCH_TTFT", "1") == "1" and not past_deadline():
         rng = np.random.default_rng(2)
         prompt = jnp.asarray(
             rng.integers(0, cfg.vocab_size, size=(BATCH, PREFILL), dtype=np.int32)
@@ -374,6 +463,8 @@ def main():
         "hw": jax.devices()[0].device_kind,
         **({"barrier_unreliable": BARRIER_FLAGS["readback_timeouts"]}
            if BARRIER_FLAGS["readback_timeouts"] else {}),
+        **({"deadline_cut_after_round": BARRIER_FLAGS["deadline_cut"]}
+           if BARRIER_FLAGS.get("deadline_cut") else {}),
         **({"ttft_ms": round(ttft_ms, 1)} if ttft_ms is not None else {}),
         "h200_context_tok_s": H200_BS8.get(FORMAT),
     }))

@@ -86,6 +86,11 @@ def main():
     measure("nvfp4_perm", lambda x, w, a, b, g: qmm.qmm_nvfp4_perm(x, w, a, b, g),
             O * K // 2, Wp, slb, slb, gs)
 
+    # word-domain SWAR decode (row-pair bytes); random bytes are valid codes
+    Ww, sw = qmm.nvfp4_word_pack(Wp, slf4, slf4)
+    measure("nvfp4_word", lambda x, w, s, g: qmm.qmm_nvfp4_word(x, w, s, g),
+            O * K // 2, Ww, sw, gs)
+
     Wf8 = jnp.asarray((rng.normal(size=(O, K)) * 0.1).astype(np.float32)).astype(jnp.float8_e4m3fn)
     measure("fp8_pallas", lambda x, w, s: qmm.qmm_fp8(x, w, s), O * K, Wf8, s8)
 

@@ -479,6 +479,165 @@ def qmm_nvfp4_perm(
 
 
 # --------------------------------------------------------------------------
+# NVFP4, word-domain decode: row-pair packing + SWAR bf16-bit construction
+# --------------------------------------------------------------------------
+#
+# The perm kernel still spends ~16 VPU ops per weight element in
+# `_fp4_decode_bf16` (sign select, ldexp, two subnormal selects, f32->bf16
+# convert). This variant halves the elementwise work by decoding BOTH
+# nibbles of a byte with every ALU op (SWAR on the two 16-bit halves of an
+# int32 lane) and writing finished *bf16 bit patterns* directly:
+#
+#  - bytes pack two adjacent OUTPUT rows at the same k:
+#    byte[r, k] = code(W[2r, k]) | code(W[2r+1, k]) << 4
+#  - E2M1 -> bf16 bits is affine in the code for idx >= 2:
+#    bits = (idx + 252) << 6   (exact: 1.0=0x3F80 ... 6.0=0x40C0);
+#    idx < 2 patches to (idx & 1) * 0x3F00 via a compare-free SWAR mask
+#  - one int32 lane ends up holding the two rows' bf16 patterns;
+#    pltpu.bitcast(i32 -> bf16) doubles the SUBLANE dim, restoring the
+#    [TO, TK] tile (row order discovered once at runtime by _bitcast_order)
+#  - K lanes are tile-permuted exactly like the perm variant so the block
+#    scales expand with one pltpu.repeat; ONE full-depth dot per tile.
+#
+# Net: ~8 VPU ops/element vs ~16, one dot and one output instead of two.
+# Reference numerics contract: `nvfp4_quant.py:18-49` (same as qmm_nvfp4).
+
+
+WORD_TILE_O = 256
+
+
+def _word_tile_o(O: int) -> int:
+    """O-tile shared by pack and matmul (split bitcast order pairs rows
+    within a tile, so both sides must agree)."""
+    to = min(WORD_TILE_O, O)
+    while O % to or to % 2:
+        to //= 2
+    return to
+
+
+@functools.cache
+def _bitcast_order() -> str:
+    """How pltpu.bitcast(i32 -> bf16) orders the doubled sublanes.
+
+    Returns "interleaved" (row r -> rows 2r/2r+1, low half first) or
+    "split" (low halves rows [0, R), high halves rows [R, 2R)). Probed once
+    on the live backend with a tiny kernel — the Mosaic lowering is not
+    documented and interpret mode may differ from hardware."""
+    def kern(x_ref, o_ref):
+        o_ref[:] = pltpu.bitcast(x_ref[:], jnp.bfloat16)
+
+    x = jnp.full((8, 128), 0x3F803F00, jnp.int32)  # low=0.5, high=1.0
+    probe = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((16, 128), jnp.bfloat16),
+        interpret=_interpret(),
+    )(x)
+    row0 = float(probe[0, 0].astype(jnp.float32))
+    row1 = float(probe[1, 0].astype(jnp.float32))
+    row8 = float(probe[8, 0].astype(jnp.float32))
+    if row0 == 0.5 and row1 == 1.0:
+        return "interleaved"
+    if row0 == 0.5 and row8 == 1.0:
+        return "split"
+    raise RuntimeError(
+        f"unrecognized pltpu.bitcast sublane order: {row0}, {row1}, {row8}")
+
+
+def _nvfp4_word_kernel(rep, x_ref, w_ref, s_ref, gs_ref, o_ref, acc):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    p = w_ref[:].astype(jnp.int32)  # [TO/2, TK] one byte = two output rows
+    # SWAR: position the two nibbles in the two 16-bit halves, then every
+    # op below decodes both elements at once (compare-free throughout)
+    spread = (p & 0xF) | ((p & 0xF0) << 12)
+    idx = spread & 0x00070007
+    norm = (idx + 0x00FC00FC) << 6          # (idx + 252) << 6, both halves
+    sub = (idx & 0x00010001) * 0x3F00       # 0 / 0.5 for idx < 2
+    ge2 = ((idx >> 1) | (idx >> 2)) & 0x00010001
+    mask = ge2 * 0xFFFF                     # all-ones half where idx >= 2
+    bits = (norm & mask) | (sub & (mask ^ -1))
+    bits = bits | ((spread & 0x00080008) << 12)   # sign -> bf16 bit 15
+    w = pltpu.bitcast(bits, jnp.bfloat16)   # [TO, TK]
+    s_full = pltpu.repeat(s_ref[:], rep, axis=1)  # [TO, TK] (perm layout)
+    w = w * s_full
+    acc[:] += jax.lax.dot_general(
+        x_ref[:], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = (acc[:] * gs_ref[0, 0]).astype(o_ref.dtype)
+
+
+def nvfp4_word_pack(
+    packed: jax.Array,     # [O/2, K] plane-packed uint8 (compress.py layout)
+    scale_lo: jax.Array,   # [O/2, K/16]
+    scale_hi: jax.Array,
+):
+    """Plane layout -> word layout: row-pair bytes (order per the runtime
+    bitcast probe), K-lane tile permutation, row-ordered bf16 scales.
+
+    Returns (packed_word [O/2, K], scales [O, K/16])."""
+    O2, K = packed.shape[-2:]
+    tk = nvfp4_perm_tile(K)
+    lo_codes = packed & 0xF          # rows [0, O/2)
+    hi_codes = packed >> 4           # rows [O/2, O)
+    codes = jnp.concatenate([lo_codes, hi_codes], axis=-2)  # [O, K] row order
+    scales = jnp.concatenate(
+        [scale_lo, scale_hi], axis=-2
+    ).astype(jnp.float32).astype(jnp.bfloat16)  # [O, K/16]
+    if _bitcast_order() == "interleaved":
+        even = codes[..., 0::2, :]
+        odd = codes[..., 1::2, :]
+    else:  # split: kernel-tile rows [0, TO/2) come from low halves — pack
+        # per O-tile so byte row i pairs rows i and i + TO/2 within the tile
+        to = _word_tile_o(2 * O2)
+        lead = codes.shape[:-2]
+        ct = codes.reshape(lead + (codes.shape[-2] // to, to, K))
+        even = ct[..., : to // 2, :].reshape(lead + (O2, K))
+        odd = ct[..., to // 2 :, :].reshape(lead + (O2, K))
+    word = (even | (odd << 4)).astype(jnp.uint8)
+    return permute_k(word, -1, tk), scales
+
+
+def qmm_nvfp4_word(
+    x: jax.Array,
+    packed_word: jax.Array,  # [O/2, K] uint8 row-pair bytes, K-permuted
+    scales: jax.Array,       # [O, K/16] bf16, natural row order
+    global_scale: jax.Array,
+    block_size: int = 16,
+) -> jax.Array:
+    N, K = x.shape
+    O = scales.shape[-2]
+    tk = nvfp4_perm_tile(K)
+    gk = K // tk
+    nblk = tk // block_size
+    to = _word_tile_o(O)
+    go = O // to
+    xp = permute_k(x, 1, tk)
+    gs2 = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+    kern = functools.partial(_nvfp4_word_kernel, block_size)
+    return pl.pallas_call(
+        kern,
+        grid=(go, gk),
+        in_specs=[
+            pl.BlockSpec((N, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to // 2, tk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, nblk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((N, to), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((N, to), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, packed_word, scales, gs2)
+
+
+# --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
 
@@ -505,6 +664,9 @@ def quantized_matmul(x: jax.Array, kind: str, arrays: dict) -> jax.Array:
     if kind == "nvfp4p":  # K-permuted layout (convert_nvfp4_perm)
         return qmm_nvfp4_perm(x, arrays["packed"], arrays["scale_lo"],
                               arrays["scale_hi"], arrays["global_scale"])
+    if kind == "nvfp4w":  # row-pair word-decode layout (convert_nvfp4_word)
+        return qmm_nvfp4_word(x, arrays["packed"], arrays["scales"],
+                              arrays["global_scale"])
     if kind == "bf16":
         return x @ arrays["w"].T.astype(x.dtype)
     raise ValueError(f"unknown kind {kind!r}")

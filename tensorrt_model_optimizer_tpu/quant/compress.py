@@ -188,6 +188,32 @@ def convert_nvfp4_perm(cm: "CompressedModel") -> "CompressedModel":
     return dataclasses.replace(cm, params=params, kinds=kinds)
 
 
+def convert_nvfp4_word(cm: "CompressedModel") -> "CompressedModel":
+    """One-time layout conversion: nvfp4 -> nvfp4w (row-pair bytes + SWAR
+    word-decode serving kernel, `ops/pallas/qmm.qmm_nvfp4_word`). Stacked
+    [L, O/2, K] arrays convert per-layer via vmap; everything else passes."""
+    from ..ops.pallas import qmm as qmm_mod
+
+    new_layers = dict(cm.params["layers"])
+    kinds = dict(cm.kinds)
+    for name, kind in cm.kinds.items():
+        if kind != "nvfp4":
+            continue
+        arr = new_layers[name]
+        pack = qmm_mod.nvfp4_word_pack
+        if arr["packed"].ndim == 3:  # stacked [L, ...]
+            pack = jax.vmap(pack)
+        packed, scales = pack(arr["packed"], arr["scale_lo"], arr["scale_hi"])
+        new_layers[name] = {
+            "packed": packed, "scales": scales,
+            "global_scale": arr["global_scale"],
+        }
+        kinds[name] = "nvfp4w"
+    params = dict(cm.params)
+    params["layers"] = new_layers
+    return dataclasses.replace(cm, params=params, kinds=kinds)
+
+
 def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Array:
     """Reference dequantization (correctness baseline for the fused kernels)."""
     if kind == "bf16":
@@ -240,6 +266,29 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
         arrs = dict(arrays)
         arrs["packed"] = qmm_mod.unpermute_k(arrays["packed"], -1, tk)
         return decompress_weight("nvfp4", arrs, out_dtype)
+    if kind == "nvfp4w":
+        from ..ops.pallas import qmm as qmm_mod
+
+        p = arrays["packed"]
+        K = p.shape[-1]
+        p = qmm_mod.unpermute_k(p, -1, qmm_mod.nvfp4_perm_tile(K))
+        even = numerics.codes_to_fp4(p & 0xF)   # [O/2, K]
+        odd = numerics.codes_to_fp4((p >> 4) & 0xF)
+        lead, O2 = p.shape[:-2], p.shape[-2]
+        if qmm_mod._bitcast_order() == "interleaved":
+            w = jnp.stack([even, odd], axis=-2).reshape(lead + (2 * O2, K))
+        else:
+            to = qmm_mod._word_tile_o(2 * O2)
+            et = even.reshape(lead + (O2 // (to // 2), to // 2, K))
+            ot = odd.reshape(lead + (O2 // (to // 2), to // 2, K))
+            w = jnp.concatenate([et, ot], axis=-2).reshape(lead + (2 * O2, K))
+        gs = arrays["global_scale"]
+        gsb = gs[..., None, None] if gs.ndim else gs
+        bsz = K // arrays["scales"].shape[-1]
+        w = w * numerics.expand_block_scale(
+            arrays["scales"].astype(jnp.float32) * gsb, w.shape, ((-1, bsz),)
+        )
+        return w.astype(out_dtype)
     raise ValueError(f"unknown kind {kind!r}")
 
 

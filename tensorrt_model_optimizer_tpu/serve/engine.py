@@ -41,7 +41,7 @@ class EngineConfig:
     paged_attention_kernel: bool = False
     # NVFP4 serving layout: "perm" converts to the K-permuted kernel layout
     # at engine init (full-depth MXU dots; measured >= blockdot on-chip)
-    nvfp4_layout: str = "perm"  # "perm" | "blockdot"
+    nvfp4_layout: str = "perm"  # "perm" | "word" | "blockdot"
     # Tensor parallelism: a jax.sharding.Mesh with a `tp_axis` axis shards
     # the packed weights megatron-style (serve/tp.py) and runs every step
     # under shard_map (Pallas kernels see local shards; two psums/layer).
@@ -486,12 +486,13 @@ class Engine:
     """Generation engine over a compressed model."""
 
     def __init__(self, cm: CompressedModel, config: EngineConfig = EngineConfig()):
-        if (config.mesh is None and config.nvfp4_layout == "perm"
+        if (config.mesh is None and config.nvfp4_layout in ("perm", "word")
                 and "nvfp4" in cm.kinds.values()):
             # (under TP the perm conversion happens per-shard in serve/tp.py)
-            from ..quant.compress import convert_nvfp4_perm
+            from ..quant.compress import convert_nvfp4_perm, convert_nvfp4_word
 
-            cm = convert_nvfp4_perm(cm)
+            cm = (convert_nvfp4_word(cm) if config.nvfp4_layout == "word"
+                  else convert_nvfp4_perm(cm))
         # NVFP4 KV presets: emulate the E2M1 block-quantized cache when the
         # user didn't pick an explicit storage dtype
         kcfg = cm.layout.get("self_attn.k_bmm")

@@ -322,6 +322,46 @@ class TestMoreFormats:
         assert ps[0, 128] == xs[0, 1]     # p=1, b=0
         assert ps[1, 2048 + 128] == xs[1, 2048 + 1]
 
+    def test_nvfp4_word_kernel_matches_perm(self):
+        """Word-domain SWAR kernel (row-pair bytes, bf16-bit construction)
+        is bit-identical to the perm kernel: same permuted lane order, same
+        full-depth dot, decode differs only in how the bits are built."""
+        from tensorrt_model_optimizer_tpu.quant.config import NVFP4_BLOCK16
+
+        rng = np.random.default_rng(1)
+        for O, K in [(128, 256), (64, 2048), (256, 1024)]:
+            w = jnp.asarray(rng.normal(size=(O, K)).astype(np.float32))
+            x = jnp.asarray(rng.normal(size=(8, K)).astype(np.float32)).astype(jnp.bfloat16)
+            kind, arrays = compress.compress_weight(w, NVFP4_BLOCK16, None)
+            pp, sl, sh = qmm.nvfp4_perm_pack(arrays["packed"], arrays["scale_lo"],
+                                             arrays["scale_hi"])
+            ref = qmm.qmm_nvfp4_perm(x, pp, sl, sh, arrays["global_scale"])
+            pw, sc = qmm.nvfp4_word_pack(arrays["packed"], arrays["scale_lo"],
+                                         arrays["scale_hi"])
+            assert pw.shape == arrays["packed"].shape and sc.shape == (O, K // 16)
+            out = qmm.qmm_nvfp4_word(x, pw, sc, arrays["global_scale"])
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_nvfp4w_layout_roundtrip_and_engine(self, tiny_ptq):
+        """convert_nvfp4_word: decompress inverts the row-pair packing
+        exactly; engine with nvfp4_layout='word' stays in parity."""
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "NVFP4_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        cmw = compress.convert_nvfp4_word(cm)
+        assert cmw.kinds["mlp.down_proj"] == "nvfp4w"
+        d0 = compress.decompress_weight("nvfp4", {k: v[0] for k, v in cm.params["layers"]["mlp.down_proj"].items()}, out_dtype=jnp.float32)
+        d1 = compress.decompress_weight("nvfp4w", {k: v[0] for k, v in cmw.params["layers"]["mlp.down_proj"].items()}, out_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+            max_seq_len=32, backend="pallas", nvfp4_layout="word"))
+        assert eng.cm.kinds["mlp.down_proj"] == "nvfp4w"
+        prompt = batches[0][:, :8]
+        logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+        ref, _, _ = model.forward(prompt)
+        corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref[:, -1]).ravel())[0, 1]
+        assert corr > 0.99, corr
+
     def test_nvfp4p_layout_roundtrip_and_engine(self, tiny_ptq):
         """convert_nvfp4_perm: decompress inverts the permutation exactly,
         and the engine (which defaults to the perm layout) stays in parity."""
