@@ -506,6 +506,17 @@ def qmm_nvfp4_perm(
 WORD_TILE_O = 256
 
 
+def _word_tile_k(K: int, bsz: int) -> int:
+    """K-tile for the word kernels. The per-tile scale block [TO, tk/bsz]
+    needs a Mosaic-legal last dim: multiple of 128, or the FULL scale dim —
+    fall back to one whole-K tile when the 2048 default would violate that
+    (int4's 128-wide blocks give only 16 scales per 2048-lane tile)."""
+    tk = nvfp4_perm_tile(K)
+    if (tk // bsz) % 128 and tk != K:
+        tk = K
+    return tk
+
+
 def _word_tile_o(O: int) -> int:
     """O-tile shared by pack and matmul (split bitcast order pairs rows
     within a tile, so both sides must agree)."""
@@ -583,7 +594,7 @@ def nvfp4_word_pack(
 
     Returns (packed_word [O/2, K], scales [O, K/16])."""
     O2, K = packed.shape[-2:]
-    tk = nvfp4_perm_tile(K)
+    tk = _word_tile_k(K, 16)
     lo_codes = packed & 0xF          # rows [0, O/2)
     hi_codes = packed >> 4           # rows [O/2, O)
     codes = jnp.concatenate([lo_codes, hi_codes], axis=-2)  # [O, K] row order
@@ -613,7 +624,7 @@ def qmm_nvfp4_word(
 ) -> jax.Array:
     N, K = x.shape
     O = scales.shape[-2]
-    tk = nvfp4_perm_tile(K)
+    tk = _word_tile_k(K, block_size)
     gk = K // tk
     nblk = tk // block_size
     to = _word_tile_o(O)
@@ -635,6 +646,102 @@ def qmm_nvfp4_word(
         scratch_shapes=[pltpu.VMEM((N, to), jnp.float32)],
         interpret=_interpret(),
     )(xp, packed_word, scales, gs2)
+
+
+# --------------------------------------------------------------------------
+# INT4, word-domain decode: magic-number bf16 construction
+# --------------------------------------------------------------------------
+#
+# Same row-pair/SWAR structure as qmm_nvfp4_word, but int4 decode collapses
+# to ONE add: bf16(128 + u) has bit pattern 0x4300 + u exactly for
+# u in [0, 128) (exponent 7 puts the integer in the low mantissa bits), so
+#   bits = 0x43004300 + spread(nibbles)   ->  bitcast  ->  w - 136.0
+# yields the signed value (u - 8) with two elements per ALU op. The 136
+# offset folds the usual (u ^ 8) - 8 sign trick into the float domain.
+
+
+def _int4_word_kernel(rep, x_ref, w_ref, s_ref, o_ref, acc):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    p = w_ref[:].astype(jnp.int32)  # [TO/2, TK]
+    spread = (p & 0xF) | ((p & 0xF0) << 12)
+    # two's-complement nibble -> biased: u = code ^ 8 (so u - 8 = value)
+    bits = (spread ^ 0x00080008) + 0x43004300  # bf16(128 + u) in both halves
+    w = pltpu.bitcast(bits, jnp.bfloat16)   # [TO, TK]
+    w = w - jnp.bfloat16(136.0)             # (128 + u) - 136 = u - 8, exact
+    s_full = pltpu.repeat(s_ref[:], rep, axis=1)  # [TO, TK]
+    acc[:] += jax.lax.dot_general(
+        x_ref[:], w * s_full, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def int4_word_pack(
+    packed: jax.Array,     # [O/2, K] plane-packed uint8
+    scale_lo: jax.Array,   # [O/2, K/bsz] f32
+    scale_hi: jax.Array,
+):
+    """Plane layout -> word layout for int4. Scales convert to bf16 — int4
+    block scales are amax/7 (float) so this rounds them; serving parity
+    tests bound the effect and the calibration path is unchanged.
+
+    Returns (packed_word [O/2, K], scales [O, K/bsz] bf16)."""
+    O2, K = packed.shape[-2:]
+    bsz = K // scale_lo.shape[-1]
+    tk = _word_tile_k(K, bsz)
+    codes = jnp.concatenate([packed & 0xF, packed >> 4], axis=-2)  # [O, K]
+    scales = jnp.concatenate(
+        [scale_lo, scale_hi], axis=-2
+    ).astype(jnp.float32).astype(jnp.bfloat16)
+    if _bitcast_order() == "interleaved":
+        even, odd = codes[..., 0::2, :], codes[..., 1::2, :]
+    else:
+        to = _word_tile_o(2 * O2)
+        lead = codes.shape[:-2]
+        ct = codes.reshape(lead + (codes.shape[-2] // to, to, K))
+        even = ct[..., : to // 2, :].reshape(lead + (O2, K))
+        odd = ct[..., to // 2 :, :].reshape(lead + (O2, K))
+    word = (even | (odd << 4)).astype(jnp.uint8)
+    return permute_k(word, -1, tk, bsz=bsz), scales
+
+
+def qmm_int4_word(
+    x: jax.Array,
+    packed_word: jax.Array,  # [O/2, K] uint8 row-pair bytes, K-permuted
+    scales: jax.Array,       # [O, K/bsz] bf16, natural row order
+) -> jax.Array:
+    N, K = x.shape
+    O = scales.shape[-2]
+    nblk_total = scales.shape[-1]
+    bsz = K // nblk_total
+    tk = _word_tile_k(K, bsz)
+    gk = K // tk
+    nblk = tk // bsz
+    to = _word_tile_o(O)
+    go = O // to
+    xp = permute_k(x, 1, tk, bsz=bsz)
+    kern = functools.partial(_int4_word_kernel, bsz)
+    return pl.pallas_call(
+        kern,
+        grid=(go, gk),
+        in_specs=[
+            pl.BlockSpec((N, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to // 2, tk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, nblk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, to), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((N, to), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, packed_word, scales)
 
 
 # --------------------------------------------------------------------------
@@ -667,6 +774,8 @@ def quantized_matmul(x: jax.Array, kind: str, arrays: dict) -> jax.Array:
     if kind == "nvfp4w":  # row-pair word-decode layout (convert_nvfp4_word)
         return qmm_nvfp4_word(x, arrays["packed"], arrays["scales"],
                               arrays["global_scale"])
+    if kind == "int4w":  # row-pair word-decode layout (convert_int4_word)
+        return qmm_int4_word(x, arrays["packed"], arrays["scales"])
     if kind == "bf16":
         return x @ arrays["w"].T.astype(x.dtype)
     raise ValueError(f"unknown kind {kind!r}")

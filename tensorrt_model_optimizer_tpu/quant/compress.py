@@ -214,6 +214,30 @@ def convert_nvfp4_word(cm: "CompressedModel") -> "CompressedModel":
     return dataclasses.replace(cm, params=params, kinds=kinds)
 
 
+def convert_int4_word(cm: "CompressedModel") -> "CompressedModel":
+    """One-time layout conversion: int4 -> int4w (row-pair bytes +
+    magic-number word-decode kernel, `ops/pallas/qmm.qmm_int4_word`).
+    Block scales round to bf16 (they multiply bf16 weights pre-dot), a
+    <=0.4% relative perturbation bounded by the serving parity tests."""
+    from ..ops.pallas import qmm as qmm_mod
+
+    new_layers = dict(cm.params["layers"])
+    kinds = dict(cm.kinds)
+    for name, kind in cm.kinds.items():
+        if kind != "int4":
+            continue
+        arr = new_layers[name]
+        pack = qmm_mod.int4_word_pack
+        if arr["packed"].ndim == 3:
+            pack = jax.vmap(pack)
+        packed, scales = pack(arr["packed"], arr["scale_lo"], arr["scale_hi"])
+        new_layers[name] = {"packed": packed, "scales": scales}
+        kinds[name] = "int4w"
+    params = dict(cm.params)
+    params["layers"] = new_layers
+    return dataclasses.replace(cm, params=params, kinds=kinds)
+
+
 def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Array:
     """Reference dequantization (correctness baseline for the fused kernels)."""
     if kind == "bf16":
@@ -266,14 +290,21 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
         arrs = dict(arrays)
         arrs["packed"] = qmm_mod.unpermute_k(arrays["packed"], -1, tk)
         return decompress_weight("nvfp4", arrs, out_dtype)
-    if kind == "nvfp4w":
+    if kind in ("nvfp4w", "int4w"):
         from ..ops.pallas import qmm as qmm_mod
 
         p = arrays["packed"]
         K = p.shape[-1]
-        p = qmm_mod.unpermute_k(p, -1, qmm_mod.nvfp4_perm_tile(K))
-        even = numerics.codes_to_fp4(p & 0xF)   # [O/2, K]
-        odd = numerics.codes_to_fp4((p >> 4) & 0xF)
+        bsz = K // arrays["scales"].shape[-1]
+        tk = qmm_mod._word_tile_k(K, 16 if kind == "nvfp4w" else bsz)
+        p = qmm_mod.unpermute_k(p, -1, tk, bsz=16 if kind == "nvfp4w" else bsz)
+        if kind == "nvfp4w":
+            even = numerics.codes_to_fp4(p & 0xF)   # [O/2, K]
+            odd = numerics.codes_to_fp4((p >> 4) & 0xF)
+        else:
+            p32 = p.astype(jnp.int32)  # widen BEFORE xor-sub (uint8 wraps)
+            even = (((p32 & 0xF) ^ 8) - 8).astype(jnp.float32)
+            odd = ((((p32 >> 4) & 0xF) ^ 8) - 8).astype(jnp.float32)
         lead, O2 = p.shape[:-2], p.shape[-2]
         if qmm_mod._bitcast_order() == "interleaved":
             w = jnp.stack([even, odd], axis=-2).reshape(lead + (2 * O2, K))
@@ -282,12 +313,11 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
             et = even.reshape(lead + (O2 // (to // 2), to // 2, K))
             ot = odd.reshape(lead + (O2 // (to // 2), to // 2, K))
             w = jnp.concatenate([et, ot], axis=-2).reshape(lead + (2 * O2, K))
-        gs = arrays["global_scale"]
-        gsb = gs[..., None, None] if gs.ndim else gs
-        bsz = K // arrays["scales"].shape[-1]
-        w = w * numerics.expand_block_scale(
-            arrays["scales"].astype(jnp.float32) * gsb, w.shape, ((-1, bsz),)
-        )
+        gs = arrays.get("global_scale")
+        sc = arrays["scales"].astype(jnp.float32)
+        if gs is not None:
+            sc = sc * (gs[..., None, None] if gs.ndim else gs)
+        w = w * numerics.expand_block_scale(sc, w.shape, ((-1, bsz),))
         return w.astype(out_dtype)
     raise ValueError(f"unknown kind {kind!r}")
 

@@ -42,6 +42,9 @@ class EngineConfig:
     # NVFP4 serving layout: "perm" converts to the K-permuted kernel layout
     # at engine init (full-depth MXU dots; measured >= blockdot on-chip)
     nvfp4_layout: str = "perm"  # "perm" | "word" | "blockdot"
+    # INT4 serving layout: "word" converts to the row-pair magic-number
+    # kernel layout (one full-depth dot; scales round to bf16)
+    int4_layout: str = "blockdot"  # "blockdot" | "word"
     # Tensor parallelism: a jax.sharding.Mesh with a `tp_axis` axis shards
     # the packed weights megatron-style (serve/tp.py) and runs every step
     # under shard_map (Pallas kernels see local shards; two psums/layer).
@@ -493,6 +496,11 @@ class Engine:
 
             cm = (convert_nvfp4_word(cm) if config.nvfp4_layout == "word"
                   else convert_nvfp4_perm(cm))
+        if (config.mesh is None and config.int4_layout == "word"
+                and "int4" in cm.kinds.values()):
+            from ..quant.compress import convert_int4_word
+
+            cm = convert_int4_word(cm)
         # NVFP4 KV presets: emulate the E2M1 block-quantized cache when the
         # user didn't pick an explicit storage dtype
         kcfg = cm.layout.get("self_attn.k_bmm")

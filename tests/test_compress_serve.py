@@ -362,6 +362,48 @@ class TestMoreFormats:
         corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref[:, -1]).ravel())[0, 1]
         assert corr > 0.99, corr
 
+    def test_int4_word_kernel_matches_blockdot(self):
+        """Magic-number int4 word kernel vs the blockdot kernel. Not
+        bit-identical (block scales round to bf16 and multiply the weights
+        pre-dot) — bounded relative error instead."""
+        from tensorrt_model_optimizer_tpu.quant.config import INT4_PER_BLOCK_128
+
+        rng = np.random.default_rng(2)
+        for O, K in [(128, 256), (256, 2048)]:
+            w = jnp.asarray(rng.normal(size=(O, K)).astype(np.float32))
+            x = jnp.asarray(rng.normal(size=(8, K)).astype(np.float32)).astype(jnp.bfloat16)
+            kind, arrays = compress.compress_weight(w, INT4_PER_BLOCK_128, None)
+            assert kind == "int4"
+            ref = qmm.qmm_int4(x, arrays["packed"], arrays["scale_lo"],
+                               arrays["scale_hi"])
+            pw, sc = qmm.int4_word_pack(arrays["packed"], arrays["scale_lo"],
+                                        arrays["scale_hi"])
+            out = qmm.qmm_int4_word(x, pw, sc)
+            a, b = np.asarray(out, np.float32), np.asarray(ref, np.float32)
+            # bf16 rounding of (weight x scale) pre-dot products: bound the
+            # error relative to the output scale, not per element
+            rel = np.abs(a - b).max() / np.abs(b).max()
+            assert rel < 1e-2, rel
+
+    def test_int4w_layout_roundtrip_and_engine(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT4_AWQ_CFG", batches)
+        cm = compress.compress(model)
+        cmw = compress.convert_int4_word(cm)
+        assert cmw.kinds["mlp.down_proj"] == "int4w"
+        d0 = compress.decompress_weight("int4", {k: v[0] for k, v in cm.params["layers"]["mlp.down_proj"].items()}, out_dtype=jnp.float32)
+        d1 = compress.decompress_weight("int4w", {k: v[0] for k, v in cmw.params["layers"]["mlp.down_proj"].items()}, out_dtype=jnp.float32)
+        # scales rounded to bf16: near-equal, not exact
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=5e-3, atol=1e-5)
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+            max_seq_len=32, backend="pallas", int4_layout="word"))
+        assert eng.cm.kinds["mlp.down_proj"] == "int4w"
+        prompt = batches[0][:, :8]
+        logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+        ref, _, _ = model.forward(prompt)
+        corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref[:, -1]).ravel())[0, 1]
+        assert corr > 0.99, corr
+
     def test_nvfp4p_layout_roundtrip_and_engine(self, tiny_ptq):
         """convert_nvfp4_perm: decompress inverts the permutation exactly,
         and the engine (which defaults to the perm layout) stays in parity."""
