@@ -140,14 +140,14 @@ def forward(
         lp, lstate, sliding = per_layer
         caps = {}
         mask = jnp.where(sliding, slide_mask, full_mask)
-        h = llama.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        h = llama.norm(cfg, x, lp["input_layernorm"])
         if capture_tokens:
             caps["attn_in"] = llama._grab(h, capture_tokens)
         attn, st_a, _, _ = llama._attention(
             cfg, h, lp, lstate, layout, positions, mask, None, calib
         )
         x = x + attn
-        h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        h = llama.norm(cfg, x, lp["post_attention_layernorm"])
         if capture_tokens:
             caps["moe_in"] = llama._grab(h, capture_tokens)
         moe_out, st_m = mixtral._moe_mlp(cfg, h, lp, lstate, layout, calib)
@@ -158,7 +158,7 @@ def forward(
     x, (new_lstate, captures) = jax.lax.scan(
         body, x, (params["layers"], lstate, is_sliding)
     )
-    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = llama.norm(cfg, x, params["norm"])
     head_w = params.get("lm_head", params["embed_tokens"])
     logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
     st = dict(new_lstate) if (calib or qstate) else None

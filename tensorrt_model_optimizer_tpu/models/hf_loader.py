@@ -367,6 +367,73 @@ def _load_gpt_oss(path: str, d: dict, dtype):
     return cfg, params
 
 
+def _load_dbrx(path: str, d: dict, dtype):
+    """DBRX: fused Wqkv + qkv clamp, LayerNorm blocks, fused expert GLU.
+
+    The reference registers this MoE on the fly from the dynamically-loaded
+    `transformers_modules.modeling_dbrx.DbrxExpertGLU`
+    (`quantization/plugins/huggingface.py:1561`). Expert tensors arrive as
+    [E*I, H] stacks (w1=gate, v1=up, w2=down — w2 applied UNtransposed, so
+    our [out, in] layout takes its transpose)."""
+    from .mixtral import MixtralConfig
+
+    attn = d.get("attn_config", {})
+    ffn = d.get("ffn_config", {})
+    h = d["d_model"]
+    nH = d["n_heads"]
+    n_kv = attn.get("kv_n_heads", nH)
+    E = ffn.get("moe_num_experts", 8)
+    inter = ffn.get("ffn_hidden_size")
+    cfg = MixtralConfig(
+        vocab_size=d["vocab_size"], hidden_size=h, intermediate_size=inter,
+        num_hidden_layers=d["n_layers"], num_attention_heads=nH,
+        num_key_value_heads=n_kv,
+        rope_theta=attn.get("rope_theta", 500000.0),
+        rms_norm_eps=1e-5,  # nn.LayerNorm default
+        norm_type="layernorm",
+        clip_qkv=attn.get("clip_qkv"),
+        tie_word_embeddings=d.get("tie_word_embeddings", False),
+        max_position_embeddings=d.get("max_seq_len", 4096),
+        num_experts=E, top_k=ffn.get("moe_top_k", 4),
+        # moe_normalize_expert_weights: p-norm order, 1.0 == plain renorm
+        norm_topk_prob=ffn.get("moe_normalize_expert_weights") is not None,
+        dtype=dtype,
+    )
+    raw = _load_all_tensors(path)
+    get = lambda name: jnp.asarray(raw[name]).astype(dtype)
+    L, hd = cfg.num_hidden_layers, cfg.hd
+    stack = lambda fmt: jnp.stack([get(fmt.format(i=i)) for i in range(L)])
+
+    blk = "transformer.blocks.{i}."
+    layers = {
+        "input_layernorm": stack(blk + "norm_attn_norm.norm_1.weight"),
+        "post_attention_layernorm": stack(blk + "norm_attn_norm.norm_2.weight"),
+        "self_attn.o_proj": stack(blk + "norm_attn_norm.attn.out_proj.weight"),
+        "moe.router": stack(blk + "ffn.router.layer.weight"),
+    }
+    qkv = stack(blk + "norm_attn_norm.attn.Wqkv.weight")  # [L, (nH+2kv)*hd, H]
+    layers["self_attn.q_proj"] = qkv[:, : nH * hd]
+    layers["self_attn.k_proj"] = qkv[:, nH * hd : (nH + n_kv) * hd]
+    layers["self_attn.v_proj"] = qkv[:, (nH + n_kv) * hd :]
+    # experts: [E*I, H] -> [E, I, H]; w2 is used untransposed (y @ w2), so
+    # our [out=H, in=I] weight is its per-expert transpose
+    w1 = stack(blk + "ffn.experts.mlp.w1").reshape(L, E, inter, h)
+    v1 = stack(blk + "ffn.experts.mlp.v1").reshape(L, E, inter, h)
+    w2 = stack(blk + "ffn.experts.mlp.w2").reshape(L, E, inter, h)
+    layers["moe.gate_proj"] = w1
+    layers["moe.up_proj"] = v1
+    layers["moe.down_proj"] = jnp.swapaxes(w2, -1, -2)
+    params = {
+        "embed_tokens": get("transformer.wte.weight"),
+        "layers": layers,
+        "norm": get("transformer.norm_f.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (get("lm_head.weight") if "lm_head.weight" in raw
+                             else params["embed_tokens"])
+    return cfg, params
+
+
 def load_hf_moe_checkpoint(path: str, dtype=jnp.bfloat16):
     """Load an HF MoE checkpoint (Qwen3-MoE or Mixtral) into MixtralConfig
     params with stacked [L, E, ...] experts.
@@ -385,6 +452,8 @@ def load_hf_moe_checkpoint(path: str, dtype=jnp.bfloat16):
     mt = d.get("model_type")
     if mt == "gpt_oss":
         return _load_gpt_oss(path, d, dtype)
+    if mt == "dbrx":
+        return _load_dbrx(path, d, dtype)
     if mt == "qwen3_moe":
         router_fmt = "model.layers.{i}.mlp.gate.weight"
         exp_fmt = "model.layers.{i}.mlp.experts.{e}.{proj}.weight"

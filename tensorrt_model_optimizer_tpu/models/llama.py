@@ -83,6 +83,8 @@ class LlamaConfig:
     max_position_embeddings: int = 4096
     attention_bias: bool = False  # Qwen2-style q/k/v biases
     qk_norm: bool = False  # Qwen3-style per-head RMS norm on q/k pre-RoPE
+    norm_type: str = "rmsnorm"  # "rmsnorm" | "layernorm" (DBRX)
+    clip_qkv: Optional[float] = None  # DBRX-style qkv clamp
     # "einsum" (reference path) or "flash" (fused Pallas kernel for the
     # no-cache prefill/training case; decode and cached paths fall back)
     attn_impl: str = "einsum"
@@ -327,6 +329,20 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
+def layer_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """Bias-free LayerNorm (DBRX blocks use nn.LayerNorm(bias=False))."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def norm(cfg, x: jax.Array, w: jax.Array) -> jax.Array:
+    """Config-selected block norm (rmsnorm default, layernorm for DBRX)."""
+    fn = layer_norm if cfg.norm_type == "layernorm" else rms_norm
+    return fn(x, w, cfg.rms_norm_eps)
+
+
 def rope(
     x: jax.Array,
     positions: jax.Array,
@@ -449,6 +465,12 @@ def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib, ada
     if s: new_state["self_attn.k_proj"] = s
     v, s = _linear(x, lp["self_attn.v_proj"], "self_attn.v_proj", layout, lstate, calib, adapters, lp.get("self_attn.v_proj__bias"))
     if s: new_state["self_attn.v_proj"] = s
+    if cfg.clip_qkv is not None:
+        # DBRX clamps the fused qkv output (modeling_dbrx DbrxAttention);
+        # elementwise, so clamping each split is equivalent
+        q = jnp.clip(q, -cfg.clip_qkv, cfg.clip_qkv)
+        k = jnp.clip(k, -cfg.clip_qkv, cfg.clip_qkv)
+        v = jnp.clip(v, -cfg.clip_qkv, cfg.clip_qkv)
 
     q = q.reshape(B, T, nH, hd)
     k = k.reshape(B, T, nKV, hd)
@@ -536,7 +558,7 @@ def _decoder_layer(
     adapters=None,
 ):
     captures = {}
-    h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    h = norm(cfg, x, lp["input_layernorm"])
     if capture_tokens:
         captures["attn_in"] = _grab(h, capture_tokens)
     attn, st_a, new_cache, o_in = _attention(
@@ -545,7 +567,7 @@ def _decoder_layer(
     if capture_tokens:
         captures["o_in"] = _grab(o_in, capture_tokens)
     x = x + attn
-    h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    h = norm(cfg, x, lp["post_attention_layernorm"])
     if capture_tokens:
         captures["mlp_in"] = _grab(h, capture_tokens)
     mlp_out, st_m, down_in = _mlp(h, lp, lstate, layout, calib, adapters)
@@ -651,7 +673,7 @@ def forward(
     xs = (layer_params, per_layer_state, ck, cv, adapters)
     x, (new_lstate, new_ck, new_cv, captures) = jax.lax.scan(scan_body, x, xs)
 
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = norm(cfg, x, params["norm"])
     head_w = params.get("lm_head", params["embed_tokens"])
     new_qstate = dict(new_lstate) if new_lstate else {}
     lw_cfg = layout.get("lm_head.weight")
@@ -733,7 +755,7 @@ def forward_unrolled(
         if ncache is not None:
             new_k.append(ncache[0])
             new_v.append(ncache[1])
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = norm(cfg, x, params["norm"])
     head_w = params.get("lm_head", params["embed_tokens"])
     logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
     if cache is not None:

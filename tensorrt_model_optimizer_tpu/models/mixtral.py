@@ -290,14 +290,14 @@ def forward(
         x = carry
         lp, lstate = per_layer
         caps = {}
-        h = llama.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        h = llama.norm(cfg, x, lp["input_layernorm"])
         if capture_tokens:
             caps["attn_in"] = llama._grab(h, capture_tokens)
         attn, st_a, _, _ = llama._attention(
             cfg, h, lp, lstate, layout, positions, mask, None, calib
         )
         x = x + attn
-        h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        h = llama.norm(cfg, x, lp["post_attention_layernorm"])
         if capture_tokens:
             caps["moe_in"] = llama._grab(h, capture_tokens)
         moe_out, st_m = _moe_mlp(cfg, h, lp, lstate, layout, calib)
@@ -306,7 +306,7 @@ def forward(
 
     lstate = llama._strip_global(qstate)
     x, (new_lstate, captures) = jax.lax.scan(body, x, (params["layers"], lstate))
-    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = llama.norm(cfg, x, params["norm"])
     head_w = params.get("lm_head", params["embed_tokens"])
     logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
     st = dict(new_lstate) if (calib or qstate) else None
@@ -337,16 +337,16 @@ def forward_unrolled(
         lp = jax.tree.map(lambda a: a[i], params["layers"])
         lstate = qstate_list[i] if qstate_list else None
         layout = layer_layouts[i]
-        h = llama.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        h = llama.norm(cfg, x, lp["input_layernorm"])
         attn, st_a, _, _ = llama._attention(
             cfg, h, lp, lstate, layout, positions, mask, None, calib
         )
         x = x + attn
-        h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        h = llama.norm(cfg, x, lp["post_attention_layernorm"])
         moe_out, st_m = _moe_mlp(cfg, h, lp, lstate, layout, calib)
         x = x + moe_out
         new_states.append({**st_a, **st_m})
-    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = llama.norm(cfg, x, params["norm"])
     head_w = params.get("lm_head", params["embed_tokens"])
     logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
     return logits, new_states

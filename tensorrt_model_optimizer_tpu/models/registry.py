@@ -77,7 +77,7 @@ def _register_builtins():
         build_layout=mixtral_mod.build_layout,
         init_quant_state=mixtral_mod.init_quant_state,
         param_specs=mixtral_mod.param_specs,
-        hf_model_types=("mixtral", "qwen3_moe"),
+        hf_model_types=("mixtral", "qwen3_moe", "dbrx"),
     ))
     register(ModelFamily(
         name="gpt_oss",

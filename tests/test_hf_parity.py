@@ -311,3 +311,36 @@ def test_gpt_oss_ptq_runs(tmp_path_factory):
     assert np.all(np.isfinite(np.asarray(ql)))
     corr = np.corrcoef(np.asarray(ref).ravel(), np.asarray(ql).ravel())[0, 1]
     assert corr > 0.8
+
+
+def test_dbrx_logits_match_transformers(tmp_path_factory):
+    """DBRX: fused Wqkv + clip_qkv, LayerNorm blocks, fused GLU experts,
+    softmax-then-topk routing with p=1 renorm — logits parity."""
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import hf_loader, mixtral
+
+    path = tmp_path_factory.mktemp("hf_dbrx")
+    cfg = transformers.DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=128, vocab_size=128,
+        attn_config={"kv_n_heads": 2, "clip_qkv": 4.0, "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": 48, "moe_num_experts": 4,
+                    "moe_top_k": 2, "moe_normalize_expert_weights": 1.0},
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(4)
+    model = transformers.DbrxForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    mcfg, params = hf_loader.load_hf_moe_checkpoint(str(path), dtype=jnp.float32)
+    assert mcfg.norm_type == "layernorm" and mcfg.clip_qkv == 4.0
+    assert mcfg.num_experts == 4 and mcfg.intermediate_size == 48
+    import dataclasses
+    mcfg = dataclasses.replace(mcfg, capacity_factor=float(mcfg.num_experts))
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(0, 128, size=(2, 12))
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.float().numpy()
+    ours, _ = mixtral.forward(mcfg, params, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
