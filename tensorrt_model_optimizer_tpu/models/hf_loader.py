@@ -367,6 +367,80 @@ def _load_gpt_oss(path: str, d: dict, dtype):
     return cfg, params
 
 
+def _load_llama4(path: str, d: dict, dtype):
+    """Llama4 text stack (Scout-style all-MoE): fused Llama4TextExperts
+    (`gate_up_proj` [E, H, 2I] CHUNKED — gate = first I columns, unlike
+    GPT-OSS's interleave) + shared expert + sigmoid input-scaled router.
+    Reference wrapper: `quantization/plugins/huggingface.py:751`
+    `_QuantLlama4TextExperts`. Multimodal checkpoints nest the text config
+    under `text_config` and prefix weights with `language_model.`."""
+    from .llama4 import Llama4Config
+
+    td = d.get("text_config", d)
+    prefix = "language_model." if "text_config" in d else ""
+    interleave = td.get("interleave_moe_layer_step", 1)
+    if interleave != 1:
+        raise NotImplementedError(
+            "only all-MoE Llama4 (interleave_moe_layer_step=1) is supported")
+    rs = _rope_scaling_from_hf(td)
+    cfg = Llama4Config(
+        vocab_size=td["vocab_size"], hidden_size=td["hidden_size"],
+        intermediate_size=td["intermediate_size"],
+        num_hidden_layers=td["num_hidden_layers"],
+        num_attention_heads=td["num_attention_heads"],
+        num_key_value_heads=td["num_key_value_heads"],
+        head_dim=td.get("head_dim"),
+        rope_theta=td.get("rope_theta", 500000.0),
+        rope_scaling=rs,
+        rms_norm_eps=td.get("rms_norm_eps", 1e-5),
+        tie_word_embeddings=td.get("tie_word_embeddings", False),
+        max_position_embeddings=td.get("max_position_embeddings", 4096),
+        num_experts=td.get("num_local_experts", 16),
+        top_k=td.get("num_experts_per_tok", 1),
+        no_rope_layer_interval=4,
+        attention_chunk_size=td.get("attention_chunk_size", 8192),
+        attn_temperature_tuning=bool(td.get("attn_temperature_tuning", True)),
+        attn_scale=td.get("attn_scale", 0.1),
+        floor_scale=td.get("floor_scale", 8192.0),
+        use_qk_norm=td.get("use_qk_norm", True),
+        dtype=dtype,
+    )
+    raw = _load_all_tensors(path)
+    get = lambda name: jnp.asarray(raw[prefix + name]).astype(dtype)
+    L, E, inter = cfg.num_hidden_layers, cfg.num_experts, cfg.intermediate_size
+    stack = lambda fmt: jnp.stack([get(fmt.format(i=i)) for i in range(L)])
+
+    layers = {
+        "input_layernorm": stack("model.layers.{i}.input_layernorm.weight"),
+        "post_attention_layernorm": stack(
+            "model.layers.{i}.post_attention_layernorm.weight"),
+        "moe.router": stack("model.layers.{i}.feed_forward.router.weight"),
+    }
+    for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        layers[f"self_attn.{proj}"] = stack(
+            "model.layers.{i}.self_attn." + proj + ".weight")
+    gate_up = stack("model.layers.{i}.feed_forward.experts.gate_up_proj")  # [L,E,H,2I]
+    down = stack("model.layers.{i}.feed_forward.experts.down_proj")  # [L,E,I,H]
+    layers["moe.gate_proj"] = jnp.swapaxes(gate_up[..., :inter], -1, -2)
+    layers["moe.up_proj"] = jnp.swapaxes(gate_up[..., inter:], -1, -2)
+    layers["moe.down_proj"] = jnp.swapaxes(down, -1, -2)
+    for ours, theirs in (("shared.gate_proj", "gate_proj"),
+                         ("shared.up_proj", "up_proj"),
+                         ("shared.down_proj", "down_proj")):
+        layers[ours] = stack(
+            "model.layers.{i}.feed_forward.shared_expert." + theirs + ".weight")
+    params = {
+        "embed_tokens": get("model.embed_tokens.weight"),
+        "layers": layers,
+        "norm": get("model.norm.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (get("lm_head.weight")
+                             if prefix + "lm_head.weight" in raw
+                             else params["embed_tokens"])
+    return cfg, params
+
+
 def _load_dbrx(path: str, d: dict, dtype):
     """DBRX: fused Wqkv + qkv clamp, LayerNorm blocks, fused expert GLU.
 
@@ -454,6 +528,8 @@ def load_hf_moe_checkpoint(path: str, dtype=jnp.bfloat16):
         return _load_gpt_oss(path, d, dtype)
     if mt == "dbrx":
         return _load_dbrx(path, d, dtype)
+    if mt in ("llama4", "llama4_text"):
+        return _load_llama4(path, d, dtype)
     if mt == "qwen3_moe":
         router_fmt = "model.layers.{i}.mlp.gate.weight"
         exp_fmt = "model.layers.{i}.mlp.experts.{e}.{proj}.weight"

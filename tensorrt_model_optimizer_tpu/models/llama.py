@@ -343,14 +343,12 @@ def norm(cfg, x: jax.Array, w: jax.Array) -> jax.Array:
     return fn(x, w, cfg.rms_norm_eps)
 
 
-def rope(
-    x: jax.Array,
-    positions: jax.Array,
-    theta: float,
-    scaling: Optional[RopeScaling] = None,
-) -> jax.Array:
-    """Rotary embedding; x: [B, T, n, hd], positions: [B, T]."""
-    hd = x.shape[-1]
+def rope_freqs(
+    hd: int, theta: float, scaling: Optional[RopeScaling] = None
+) -> tuple:
+    """Per-pair inverse frequencies + cos/sin attention factor, with the
+    llama3 / yarn scaling variants applied (shared by the split-half `rope`
+    and Llama4's interleaved `rope_interleaved`)."""
     half = hd // 2
     freqs = jnp.exp(
         -math.log(theta) * jnp.arange(0, half, dtype=jnp.float32) / half
@@ -400,6 +398,19 @@ def rope(
             freqs / scaling.factor,
             jnp.where(wavelen < high_wl, freqs, interp),
         )
+    return freqs, attn_factor
+
+
+def rope(
+    x: jax.Array,
+    positions: jax.Array,
+    theta: float,
+    scaling: Optional[RopeScaling] = None,
+) -> jax.Array:
+    """Rotary embedding (split-half pairing); x: [B, T, n, hd]."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs, attn_factor = rope_freqs(hd, theta, scaling)
     angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, half]
     cos = (jnp.cos(angles) * attn_factor)[..., None, :]
     sin = (jnp.sin(angles) * attn_factor)[..., None, :]
@@ -407,6 +418,27 @@ def rope(
     y1 = x1 * cos - x2 * sin
     y2 = x2 * cos + x1 * sin
     return jnp.concatenate([y1.astype(x.dtype), y2.astype(x.dtype)], axis=-1)
+
+
+def rope_interleaved(
+    x: jax.Array,
+    positions: jax.Array,
+    theta: float,
+    scaling: Optional[RopeScaling] = None,
+) -> jax.Array:
+    """Rotary embedding with interleaved (complex-pair) layout — Llama4's
+    `apply_rotary_emb` rotates (x[2i], x[2i+1]) pairs, not split halves."""
+    hd = x.shape[-1]
+    freqs, attn_factor = rope_freqs(hd, theta, scaling)
+    angles = positions[..., None].astype(jnp.float32) * freqs
+    cos = (jnp.cos(angles) * attn_factor)[..., None, :]
+    sin = (jnp.sin(angles) * attn_factor)[..., None, :]
+    x1 = x[..., 0::2].astype(jnp.float32)
+    x2 = x[..., 1::2].astype(jnp.float32)
+    y1 = x1 * cos - x2 * sin
+    y2 = x2 * cos + x1 * sin
+    out = jnp.stack([y1, y2], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
 
 
 def _qsite(x, site_cfg: QuantizerConfig, st, calib: bool):

@@ -41,6 +41,10 @@ class MixtralConfig(llama.LlamaConfig):
     # GPT-OSS routing/activation variants (modeling_gpt_oss):
     # softmax over the top-k LOGITS instead of topk over the softmax
     router_softmax_after_topk: bool = False
+    # Llama4 routing (modeling_llama4 Llama4TextMoe): sigmoid of the top-k
+    # logits scales the expert INPUTS (experts are nonlinear, so this is
+    # not equivalent to output scaling); outputs sum unweighted
+    router_sigmoid_input_scaled: bool = False
     router_bias: bool = False
     moe_bias: bool = False  # per-expert gate/up/down biases
     # clamped swiglu: gate<=limit, |up|<=limit, (up+1)*gate*sigmoid(a*gate)
@@ -171,7 +175,10 @@ def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
     logits = (xf.astype(jnp.float32) @ router_w.T.astype(jnp.float32))  # [S, E]
     if cfg.router_bias:
         logits = logits + lp["moe.router__bias"].astype(jnp.float32)
-    if cfg.router_softmax_after_topk:
+    if cfg.router_sigmoid_input_scaled:
+        topw, topi = jax.lax.top_k(logits, k)  # [S, k]
+        topw = jax.nn.sigmoid(topw)
+    elif cfg.router_softmax_after_topk:
         # GPT-OSS GptOssTopKRouter: top-k on raw logits, softmax over the
         # k selected values
         topw, topi = jax.lax.top_k(logits, k)  # [S, k]
@@ -188,8 +195,14 @@ def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
     in_cap = (pos < C) & (onehot > 0)
     slot = jax.nn.one_hot(pos.astype(jnp.int32), C, dtype=jnp.float32)  # [S,k,E,C]
     assign = onehot[..., None] * in_cap[..., None] * slot  # [S, k, E, C]
-    dispatch = jnp.sum(assign, axis=1)  # [S, E, C]
-    combine = jnp.einsum("skec,sk->sec", assign, topw)
+    if cfg.router_sigmoid_input_scaled:
+        # Llama4: the routing weight scales the token ON THE WAY IN; the
+        # expert outputs then sum unweighted
+        dispatch = jnp.einsum("skec,sk->sec", assign, topw)
+        combine = jnp.sum(assign, axis=1)
+    else:
+        dispatch = jnp.sum(assign, axis=1)  # [S, E, C]
+        combine = jnp.einsum("skec,sk->sec", assign, topw)
 
     xe = jnp.einsum("sec,sh->ech", dispatch, xf.astype(jnp.float32)).astype(x.dtype)
 

@@ -56,6 +56,7 @@ def _register_builtins():
     from . import dit as dit_mod
     from . import gpt_oss as gpt_oss_mod
     from . import llama as llama_mod
+    from . import llama4 as llama4_mod
     from . import mamba as mamba_mod
     from . import mixtral as mixtral_mod
 
@@ -78,6 +79,16 @@ def _register_builtins():
         init_quant_state=mixtral_mod.init_quant_state,
         param_specs=mixtral_mod.param_specs,
         hf_model_types=("mixtral", "qwen3_moe", "dbrx"),
+    ))
+    register(ModelFamily(
+        name="llama4",
+        config_cls=llama4_mod.Llama4Config,
+        init_params=llama4_mod.init_params,
+        forward=llama4_mod.forward,
+        build_layout=llama4_mod.build_layout,
+        init_quant_state=llama4_mod.init_quant_state,
+        param_specs=llama4_mod.param_specs,
+        hf_model_types=("llama4", "llama4_text"),
     ))
     register(ModelFamily(
         name="gpt_oss",

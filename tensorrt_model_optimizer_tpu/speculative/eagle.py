@@ -309,27 +309,29 @@ def propose_and_verify(cfg, params, eagle, prompt, steps=16, draft_len=3,
     tokens = prompt
     accepted_total = proposed_total = produced = 0
     while produced < steps:
-        if is_e3:
-            aux = aux_hidden_states(
-                cfg, params, tokens, list(eagle["aux_layer_ids"]), layout, qstate
-            )
-            hidden = eagle3_fuse(eagle, aux)
-        else:
-            hidden = _hidden_states(cfg, params, tokens, layout, qstate)
         # verified next token from one base forward
         full_logits, _, _ = llama.forward(
             cfg, params, tokens, layout=layout, qstate=qstate
         )
         nxt = int(jnp.argmax(full_logits[0, -1]))
-        # draft chain: recurse the draft on its OWN predicted hiddens (the
-        # TTT training objective — feeding copied base hiddens instead
-        # collapses acceptance)
-        draft = []
         cur_tokens = jnp.concatenate(
             [tokens, jnp.asarray([[nxt]], jnp.int32)], axis=1
         )
-        ph, _ = eagle_forward(cfg, params, eagle, tokens, hidden)
-        cur_hidden = jnp.concatenate([hidden, ph[:, -1:]], axis=1)
+        # True base hiddens for the whole context INCLUDING the bonus
+        # token's slot: in a production pipeline these all come from the
+        # previous round's verify forward (nxt was a chain input there), so
+        # the draft's FIRST step runs on exact features — only steps >= 2
+        # recurse on the draft's own predicted hiddens (the TTT objective).
+        # Round-2's harness fed a predicted hidden to step 1 too, which
+        # understated acceptance ~10x.
+        if is_e3:
+            aux = aux_hidden_states(
+                cfg, params, cur_tokens, list(eagle["aux_layer_ids"]), layout, qstate
+            )
+            cur_hidden = eagle3_fuse(eagle, aux)
+        else:
+            cur_hidden = _hidden_states(cfg, params, cur_tokens, layout, qstate)
+        draft = []
         for _ in range(draft_len):
             ph, dlogits = eagle_forward(cfg, params, eagle, cur_tokens, cur_hidden)
             d = int(jnp.argmax(dlogits[0, -1]))

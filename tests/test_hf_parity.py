@@ -344,3 +344,66 @@ def test_dbrx_logits_match_transformers(tmp_path_factory):
         ref = model(torch.tensor(tokens)).logits.float().numpy()
     ours, _ = mixtral.forward(mcfg, params, jnp.asarray(tokens))
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_llama4_logits_match_transformers(tmp_path_factory):
+    """Llama4 (Scout-style all-MoE): interleaved rope, nope layers with
+    temperature tuning, L2 qk-norm, chunked attention, sigmoid input-scaled
+    routing + shared expert — logits parity."""
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import hf_loader, llama4
+
+    path = tmp_path_factory.mktemp("hf_llama4")
+    cfg = transformers.Llama4TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=48,
+        intermediate_size_mlp=96, num_local_experts=4, num_experts_per_tok=2,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        attention_chunk_size=4,  # < T so rope layers actually chunk
+        floor_scale=4.0, attn_scale=0.1, attn_temperature_tuning=True,
+        use_qk_norm=True, interleave_moe_layer_step=1,
+    )
+    torch.manual_seed(5)
+    model = transformers.Llama4ForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    lcfg, params = hf_loader.load_hf_moe_checkpoint(str(path), dtype=jnp.float32)
+    assert lcfg.num_experts == 4 and lcfg.attention_chunk_size == 4
+    assert lcfg.use_rope_layers() == (True, True, True, False)
+    import dataclasses
+    lcfg = dataclasses.replace(lcfg, capacity_factor=float(lcfg.num_experts))
+    rng = np.random.default_rng(8)
+    tokens = rng.integers(0, 128, size=(2, 12))  # T > chunk and > floor
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.float().numpy()
+    ours, _ = llama4.forward(lcfg, params, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_llama4_ptq_runs():
+    """Llama4 family: calibrate + quantize through its layout (MoE +
+    shared-expert sites)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import llama4
+    from tensorrt_model_optimizer_tpu.quant import get_preset
+
+    cfg = llama4.Llama4Config.tiny()
+    params = llama4.init_params(cfg, jax.random.PRNGKey(0))
+    layout = llama4.build_layout(cfg, get_preset("NVFP4_DEFAULT_CFG"))
+    assert layout.get("shared.gate_proj.weight").enable
+    qs = llama4.init_quant_state(cfg, layout)
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 16)))
+    _, qs = llama4.forward(cfg, params, tokens, layout=layout, qstate=qs, calib=True)
+    assert np.all(np.asarray(qs["shared.gate_proj"]["weight"].amax) > 0)
+    assert np.all(np.asarray(qs["moe.gate_proj"]["weight"].amax) > 0)
+    ref, _ = llama4.forward(cfg, params, tokens)
+    ql, _ = llama4.forward(cfg, params, tokens, layout=layout, qstate=qs)
+    assert np.all(np.isfinite(np.asarray(ql)))
+    corr = np.corrcoef(np.asarray(ref).ravel(), np.asarray(ql).ravel())[0, 1]
+    assert corr > 0.8
