@@ -62,13 +62,26 @@ def main():
         print(f"[hf_ptq] recipe {args.recipe} -> preset {recipe.quant.preset}", flush=True)
 
     t0 = time.time()
+    family = None  # None = llama family (full algorithm support)
     if args.model == "tiny":
         cfg = llama.LlamaConfig.tiny(num_hidden_layers=4)
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
     else:
-        cfg, params = hf_loader.load_hf_checkpoint(args.model)
+        import json as _json
+
+        from tensorrt_model_optimizer_tpu.models import registry
+
+        with open(os.path.join(args.model, "config.json")) as f:
+            mt = _json.load(f).get("model_type", "llama")
+        fam = registry.for_hf_model_type(mt)
+        if fam.name == "llama":
+            cfg, params = hf_loader.load_hf_checkpoint(args.model)
+        else:
+            cfg, params = hf_loader.load_hf_moe_checkpoint(args.model)
+            family = fam
     print(f"[hf_ptq] model loaded in {time.time()-t0:.1f}s: "
-          f"{cfg.num_hidden_layers}L x {cfg.hidden_size}h", flush=True)
+          f"{cfg.num_hidden_layers}L x {cfg.hidden_size}h"
+          + (f" ({family.name})" if family else ""), flush=True)
 
     batches = [
         jnp.asarray(b)
@@ -81,7 +94,10 @@ def main():
 
     ppl_before = None
     if args.eval_ppl:
-        ppl_before = evaluate.perplexity(cfg, params, batches[:4])
+        ppl_before = evaluate.perplexity(
+            cfg, params, batches[:4],
+            forward_fn=family.forward if family else None,
+        )
         print(f"[hf_ptq] bf16 ppl {ppl_before:.3f}", flush=True)
 
     t0 = time.time()
@@ -98,7 +114,10 @@ def main():
         print("[hf_ptq] mixed-precision forward OK", flush=True)
         return 0
 
-    model = ptq.quantize(cfg, params, qformat, batches)
+    if family is None:
+        model = ptq.quantize(cfg, params, qformat, batches)
+    else:
+        model = ptq.quantize_family(family, cfg, params, qformat, batches)
     label = args.recipe or args.qformat
     print(f"[hf_ptq] quantized ({label}) in {time.time()-t0:.1f}s", flush=True)
 
@@ -106,6 +125,7 @@ def main():
         ppl_after = evaluate.perplexity(
             cfg, model.params, batches[:4], layout=model.layout,
             qstate=model.qstate, adapters=model.adapters,
+            forward_fn=model.forward_fn,
         )
         print(f"[hf_ptq] quantized ppl {ppl_after:.3f} "
               f"(delta {ppl_after - ppl_before:+.3f})", flush=True)
@@ -119,6 +139,10 @@ def main():
     if args.export_path:
         from tensorrt_model_optimizer_tpu.export import hf_export
 
+        if family is not None:
+            print("[hf_ptq] unified export is llama-family only today; "
+                  "use opt.state save/restore for MoE families", flush=True)
+            return 0
         qc = hf_export.export_hf_checkpoint(model, args.export_path)
         print(f"[hf_ptq] exported {qc['quantization']['quant_algo']} "
               f"checkpoint to {args.export_path}", flush=True)

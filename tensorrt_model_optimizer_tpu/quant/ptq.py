@@ -13,7 +13,7 @@ from __future__ import annotations
 import warnings
 
 import dataclasses
-from typing import Iterable, Optional
+from typing import Any, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +52,15 @@ class QuantizedModel:
     quant_cfg: QuantizeConfig
     # SVDQuant low-rank branch (peft-adapter layout), None otherwise
     adapters: Optional[dict] = None
+    # non-llama families set their registry forward here (adapters n/a)
+    forward_fn: Optional[Any] = None
 
     def forward(self, tokens, **kw):
+        if self.forward_fn is not None:
+            return self.forward_fn(
+                self.model_cfg, self.params, tokens,
+                layout=self.layout, qstate=self.qstate, **kw,
+            )
         return llama.forward(
             self.model_cfg, self.params, tokens,
             layout=self.layout, qstate=self.qstate,
@@ -154,6 +161,45 @@ def quantize(
         warnings.warn(f"quantizer validation: {msg}")
 
     return QuantizedModel(model_cfg, params, layout, qstate, qcfg, adapters)
+
+
+def quantize_family(
+    family,
+    model_cfg,
+    params,
+    quant_cfg: QuantizeConfig | str,
+    calib_batches: Optional[Iterable[jax.Array]] = None,
+) -> QuantizedModel:
+    """PTQ for any registered model family (max calibration).
+
+    The generic analog of `quantize` for MoE/hybrid families (mixtral,
+    gpt_oss, llama4, dbrx via mixtral, mamba): builds the family's layout,
+    runs in-forward max collection, returns a QuantizedModel whose
+    `.forward` routes through the family. Sequential algorithms
+    (smoothquant/awq/gptq/svdquant) remain llama-layout-specific — use the
+    family-aware entries (e.g. deepseek.quantize) or `quantize` for those.
+    """
+    from ..models import registry
+
+    fam = registry.get(family) if isinstance(family, str) else family
+    qcfg = get_preset(quant_cfg) if isinstance(quant_cfg, str) else quant_cfg
+    method = _method_of(qcfg.algorithm)
+    if method != "max":
+        raise NotImplementedError(
+            f"{method!r} calibration is llama-family only; "
+            f"family {fam.name!r} supports max calibration here")
+    layout = fam.build_layout(model_cfg, qcfg)
+    qstate = fam.init_quant_state(model_cfg, layout)
+    step = jax.jit(lambda p, t, q: fam.forward(
+        model_cfg, p, t, layout=layout, qstate=q, calib=True)[1])
+    batches = list(calib_batches) if calib_batches is not None else []
+    if not batches:
+        # weight-only: one dummy forward collects the weight stats
+        batches = [jnp.zeros((1, 8), jnp.int32)]
+    for b in batches:
+        qstate = step(params, jnp.asarray(b), qstate)
+    return QuantizedModel(model_cfg, params, layout, qstate, qcfg,
+                          forward_fn=fam.forward)
 
 
 def calibrate(model: QuantizedModel, calib_batches: Iterable[jax.Array]) -> QuantizedModel:

@@ -26,8 +26,12 @@ def perplexity(
     layout: Optional[llama.QuantLayout] = None,
     qstate: Optional[llama.QuantState] = None,
     adapters: Optional[dict] = None,
+    forward_fn=None,
 ) -> float:
     """exp(mean next-token NLL) over the batches.
+
+    `forward_fn` selects a non-llama model family's forward (registry
+    families return (logits, state); adapters are llama-only).
 
     Params/qstate are jit ARGUMENTS, not captured constants: besides the
     usual compile-size argument, the axon relay backend corrupts subsequent
@@ -37,10 +41,15 @@ def perplexity(
 
     @jax.jit
     def nll(params, qstate, adapters, tokens):
-        logits, _, _ = llama.forward(
-            model_cfg, params, tokens[:, :-1], layout=layout, qstate=qstate,
-            adapters=adapters,
-        )
+        if forward_fn is not None:
+            logits = forward_fn(
+                model_cfg, params, tokens[:, :-1], layout=layout, qstate=qstate
+            )[0]
+        else:
+            logits, _, _ = llama.forward(
+                model_cfg, params, tokens[:, :-1], layout=layout, qstate=qstate,
+                adapters=adapters,
+            )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ll = jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
         return -jnp.sum(ll), ll.size
