@@ -139,11 +139,12 @@ def main():
     if args.export_path:
         from tensorrt_model_optimizer_tpu.export import hf_export
 
-        if family is not None:
-            print("[hf_ptq] unified export is llama-family only today; "
-                  "use opt.state save/restore for MoE families", flush=True)
+        try:
+            qc = hf_export.export_hf_checkpoint(model, args.export_path)
+        except NotImplementedError as e:
+            print(f"[hf_ptq] unified export unavailable for this family "
+                  f"({e}); state was saved via --save_state if given", flush=True)
             return 0
-        qc = hf_export.export_hf_checkpoint(model, args.export_path)
         print(f"[hf_ptq] exported {qc['quantization']['quant_algo']} "
               f"checkpoint to {args.export_path}", flush=True)
     return 0

@@ -108,6 +108,10 @@ def _int4_quant_pack(w32: jax.Array, bam: jax.Array, bsz: int):
 
 def _quant_algo(model: QuantizedModel) -> tuple[str, Optional[int]]:
     wcfg = model.layout.get("mlp.down_proj.weight")
+    if not wcfg.enable:  # MoE families carry the format on the expert site
+        moe = model.layout.get("moe.down_proj.weight")
+        if moe.enable:
+            wcfg = moe
     base = wcfg.sequential[0] if wcfg.sequential else wcfg
     if not wcfg.enable:
         return "NONE", None
@@ -336,6 +340,13 @@ def _iter_export_tensors(model: QuantizedModel):
     if "lm_head" in model.params:
         yield "lm_head.weight", to_np16(model.params["lm_head"])
     layers = model.params["layers"]
+    is_moe = "moe.gate_proj" in layers
+    unsupported = [k for k in layers if k.startswith("shared.")
+                   or k.endswith("__bias") or k == "self_attn.sinks"]
+    if unsupported:
+        raise NotImplementedError(
+            f"unified export does not yet cover these leaves: {unsupported}; "
+            "use opt.state save/restore for this family")
     for i in range(L):
         yield f"model.layers.{i}.input_layernorm.weight", to_np16(
             layers["input_layernorm"][i]
@@ -343,7 +354,14 @@ def _iter_export_tensors(model: QuantizedModel):
         yield f"model.layers.{i}.post_attention_layernorm.weight", to_np16(
             layers["post_attention_layernorm"][i]
         )
+        if "self_attn.q_norm" in layers:  # Qwen3-style per-head norms
+            yield f"model.layers.{i}.self_attn.q_norm.weight", to_np16(
+                layers["self_attn.q_norm"][i])
+            yield f"model.layers.{i}.self_attn.k_norm.weight", to_np16(
+                layers["self_attn.k_norm"][i])
         for name, hf_fmt in PROJ_TO_HF.items():
+            if name not in layers:  # MoE families have no dense mlp
+                continue
             prefix = hf_fmt.format(i=i)
             wcfg = model.layout.get(f"{name}.weight")
             site = model.qstate.get(name, {})
@@ -378,6 +396,39 @@ def _iter_export_tensors(model: QuantizedModel):
                     yield f"{prefix}.pre_quant_scale", np.asarray(
                         ist.pre_quant_scale, np.float32
                     )
+        if is_moe:
+            # Stacked experts unstack into per-expert HF modules
+            # (qwen3_moe naming: mlp.gate router + mlp.experts.{e}.*_proj;
+            # the reference's fused-MoE plugins quantize the same modules,
+            # `quantization/plugins/huggingface.py:593-751`).
+            yield f"model.layers.{i}.mlp.gate.weight", to_np16(
+                layers["moe.router"][i])
+            ist_all = model.qstate.get("moe.gate_proj", {}).get("input")
+            icfg = model.layout.get("moe.gate_proj.input")
+            in_scale = None
+            if ist_all is not None:
+                ist = jax.tree.map(lambda a: a[i], ist_all)
+                if ist.amax is not None and icfg.enable:
+                    a = np.asarray(ist.amax, np.float32).max()
+                    div = 6.0 * 448.0 if algo.startswith("NVFP4") else (
+                        448.0 if icfg.is_fp else 127.0)
+                    in_scale = np.asarray(a / div, np.float32)
+            E = layers["moe.gate_proj"].shape[1]
+            for name, hfn in (("moe.gate_proj", "gate_proj"),
+                              ("moe.up_proj", "up_proj"),
+                              ("moe.down_proj", "down_proj")):
+                wcfg = model.layout.get(f"{name}.weight")
+                wst_all = model.qstate.get(name, {}).get("weight")
+                for e in range(E):
+                    wst = (jax.tree.map(lambda a: a[i, e], wst_all)
+                           if wst_all is not None else None)
+                    exported = _export_weight(layers[name][i, e], wcfg, wst, algo)
+                    prefix = f"model.layers.{i}.mlp.experts.{e}.{hfn}"
+                    for suffix, arr in exported.items():
+                        yield f"{prefix}.{suffix}", arr
+                    if in_scale is not None:
+                        # experts share the block's input activation
+                        yield f"{prefix}.input_scale", in_scale
         # KV scales (`get_kv_cache_scaling_factor`, quant_utils.py:371)
         if kv_algo:
             for which in ("k", "v"):

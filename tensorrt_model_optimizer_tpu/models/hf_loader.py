@@ -93,9 +93,21 @@ def config_to_hf(cfg: LlamaConfig) -> dict:
             "high_freq_factor": rs.high_freq_factor,
             "original_max_position_embeddings": rs.original_max_position_embeddings,
         }
+    arch = ["Qwen3ForCausalLM"] if cfg.qk_norm else ["LlamaForCausalLM"]
+    mt = "qwen3" if cfg.qk_norm else "llama"
+    if getattr(cfg, "num_experts", None):  # MixtralConfig family
+        mt = "qwen3_moe" if cfg.qk_norm else "mixtral"
+        arch = ["Qwen3MoeForCausalLM"] if cfg.qk_norm else ["MixtralForCausalLM"]
+        out |= {
+            "num_experts" if cfg.qk_norm else "num_local_experts": cfg.num_experts,
+            "num_experts_per_tok": cfg.top_k,
+            "norm_topk_prob": cfg.norm_topk_prob,
+        }
+        if cfg.qk_norm:  # qwen3_moe: expert width is moe_intermediate_size
+            out["moe_intermediate_size"] = cfg.intermediate_size
     return out | {
-        "architectures": ["Qwen3ForCausalLM"] if cfg.qk_norm else ["LlamaForCausalLM"],
-        "model_type": "qwen3" if cfg.qk_norm else "llama",
+        "architectures": arch,
+        "model_type": mt,
         "vocab_size": cfg.vocab_size,
         "hidden_size": cfg.hidden_size,
         "intermediate_size": cfg.intermediate_size,

@@ -190,3 +190,52 @@ def test_config_json_written(tiny, tmp_path):
     with open(tmp_path / "cfgtest" / "hf_quant_config.json") as f:
         q = json.load(f)
     assert q["quantization"]["exclude_modules"] == ["lm_head"]
+
+
+def test_moe_export_unstacks_experts(tmp_path):
+    """MoE unified export: stacked experts emit per-expert HF modules with
+    per-expert scales; dequant roundtrip matches the fake-quant weight."""
+    from tensorrt_model_optimizer_tpu.models import mixtral
+    from tensorrt_model_optimizer_tpu.quant import ptq as ptq_mod
+
+    cfg = mixtral.MixtralConfig.tiny(qk_norm=True)  # qwen3-moe flavor
+    params = mixtral.init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(5)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    model = ptq_mod.quantize_family("mixtral", cfg, params, "NVFP4_DEFAULT_CFG", batches)
+    qc = hf_export.export_hf_checkpoint(model, str(tmp_path / "moe"))
+    assert qc["quantization"]["quant_algo"] == "NVFP4"
+    t = _load(tmp_path / "moe")
+    # router exported unquantized; qk norms pass through
+    assert "model.layers.0.mlp.gate.weight" in t
+    assert "model.layers.0.self_attn.q_norm.weight" in t
+    w = t["model.layers.1.mlp.experts.2.gate_proj.weight"]
+    assert w.dtype == np.uint8
+    ws = t["model.layers.1.mlp.experts.2.gate_proj.weight_scale"]
+    ws2 = t["model.layers.1.mlp.experts.2.gate_proj.weight_scale_2"]
+    codes = np.empty((w.shape[0], w.shape[1] * 2), np.uint8)
+    codes[:, 0::2] = w & 0xF
+    codes[:, 1::2] = (w >> 4) & 0xF
+    vals = np.asarray(numerics.codes_to_fp4(jnp.asarray(codes)))
+    scale = np.asarray(jnp.asarray(ws).astype(jnp.float32)) * ws2
+    deq = vals * np.repeat(scale, 16, axis=1)
+    orig = np.asarray(params["layers"]["moe.gate_proj"][1, 2], np.float32)
+    g_amax = model.qstate["moe.gate_proj"]["weight"].amax[1, 2]
+    fake = np.asarray(numerics.fake_quant_nvfp4(jnp.asarray(orig), 16, g_amax))
+    np.testing.assert_allclose(deq, fake, rtol=1e-3, atol=1e-4)
+    # config.json declares the MoE family
+    with open(tmp_path / "moe" / "config.json") as f:
+        d = json.load(f)
+    assert d["model_type"] == "qwen3_moe" and d["num_experts"] == cfg.num_experts
+
+
+def test_gpt_oss_export_raises_clearly(tmp_path):
+    from tensorrt_model_optimizer_tpu.models import gpt_oss
+    from tensorrt_model_optimizer_tpu.quant import ptq as ptq_mod
+
+    cfg = gpt_oss.GptOssConfig.tiny()
+    params = gpt_oss.init_params(cfg, jax.random.PRNGKey(4))
+    model = ptq_mod.quantize_family("gpt_oss", cfg, params, "FP8_DEFAULT_CFG",
+                                    [jnp.zeros((1, 8), jnp.int32)])
+    with pytest.raises(NotImplementedError):
+        hf_export.export_hf_checkpoint(model, str(tmp_path / "oss"))
