@@ -345,6 +345,30 @@ def _load_gpt_oss(path: str, d: dict, dtype):
     L = cfg.num_hidden_layers
     stack = lambda fmt: jnp.stack([get(fmt.format(i=i)) for i in range(L)])
 
+    def expert_weight(i: int, proj: str) -> jnp.ndarray:
+        """bf16 expert tensor, dequantizing MXFP4-shipped checkpoints.
+
+        Released GPT-OSS stores experts as `{proj}_blocks` [.., G, 16] uint8
+        (two E2M1 codes per byte, lo nibble first) + `{proj}_scales` E8M0
+        biased-127, blocks along the CONTRACTION dim, with a final
+        transpose to the bf16 layout (transformers
+        `integrations/mxfp4.convert_moe_packed_tensors`)."""
+        base = f"model.layers.{i}.mlp.experts.{proj}"
+        if f"{base}_blocks" not in raw:
+            return get(base)
+        from ..ops import numerics
+
+        blocks = jnp.asarray(raw[f"{base}_blocks"])          # uint8
+        exps = jnp.asarray(raw[f"{base}_scales"]).astype(jnp.int32) - 127
+        b32 = blocks.astype(jnp.int32)
+        lo = numerics.codes_to_fp4(b32 & 0xF)
+        hi = numerics.codes_to_fp4((b32 >> 4) & 0xF)
+        v = jnp.stack([lo, hi], axis=-1).reshape(
+            blocks.shape[:-1] + (blocks.shape[-1] * 2,))
+        v = v * jnp.ldexp(jnp.float32(1.0), exps)[..., None]
+        v = v.reshape(v.shape[:-2] + (v.shape[-2] * v.shape[-1],))
+        return jnp.swapaxes(v, -1, -2).astype(dtype)
+
     layers = {
         "input_layernorm": stack("model.layers.{i}.input_layernorm.weight"),
         "post_attention_layernorm": stack(
@@ -358,9 +382,9 @@ def _load_gpt_oss(path: str, d: dict, dtype):
             "model.layers.{i}.self_attn." + proj + ".weight")
         layers[f"self_attn.{proj}__bias"] = stack(
             "model.layers.{i}.self_attn." + proj + ".bias")
-    gate_up = stack("model.layers.{i}.mlp.experts.gate_up_proj")  # [L,E,H,2I]
+    gate_up = jnp.stack([expert_weight(i, "gate_up_proj") for i in range(L)])
     gu_bias = stack("model.layers.{i}.mlp.experts.gate_up_proj_bias")  # [L,E,2I]
-    down = stack("model.layers.{i}.mlp.experts.down_proj")  # [L,E,I,H]
+    down = jnp.stack([expert_weight(i, "down_proj") for i in range(L)])
     layers["moe.gate_proj"] = jnp.swapaxes(gate_up[..., 0::2], -1, -2)
     layers["moe.up_proj"] = jnp.swapaxes(gate_up[..., 1::2], -1, -2)
     layers["moe.gate_proj__bias"] = gu_bias[..., 0::2]

@@ -51,3 +51,42 @@ def test_timer_and_tree_bytes(model):
     assert perf.tree_bytes(m.params) > 0
     stats = perf.device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_run_logger_records_and_redacts(tmp_path):
+    """RunLogger: params/metrics/artifacts land in the run dir; secret-named
+    params and URI userinfo are redacted (reference mlflow.py _redact)."""
+    from tensorrt_model_optimizer_tpu.utils import tracking
+
+    art = tmp_path / "thing.json"
+    art.write_text("{}")
+    with tracking.RunLogger(str(tmp_path / "runs"), name="t") as run:
+        run.log_params({"lr": 1e-3, "api_key": "hunter2",
+                        "uri": "https://user:pw@host/x"})
+        run.log_metric("ppl", 3.5, step=1)
+        run.log_metric("ppl", 3.1, step=2)
+        run.log_artifact(str(art))
+        rdir = run.dir
+    import json as _json
+    meta = _json.loads(open(rdir + "/meta.json").read())
+    assert meta["status"] == "finished"
+    assert meta["params"]["api_key"] == "***"
+    assert "pw@" not in meta["params"]["uri"]
+    ms = tracking.read_metrics(rdir)
+    assert [m["value"] for m in ms] == [3.5, 3.1]
+    assert (tmp_path / "runs").exists()
+    import os as _os
+    assert _os.path.exists(rdir + "/artifacts/thing.json")
+
+
+def test_run_logger_failure_status(tmp_path):
+    from tensorrt_model_optimizer_tpu.utils import tracking
+
+    try:
+        with tracking.RunLogger(str(tmp_path), name="f") as run:
+            rdir = run.dir
+            raise ValueError("boom")
+    except ValueError:
+        pass
+    import json as _json
+    assert _json.loads(open(rdir + "/meta.json").read())["status"] == "failed"

@@ -407,3 +407,61 @@ def test_llama4_ptq_runs():
     assert np.all(np.isfinite(np.asarray(ql)))
     corr = np.corrcoef(np.asarray(ref).ravel(), np.asarray(ql).ravel())[0, 1]
     assert corr > 0.8
+
+
+def test_gpt_oss_mxfp4_checkpoint_loads(tmp_path_factory):
+    """Released GPT-OSS ships MXFP4 experts ({proj}_blocks/{proj}_scales);
+    the loader dequantizes them exactly like transformers'
+    convert_moe_packed_tensors."""
+    import jax.numpy as jnp
+    from safetensors.torch import load_file, save_file
+
+    from transformers.integrations import mxfp4 as hf_mxfp4
+
+    from tensorrt_model_optimizer_tpu.models import gpt_oss, hf_loader
+
+    path = tmp_path_factory.mktemp("hf_gptoss_mxfp4")
+    cfg = transformers.GptOssConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=32,
+        num_local_experts=2, num_experts_per_tok=2,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False, sliding_window=4,
+        attention_bias=True,
+    )
+    torch.manual_seed(6)
+    model = transformers.GptOssForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    # re-pack the experts into mxfp4 blocks/scales with random codes
+    sd = load_file(str(path) + "/model.safetensors")
+    gen = torch.Generator().manual_seed(7)
+    E, H, I = 2, 64, 32
+    packs = {}
+    for proj, contract in (("gate_up_proj", H), ("down_proj", I)):
+        rows = 2 * I if proj == "gate_up_proj" else H
+        blocks = torch.randint(0, 256, (E, rows, contract // 32, 16),
+                               dtype=torch.uint8, generator=gen)
+        scales = torch.randint(119, 133, (E, rows, contract // 32),
+                               dtype=torch.uint8, generator=gen)
+        deq = hf_mxfp4.convert_moe_packed_tensors(
+            blocks, scales, dtype=torch.float32)
+        key = f"model.layers.0.mlp.experts.{proj}"
+        del sd[key]
+        sd[key + "_blocks"] = blocks
+        sd[key + "_scales"] = scales
+        packs[proj] = deq
+    save_file(sd, str(path) + "/model.safetensors")
+
+    gcfg, params = hf_loader.load_hf_moe_checkpoint(str(path), dtype=jnp.float32)
+    gate_up_ref = packs["gate_up_proj"].float().numpy()  # [E, H, 2I]
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["moe.gate_proj"][0]),
+        np.swapaxes(gate_up_ref[..., 0::2], -1, -2), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["moe.down_proj"][0]),
+        np.swapaxes(packs["down_proj"].float().numpy(), -1, -2), rtol=1e-6)
+    # and the model still runs
+    logits, _ = gpt_oss.forward(gcfg, params, jnp.zeros((1, 8), jnp.int32))
+    assert np.all(np.isfinite(np.asarray(logits)))

@@ -42,6 +42,23 @@ def log(m):
     print(f"[specdec] {m}", file=sys.stderr, flush=True)
 
 
+def main_multiproc():
+    """Run each method in its own subprocess (XLA-CPU accumulates compile
+    arena across the four method suites — observed LLVM OOM/segfault when
+    eagle3 compiled after medusa+eagle1 in one process)."""
+    import subprocess
+
+    for m in METHODS:
+        env = {**os.environ, "SPECDEC_METHODS": m, "SPECDEC_SUBPROC": "1"}
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, text=True, capture_output=True)
+        sys.stderr.write(r.stderr)
+        sys.stdout.write(r.stdout)
+        sys.stdout.flush()
+        if r.returncode != 0:
+            log(f"{m}: subprocess failed rc={r.returncode}")
+
+
 def main():
     from tensorrt_model_optimizer_tpu.models import hf_loader, llama
     from tensorrt_model_optimizer_tpu.speculative import dflash, eagle, medusa
@@ -125,4 +142,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(METHODS) > 1 and os.environ.get("SPECDEC_SUBPROC") != "1":
+        main_multiproc()
+    else:
+        main()
