@@ -342,7 +342,8 @@ def _iter_export_tensors(model: QuantizedModel):
     layers = model.params["layers"]
     is_moe = "moe.gate_proj" in layers
     unsupported = [k for k in layers if k.startswith("shared.")
-                   or k.endswith("__bias") or k == "self_attn.sinks"]
+                   or (k.endswith("__bias") and not k.startswith("self_attn."))
+                   or k == "self_attn.sinks"]
     if unsupported:
         raise NotImplementedError(
             f"unified export does not yet cover these leaves: {unsupported}; "
@@ -359,6 +360,10 @@ def _iter_export_tensors(model: QuantizedModel):
                 layers["self_attn.q_norm"][i])
             yield f"model.layers.{i}.self_attn.k_norm.weight", to_np16(
                 layers["self_attn.k_norm"][i])
+        for bname in sorted(k for k in layers
+                            if k.startswith("self_attn.") and k.endswith("__bias")):
+            proj = bname[: -len("__bias")]  # qwen2-style attention biases
+            yield f"model.layers.{i}.{proj}.bias", to_np16(layers[bname][i])
         for name, hf_fmt in PROJ_TO_HF.items():
             if name not in layers:  # MoE families have no dense mlp
                 continue
