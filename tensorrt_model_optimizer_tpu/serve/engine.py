@@ -106,7 +106,11 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
         return y
     if icfg.enable or (ist is not None and ist.pre_quant_scale is not None):
         x = Q.quantize(x, icfg, ist, amax_reduce=reduce_amax)
-    if backend == "pallas" and kind in ("int8", "int4", "nvfp4", "fp8"):
+    if backend == "pallas" and kind in (
+            "int8", "int4", "int4w", "nvfp4", "nvfp4p", "nvfp4w", "fp8"):
+        # NOTE "nvfp4p" was missing from this set until round 2's end: the
+        # engine's default perm conversion silently routed every projection
+        # through the XLA decompress path instead of the Pallas kernel.
         y = qmm.quantized_matmul(x, kind, arrays)
     else:
         w = decompress_weight(kind, arrays, out_dtype=x.dtype)

@@ -404,6 +404,30 @@ class TestMoreFormats:
         corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref[:, -1]).ravel())[0, 1]
         assert corr > 0.99, corr
 
+    def test_engine_pallas_backend_uses_fused_kernels(self, tiny_ptq, monkeypatch):
+        """The pallas backend must route converted layouts (nvfp4p/nvfp4w/
+        int4w) through qmm.quantized_matmul — the perm-default engine
+        silently fell back to XLA decompress for most of round 2 because
+        'nvfp4p' was missing from _qlinear's kind set."""
+        from tensorrt_model_optimizer_tpu.ops.pallas import qmm as qmm_mod
+        from tensorrt_model_optimizer_tpu.serve import engine as eng_mod
+
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "NVFP4_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        calls = []
+        real = qmm_mod.quantized_matmul
+        monkeypatch.setattr(
+            eng_mod.qmm, "quantized_matmul",
+            lambda x, kind, arrays: calls.append(kind) or real(x, kind, arrays))
+        for layout_name in ("perm", "word"):
+            calls.clear()
+            eng = eng_mod.Engine(cm, eng_mod.EngineConfig(
+                max_seq_len=32, backend="pallas", nvfp4_layout=layout_name))
+            eng.prefill(batches[0][:, :8], eng.init_cache(2, 32))
+            expect = "nvfp4p" if layout_name == "perm" else "nvfp4w"
+            assert expect in calls, (layout_name, set(calls))
+
     def test_nvfp4p_layout_roundtrip_and_engine(self, tiny_ptq):
         """convert_nvfp4_perm: decompress inverts the permutation exactly,
         and the engine (which defaults to the perm layout) stays in parity."""
