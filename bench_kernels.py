@@ -91,6 +91,10 @@ def main():
     measure("nvfp4_word", lambda x, w, s, g: qmm.qmm_nvfp4_word(x, w, s, g),
             O * K // 2, Ww, sw, gs)
 
+    Wi, si = qmm.int4_word_pack(Wp, sl, sl)
+    measure("int4_word", lambda x, w, s: qmm.qmm_int4_word(x, w, s),
+            O * K // 2, Wi, si)
+
     Wf8 = jnp.asarray((rng.normal(size=(O, K)) * 0.1).astype(np.float32)).astype(jnp.float8_e4m3fn)
     measure("fp8_pallas", lambda x, w, s: qmm.qmm_fp8(x, w, s), O * K, Wf8, s8)
 
