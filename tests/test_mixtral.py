@@ -79,3 +79,35 @@ def test_expert_sharded_calibration(tiny_moe, mesh8):
         np.asarray(qs_sh["moe.gate_proj"]["weight"].amax),
         rtol=1e-6,
     )
+
+
+def test_gpt_oss_expert_sharded_calibration(mesh8):
+    """GPT-OSS (sinks + sliding masks + biased experts) calibrates
+    identically under EP/TP sharding — the family rides mixtral's MoE, so
+    GSPMD amax sync must hold with the extra leaves sharded too."""
+    from tensorrt_model_optimizer_tpu.models import gpt_oss
+
+    cfg = gpt_oss.GptOssConfig.tiny(num_experts=4, sliding_window=4)
+    params = gpt_oss.init_params(cfg, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(11)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 16)))
+    devices = np.array(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("expert", "tensor"))
+    layout = gpt_oss.build_layout(cfg, get_preset("NVFP4_DEFAULT_CFG"))
+    qs = gpt_oss.init_quant_state(cfg, layout)
+    _, qs_ref = gpt_oss.forward(cfg, params, tokens, layout=layout, qstate=qs, calib=True)
+    specs = gpt_oss.param_specs(cfg)
+    sharded = dict(params)
+    sharded["layers"] = {
+        k: jax.device_put(v, NamedSharding(mesh, specs["layers"][k]))
+        for k, v in params["layers"].items()
+    }
+    with jax.set_mesh(mesh):
+        _, qs_sh = jax.jit(
+            lambda p, t, q: gpt_oss.forward(cfg, p, t, layout=layout, qstate=q, calib=True)
+        )(sharded, tokens, qs)
+    np.testing.assert_allclose(
+        np.asarray(qs_ref["moe.gate_proj"]["weight"].amax),
+        np.asarray(qs_sh["moe.gate_proj"]["weight"].amax),
+        rtol=1e-6,
+    )

@@ -169,3 +169,45 @@ class TestTracedSearchSpace:
         # no choice ever exceeds its group size
         for h in ss.hparams.values():
             assert max(h.choices) <= max(h.choices)
+
+
+class TestNewFamiliesUnmodified:
+    """Round-2 session-3 families trace without tracer changes."""
+
+    def test_gpt_oss_groups(self):
+        from tensorrt_model_optimizer_tpu.models import gpt_oss
+
+        cfg = gpt_oss.GptOssConfig.tiny()
+        params = gpt_oss.init_params(cfg, jax.random.PRNGKey(0))
+        res = trace_dim_groups(
+            lambda p, t: gpt_oss.forward(cfg, p, t)[0], params, cfg
+        )
+        # expert ffn width couples gate/up/down + their biases
+        ig = _group_by_sites(res, ("layers/moe.gate_proj", 2))
+        assert ("layers/moe.up_proj", 2) in ig.sites
+        assert ("layers/moe.down_proj", 3) in ig.sites
+        assert ("layers/moe.gate_proj__bias", 2) in ig.sites
+        assert ig.size == cfg.intermediate_size
+        # sink logits carry a head-sized prunable axis
+        hg = _group_by_sites(res, ("layers/self_attn.sinks", 1))
+        assert hg.size == cfg.num_attention_heads
+
+    def test_llama4_groups(self):
+        from tensorrt_model_optimizer_tpu.models import llama4
+
+        cfg = llama4.Llama4Config.tiny()
+        params = llama4.init_params(cfg, jax.random.PRNGKey(0))
+        res = trace_dim_groups(
+            lambda p, t: llama4.forward(cfg, p, t)[0], params, cfg
+        )
+        # shared-expert width is its own prunable group
+        sg = _group_by_sites(res, ("layers/shared.gate_proj", 1))
+        assert ("layers/shared.up_proj", 1) in sg.sites
+        assert ("layers/shared.down_proj", 2) in sg.sites
+        assert sg.size == cfg.intermediate_size
+        # routed expert axis couples the three expert stacks (the router's
+        # E axis doesn't flow through top_k indices, matching mixtral)
+        eg = _group_by_sites(res, ("layers/moe.gate_proj", 1))
+        assert ("layers/moe.down_proj", 1) in eg.sites
+        assert ("layers/moe.up_proj", 1) in eg.sites
+        assert eg.size == cfg.num_experts
