@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..models import deepseek as ds
 from ..models import llama
 from ..quant import quantizer as Q
+from ..ops.pallas import qmm
 from ..quant.compress import compress_weight, decompress_weight
 
 
@@ -36,6 +37,8 @@ class DeepseekCompressedModel:
     kinds: dict  # site name -> kind ("nvfp4" | "int4" | "fp8" | "int8" | "bf16")
     layout: llama.QuantLayout
     qstate: dict
+    # "auto": fused Pallas dequant-matmuls on TPU, XLA decompress elsewhere
+    backend: str = "auto"
 
 
 def compress(qm: ds.DeepseekQuantizedModel) -> DeepseekCompressedModel:
@@ -70,15 +73,20 @@ def _deq(cm: DeepseekCompressedModel, name: str, arrays, dtype):
     return decompress_weight(kind, arrays, out_dtype=dtype)
 
 
+_PALLAS_KINDS = ("int8", "int4", "int4w", "nvfp4", "nvfp4p", "nvfp4w", "fp8")
+
+
 def _lin(cm, lstate, name, x, lp, dtype, tp_axis=None, row=False, psum_out=True):
     """y = q_act(x) @ dequant(W)^T for a [*, K] input.
 
-    Under TP (`tp_axis` set inside shard_map), `row=True` marks
-    row-parallel sites whose K dim is sharded: dynamic per-token act amaxes
-    pmax-reduce across the axis (single-device bit parity) and the partial
-    product psum-reduces (`psum_out=False` lets the caller fold several
-    partials into one psum)."""
-    w = _deq(cm, name, lp[name], dtype)
+    Packed 2-D projections route through the fused Pallas dequant-matmuls
+    (`ops.pallas.qmm`) on TPU — same dispatch as `engine._qlinear`; the XLA
+    path decompresses per layer inside the scan. Under TP (`tp_axis` set
+    inside shard_map), `row=True` marks row-parallel sites whose K dim is
+    sharded: dynamic per-token act amaxes pmax-reduce across the axis
+    (single-device bit parity) and the partial product psum-reduces
+    (`psum_out=False` lets the caller fold several partials into one
+    psum)."""
     icfg = cm.layout.get(f"{name}.input")
     ist = (lstate or {}).get(name, {}).get("input")
     if icfg.enable or (ist is not None and ist.pre_quant_scale is not None):
@@ -88,7 +96,20 @@ def _lin(cm, lstate, name, x, lp, dtype, tp_axis=None, row=False, psum_out=True)
             else None
         )
         x = Q.quantize(x, icfg, ist, amax_reduce=reduce)
-    y = x @ w.T.astype(x.dtype)
+    kind = cm.kinds.get(name, "bf16")
+    use_pallas = cm.backend == "pallas" or (
+        cm.backend == "auto" and qmm.pallas_supported())
+    arrs = lp[name]
+    main = arrs.get("packed", arrs.get("q")) if isinstance(arrs, dict) else None
+    if use_pallas and kind in _PALLAS_KINDS and main is not None and main.ndim == 2:
+        lead = x.shape[:-1]
+        y = qmm.quantized_matmul(
+            x.reshape(-1, x.shape[-1]), kind, arrs
+        ).reshape(lead + (-1,))
+        y = y.astype(x.dtype)
+    else:
+        w = _deq(cm, name, lp[name], dtype)
+        y = x @ w.T.astype(x.dtype)
     if tp_axis is not None and row and psum_out:
         y = jax.lax.psum(y, tp_axis)
     return y

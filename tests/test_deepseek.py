@@ -272,3 +272,31 @@ class TestDeepseekEngine:
         assert corr > 0.99, corr
         out = eng.generate(prompt, max_new_tokens=4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_deepseek_engine_pallas_backend_parity(tiny):
+    """Forced-pallas backend (fused qmm, interpret mode on CPU) produces the
+    same greedy tokens as the XLA decompress path."""
+    import dataclasses as _dc
+
+    from tensorrt_model_optimizer_tpu.models.deepseek import quantize
+    from tensorrt_model_optimizer_tpu.serve import deepseek_engine as dse
+
+    cfg, params, tokens = tiny
+    qm = quantize(cfg, params, "INT8_DEFAULT_CFG", [tokens])
+    cm = dse.compress(qm)
+    prompt = tokens[:, :8]
+
+    def prefill_logits(c):
+        eng = dse.DeepseekEngine(c, max_seq_len=48)
+        logits, _ = eng.prefill(prompt, eng.init_cache(prompt.shape[0]))
+        return np.asarray(logits, np.float32)
+
+    ref = prefill_logits(cm)
+    got = prefill_logits(_dc.replace(cm, backend="pallas"))
+    # the fused kernels compute in bf16 while the f32 test dtype lets the
+    # XLA path dequantize exactly — near-equal logits, not bit-equal (on
+    # hardware both run bf16 and the gap closes)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.2
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.995, corr
