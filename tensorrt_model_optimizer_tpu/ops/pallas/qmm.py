@@ -586,15 +586,19 @@ def _nvfp4_word_kernel(rep, x_ref, w_ref, s_ref, gs_ref, o_ref, acc):
 
 def nvfp4_word_pack(
     packed: jax.Array,     # [O/2, K] plane-packed uint8 (compress.py layout)
-    scale_lo: jax.Array,   # [O/2, K/16]
+    scale_lo: jax.Array,   # [O/2, K/bsz]
     scale_hi: jax.Array,
+    block_size: int = 16,
 ):
     """Plane layout -> word layout: row-pair bytes (order per the runtime
     bitcast probe), K-lane tile permutation, row-ordered bf16 scales.
 
-    Returns (packed_word [O/2, K], scales [O, K/16])."""
+    `block_size` must match the matmul's (16 for NVFP4, 32 for MXFP4 —
+    the lane permutation and K tile depend on it).
+
+    Returns (packed_word [O/2, K], scales [O, K/bsz])."""
     O2, K = packed.shape[-2:]
-    tk = _word_tile_k(K, 16)
+    tk = _word_tile_k(K, block_size)
     lo_codes = packed & 0xF          # rows [0, O/2)
     hi_codes = packed >> 4           # rows [O/2, O)
     codes = jnp.concatenate([lo_codes, hi_codes], axis=-2)  # [O, K] row order
@@ -612,7 +616,7 @@ def nvfp4_word_pack(
         even = ct[..., : to // 2, :].reshape(lead + (O2, K))
         odd = ct[..., to // 2 :, :].reshape(lead + (O2, K))
     word = (even | (odd << 4)).astype(jnp.uint8)
-    return permute_k(word, -1, tk), scales
+    return permute_k(word, -1, tk, bsz=block_size), scales
 
 
 def qmm_nvfp4_word(
@@ -629,7 +633,7 @@ def qmm_nvfp4_word(
     nblk = tk // block_size
     to = _word_tile_o(O)
     go = O // to
-    xp = permute_k(x, 1, tk)
+    xp = permute_k(x, 1, tk, bsz=block_size)
     gs2 = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
     kern = functools.partial(_nvfp4_word_kernel, block_size)
     return pl.pallas_call(
@@ -776,6 +780,11 @@ def quantized_matmul(x: jax.Array, kind: str, arrays: dict) -> jax.Array:
                               arrays["global_scale"])
     if kind == "int4w":  # row-pair word-decode layout (convert_int4_word)
         return qmm_int4_word(x, arrays["packed"], arrays["scales"])
+    if kind == "mxfp4w":  # MXFP4 word layout: same kernel, 32-wide blocks,
+        # scales pre-converted to exact bf16 powers of two, no global scale
+        bs = x.shape[-1] // arrays["scales"].shape[-1]
+        return qmm_nvfp4_word(x, arrays["packed"], arrays["scales"],
+                              jnp.float32(1.0), block_size=bs)
     if kind == "bf16":
         return x @ arrays["w"].T.astype(x.dtype)
     raise ValueError(f"unknown kind {kind!r}")

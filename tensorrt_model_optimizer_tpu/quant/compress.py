@@ -214,6 +214,44 @@ def convert_nvfp4_word(cm: "CompressedModel") -> "CompressedModel":
     return dataclasses.replace(cm, params=params, kinds=kinds)
 
 
+def convert_mxfp4_word(cm: "CompressedModel") -> "CompressedModel":
+    """mxfp4 -> mxfp4w: the E2M1 planes repack exactly like nvfp4w and the
+    E8M0 exponents become bf16 scale BITS with one shift — bf16(2^e) has
+    bit pattern (e + 127) << 7, so the scale conversion is free and exact
+    (exponents clamp to the normal range [-126, 127])."""
+    from ..ops.pallas import qmm as qmm_mod
+
+    def exp_to_bf16(e):
+        bits = (jnp.clip(e.astype(jnp.int32), -126, 127) + 127) << 7
+        return jax.lax.bitcast_convert_type(
+            bits.astype(jnp.uint16), jnp.bfloat16)
+
+    new_layers = dict(cm.params["layers"])
+    kinds = dict(cm.kinds)
+    for name, kind in cm.kinds.items():
+        if kind != "mxfp4":
+            continue
+        arr = new_layers[name]
+        bsz = arr["packed"].shape[-1] // arr["exp_lo"].shape[-1]
+        import functools
+
+        pack = functools.partial(qmm_mod.nvfp4_word_pack, block_size=bsz)
+        if arr["packed"].ndim == 3:
+            pack = jax.vmap(pack)
+        packed, _ = pack(
+            arr["packed"],
+            jnp.zeros_like(arr["exp_lo"], jnp.float32),
+            jnp.zeros_like(arr["exp_hi"], jnp.float32),
+        )
+        scales = exp_to_bf16(
+            jnp.concatenate([arr["exp_lo"], arr["exp_hi"]], axis=-2))
+        new_layers[name] = {"packed": packed, "scales": scales}
+        kinds[name] = "mxfp4w"
+    params = dict(cm.params)
+    params["layers"] = new_layers
+    return dataclasses.replace(cm, params=params, kinds=kinds)
+
+
 def convert_int4_word(cm: "CompressedModel") -> "CompressedModel":
     """One-time layout conversion: int4 -> int4w (row-pair bytes +
     magic-number word-decode kernel, `ops/pallas/qmm.qmm_int4_word`).
@@ -290,7 +328,7 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
         arrs = dict(arrays)
         arrs["packed"] = qmm_mod.unpermute_k(arrays["packed"], -1, tk)
         return decompress_weight("nvfp4", arrs, out_dtype)
-    if kind in ("nvfp4w", "int4w"):
+    if kind in ("nvfp4w", "int4w", "mxfp4w"):
         from ..ops.pallas import qmm as qmm_mod
 
         p = arrays["packed"]
@@ -298,7 +336,7 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
         bsz = K // arrays["scales"].shape[-1]
         tk = qmm_mod._word_tile_k(K, 16 if kind == "nvfp4w" else bsz)
         p = qmm_mod.unpermute_k(p, -1, tk, bsz=16 if kind == "nvfp4w" else bsz)
-        if kind == "nvfp4w":
+        if kind in ("nvfp4w", "mxfp4w"):
             even = numerics.codes_to_fp4(p & 0xF)   # [O/2, K]
             odd = numerics.codes_to_fp4((p >> 4) & 0xF)
         else:

@@ -107,7 +107,7 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
     if icfg.enable or (ist is not None and ist.pre_quant_scale is not None):
         x = Q.quantize(x, icfg, ist, amax_reduce=reduce_amax)
     if backend == "pallas" and kind in (
-            "int8", "int4", "int4w", "nvfp4", "nvfp4p", "nvfp4w", "fp8"):
+            "int8", "int4", "int4w", "nvfp4", "nvfp4p", "nvfp4w", "mxfp4w", "fp8"):
         # NOTE "nvfp4p" was missing from this set until round 2's end: the
         # engine's default perm conversion silently routed every projection
         # through the XLA decompress path instead of the Pallas kernel.
@@ -505,6 +505,12 @@ class Engine:
             from ..quant.compress import convert_int4_word
 
             cm = convert_int4_word(cm)
+        if config.mesh is None and "mxfp4" in cm.kinds.values():
+            # mxfp4 has no blockdot kernel — the word layout IS the fused
+            # path (otherwise serving falls back to XLA decompress)
+            from ..quant.compress import convert_mxfp4_word
+
+            cm = convert_mxfp4_word(cm)
         # NVFP4 KV presets: emulate the E2M1 block-quantized cache when the
         # user didn't pick an explicit storage dtype
         kcfg = cm.layout.get("self_attn.k_bmm")

@@ -570,3 +570,40 @@ def test_mxfp4_packed_serving(tiny_ptq):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(ref[:, -1]), atol=2e-3, rtol=1e-3
     )
+
+
+def test_mxfp4_word_kernel_and_engine(tiny_ptq):
+    """mxfp4 -> mxfp4w: E8M0 exponents become exact bf16 power-of-two
+    scales ((e+127)<<7 bit trick); kernel output matches the dequantized
+    matmul exactly, and the engine's pallas backend uses the fused path."""
+    from tensorrt_model_optimizer_tpu.ops.pallas import qmm as qmm_mod
+
+    cfg, params, batches = tiny_ptq
+    model = ptq.quantize(cfg, params, "MXFP4_DEFAULT_CFG", batches)
+    cm = compress.compress(model)
+    cmw = compress.convert_mxfp4_word(cm)
+    assert cmw.kinds["mlp.gate_proj"] == "mxfp4w"
+    arrs = {k: v[0] for k, v in cmw.params["layers"]["mlp.gate_proj"].items()}
+    # decompress inverts the packing exactly
+    d0 = compress.decompress_weight(
+        "mxfp4", {k: v[0] for k, v in cm.params["layers"]["mlp.gate_proj"].items()},
+        out_dtype=jnp.float32)
+    d1 = compress.decompress_weight("mxfp4w", arrs, out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    # fused kernel == bf16 matmul on the dequantized weight
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(8, d1.shape[1])).astype(np.float32)).astype(jnp.bfloat16)
+    out = qmm_mod.quantized_matmul(x, "mxfp4w", arrs)
+    ref = x @ compress.decompress_weight("mxfp4w", arrs, jnp.bfloat16).T
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=1e-3)
+    # engine converts at init and stays in parity
+    eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+        max_seq_len=32, backend="pallas"))
+    assert eng.cm.kinds["mlp.gate_proj"] == "mxfp4w"
+    prompt = batches[0][:, :8]
+    logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+    ref2, _, _ = model.forward(prompt)
+    corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref2[:, -1]).ravel())[0, 1]
+    assert corr > 0.99, corr
