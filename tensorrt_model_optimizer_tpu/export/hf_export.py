@@ -508,6 +508,124 @@ def _write_sharded(it, export_dir: str, max_shard_bytes: int) -> None:
         json.dump(index, f, indent=2)
 
 
+def _mxfp4_pack_hf(w: jax.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Quantize [rows, K] to HF's native GPT-OSS MXFP4 layout.
+
+    Returns (blocks [rows, K/32, 16] uint8 — two E2M1 codes per byte, lo
+    nibble = even element — and scales [rows, K/32] uint8 biased-127 E8M0),
+    the exact format `transformers.integrations.mxfp4.
+    convert_moe_packed_tensors` dequantizes."""
+    rows, K = w.shape
+    w32 = jnp.asarray(w).astype(jnp.float32)
+    bam = numerics.block_amax_compact(w32, ((-1, 32),))
+    from ..ops.formats import fp_emax
+
+    scale = numerics.e8m0_scale(bam, fp_emax(2, 1))
+    s_full = numerics.expand_block_scale(scale, w32.shape, ((-1, 32),))
+    codes = numerics.fp4_to_codes(numerics.fp4_round(w32 / s_full))
+    codes = codes.astype(jnp.uint8)
+    by = (codes[..., 0::2] | (codes[..., 1::2] << 4)).reshape(rows, K // 32, 16)
+    _, fe = jnp.frexp(scale)
+    exps = jnp.clip(fe - 1 + 127, 0, 254).astype(jnp.uint8)
+    return np.asarray(by).copy(), np.asarray(exps).copy()
+
+
+def export_gpt_oss_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
+    """GPT-OSS unified export in the architecture's NATIVE shipped format:
+    experts re-fuse to `gate_up_proj_blocks/scales` + `down_proj_blocks/
+    scales` (MXFP4, blocks along the contraction dim), everything else
+    passes through bf16 with HF names — the produced directory round-trips
+    through `hf_loader.load_hf_moe_checkpoint` AND transformers' mxfp4
+    dequant path. Requires an MXFP4 weight preset (the format the released
+    checkpoints use)."""
+    cfg = model.model_cfg
+    algo, group = _quant_algo(model)
+    if algo != "MXFP4":
+        raise NotImplementedError(
+            f"GPT-OSS export writes the native MXFP4 format; got {algo}. "
+            "Quantize with MXFP4_DEFAULT_CFG/MXFP4_WEIGHT_ONLY_CFG.")
+    os.makedirs(export_dir, exist_ok=True)
+    layers = model.params["layers"]
+    L, E = cfg.num_hidden_layers, cfg.num_experts
+    inter, h = cfg.intermediate_size, cfg.hidden_size
+
+    def to_np16(a):
+        return np.asarray(jnp.asarray(a).astype(jnp.float32), dtype=np.float16)
+
+    tensors: dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": to_np16(model.params["embed_tokens"]),
+        "model.norm.weight": to_np16(model.params["norm"]),
+    }
+    if "lm_head" in model.params:
+        tensors["lm_head.weight"] = to_np16(model.params["lm_head"])
+    for i in range(L):
+        p = f"model.layers.{i}."
+        tensors[p + "input_layernorm.weight"] = to_np16(layers["input_layernorm"][i])
+        tensors[p + "post_attention_layernorm.weight"] = to_np16(
+            layers["post_attention_layernorm"][i])
+        tensors[p + "self_attn.sinks"] = to_np16(layers["self_attn.sinks"][i])
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            tensors[p + f"self_attn.{proj}.weight"] = to_np16(
+                layers[f"self_attn.{proj}"][i])
+            tensors[p + f"self_attn.{proj}.bias"] = to_np16(
+                layers[f"self_attn.{proj}__bias"][i])
+        tensors[p + "mlp.router.weight"] = to_np16(layers["moe.router"][i])
+        tensors[p + "mlp.router.bias"] = to_np16(layers["moe.router__bias"][i])
+        # re-fuse gate/up (ours [E, I, H]) into interleaved [E, 2I, H] rows
+        gate = jnp.asarray(layers["moe.gate_proj"][i], jnp.float32)
+        up = jnp.asarray(layers["moe.up_proj"][i], jnp.float32)
+        gu = jnp.stack([gate, up], axis=-2).reshape(E, 2 * inter, h)
+        pe = [_mxfp4_pack_hf(gu[e]) for e in range(E)]
+        tensors[p + "mlp.experts.gate_up_proj_blocks"] = np.stack([b for b, _ in pe])
+        tensors[p + "mlp.experts.gate_up_proj_scales"] = np.stack([s_ for _, s_ in pe])
+        gub = jnp.stack([layers["moe.gate_proj__bias"][i],
+                         layers["moe.up_proj__bias"][i]], axis=-1)
+        tensors[p + "mlp.experts.gate_up_proj_bias"] = to_np16(
+            gub.reshape(E, 2 * inter))
+        # HF down_proj blocks quantize along its contraction dim I, so the
+        # packed rows are the H outputs — exactly our [E, H, I] layout
+        down_rows = jnp.asarray(layers["moe.down_proj"][i], jnp.float32)
+        pe = [_mxfp4_pack_hf(down_rows[e]) for e in range(E)]
+        tensors[p + "mlp.experts.down_proj_blocks"] = np.stack([b for b, _ in pe])
+        tensors[p + "mlp.experts.down_proj_scales"] = np.stack([s_ for _, s_ in pe])
+        tensors[p + "mlp.experts.down_proj_bias"] = to_np16(
+            layers["moe.down_proj__bias"][i])
+    _save_safetensors_with_fp8(tensors, os.path.join(export_dir, "model.safetensors"))
+
+    hf_quant_config = {
+        "producer": {"name": "tensorrt_model_optimizer_tpu", "version": "0.1.0"},
+        "quantization": {"quant_algo": "MXFP4", "group_size": 32,
+                         "exclude_modules": ["lm_head"]},
+    }
+    with open(os.path.join(export_dir, "hf_quant_config.json"), "w") as f:
+        json.dump(hf_quant_config, f, indent=2)
+    hf_cfg = {
+        "architectures": ["GptOssForCausalLM"], "model_type": "gpt_oss",
+        "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_key_value_heads": cfg.num_key_value_heads,
+        "head_dim": cfg.hd, "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "num_local_experts": cfg.num_experts,
+        "num_experts_per_tok": cfg.top_k,
+        "sliding_window": cfg.sliding_window,
+        "layer_types": list(cfg.resolved_layer_types()),
+        "attention_bias": cfg.attention_bias,
+        "quantization_config": {"quant_method": "mxfp4",
+                                "modules_to_not_convert": []},
+        "torch_dtype": "bfloat16",
+    }
+    if cfg.rope_scaling is not None:
+        hf_cfg["rope_scaling"] = hf_loader.config_to_hf(cfg)["rope_scaling"]
+    with open(os.path.join(export_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    return hf_quant_config
+
+
 def export_hf_checkpoint(
     model: QuantizedModel, export_dir: str, max_shard_bytes: Optional[int] = None
 ) -> dict:
@@ -518,6 +636,11 @@ def export_hf_checkpoint(
     host memory never holds the full state dict — the 70B-scale path
     (reference: `unified_export_hf_streaming.py:445`). Without it, writes a
     single `model.safetensors` with identical tensors."""
+    from ..models.gpt_oss import GptOssConfig
+
+    if isinstance(model.model_cfg, GptOssConfig):
+        # GPT-OSS ships MXFP4 natively — write that format back
+        return export_gpt_oss_checkpoint(model, export_dir)
     os.makedirs(export_dir, exist_ok=True)
     cfg = model.model_cfg
     algo, group_size = _quant_algo(model)

@@ -239,3 +239,47 @@ def test_gpt_oss_export_raises_clearly(tmp_path):
                                     [jnp.zeros((1, 8), jnp.int32)])
     with pytest.raises(NotImplementedError):
         hf_export.export_hf_checkpoint(model, str(tmp_path / "oss"))
+
+
+def test_gpt_oss_native_mxfp4_export_roundtrip(tmp_path):
+    """GPT-OSS export writes the architecture's NATIVE shipped format
+    (gate_up_proj_blocks/scales, interleaved rows, E8M0 biased scales) and
+    our MXFP4-aware loader reads it back: dequantized experts == the
+    MXFP4 fake-quant of the originals."""
+    from tensorrt_model_optimizer_tpu.models import gpt_oss, hf_loader
+    from tensorrt_model_optimizer_tpu.quant import ptq as ptq_mod
+
+    cfg = gpt_oss.GptOssConfig.tiny()
+    params = gpt_oss.init_params(cfg, jax.random.PRNGKey(5))
+    # non-trivial biases/sinks so passthrough is actually checked
+    layers = dict(params["layers"])
+    layers["self_attn.sinks"] = jnp.asarray(
+        np.random.default_rng(0).normal(size=layers["self_attn.sinks"].shape),
+        jnp.float32)
+    params = {**params, "layers": layers}
+    rng = np.random.default_rng(7)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    model = ptq_mod.quantize_family("gpt_oss", cfg, params,
+                                    "MXFP4_WEIGHT_ONLY_CFG", batches)
+    qc = hf_export.export_hf_checkpoint(model, str(tmp_path / "oss"))
+    assert qc["quantization"]["quant_algo"] == "MXFP4"
+    t = _load(tmp_path / "oss")
+    blocks = t["model.layers.0.mlp.experts.gate_up_proj_blocks"]
+    assert blocks.dtype == np.uint8 and blocks.shape[-1] == 16
+    assert t["model.layers.0.mlp.experts.gate_up_proj_scales"].dtype == np.uint8
+
+    # loader roundtrip: dequantized == mxfp4 fake-quant of original
+    lcfg, lparams = hf_loader.load_hf_moe_checkpoint(
+        str(tmp_path / "oss"), dtype=jnp.float32)
+    assert lcfg.sliding_window == cfg.sliding_window
+    from tensorrt_model_optimizer_tpu.ops import numerics as nx
+
+    orig = np.asarray(params["layers"]["moe.gate_proj"][0, 1], np.float32)
+    fake = np.asarray(nx.fake_quant_mx(jnp.asarray(orig), 2, 1, 32))
+    got = np.asarray(lparams["layers"]["moe.gate_proj"][0, 1], np.float32)
+    np.testing.assert_allclose(got, fake, rtol=1e-5, atol=1e-6)
+    # sinks/biases pass through
+    np.testing.assert_allclose(
+        np.asarray(lparams["layers"]["self_attn.sinks"]),
+        np.asarray(params["layers"]["self_attn.sinks"], np.float16).astype(np.float32),
+        rtol=1e-3)
