@@ -162,34 +162,29 @@ def init_quant_state(cfg: MixtralConfig, layout: llama.QuantLayout) -> dict:
     return base
 
 
-def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
-    """Top-k routed expert MLP with capacity dispatch. x: [B, T, H]."""
-    B, T, H = x.shape
-    E, k = cfg.num_experts, cfg.top_k
-    S = B * T
-    C = max(int(cfg.capacity_factor * S * k / E), 1)
-    xf = x.reshape(S, H)
-    new_state = {}
-
-    router_w = lp["moe.router"]  # [E, H]
-    logits = (xf.astype(jnp.float32) @ router_w.T.astype(jnp.float32))  # [S, E]
-    if cfg.router_bias:
-        logits = logits + lp["moe.router__bias"].astype(jnp.float32)
+def route(cfg: MixtralConfig, logits: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Routing-weight semantics shared by calibration/fake-quant forwards
+    and the serving engine. logits [S, E] f32 -> (topw, topi) [S, k]."""
+    k = cfg.top_k
     if cfg.router_sigmoid_input_scaled:
-        topw, topi = jax.lax.top_k(logits, k)  # [S, k]
+        topw, topi = jax.lax.top_k(logits, k)
         topw = jax.nn.sigmoid(topw)
     elif cfg.router_softmax_after_topk:
         # GPT-OSS GptOssTopKRouter: top-k on raw logits, softmax over the
         # k selected values
-        topw, topi = jax.lax.top_k(logits, k)  # [S, k]
+        topw, topi = jax.lax.top_k(logits, k)
         topw = jax.nn.softmax(topw, axis=-1)
     else:
         probs = jax.nn.softmax(logits, axis=-1)
-        topw, topi = jax.lax.top_k(probs, k)  # [S, k]
+        topw, topi = jax.lax.top_k(probs, k)
         if cfg.norm_topk_prob:
             topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    return topw, topi
 
-    # capacity-based position assignment per expert
+
+def dispatch_combine(cfg: MixtralConfig, topw, topi, S: int, C: int):
+    """Capacity-based one-hot dispatch/combine einsums [S, E, C]."""
+    E, k = cfg.num_experts, cfg.top_k
     onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [S, k, E]
     pos = jnp.cumsum(onehot.reshape(S * k, E), axis=0).reshape(S, k, E) - 1.0
     in_cap = (pos < C) & (onehot > 0)
@@ -203,6 +198,34 @@ def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
     else:
         dispatch = jnp.sum(assign, axis=1)  # [S, E, C]
         combine = jnp.einsum("skec,sk->sec", assign, topw)
+    return dispatch, combine
+
+
+def expert_act(cfg: MixtralConfig, g: jax.Array, u: jax.Array) -> jax.Array:
+    """Expert nonlinearity in f32: silu*up, or GPT-OSS clamped swiglu."""
+    gf, uf = g.astype(jnp.float32), u.astype(jnp.float32)
+    if cfg.swiglu_limit is not None:
+        gf = jnp.minimum(gf, cfg.swiglu_limit)
+        uf = jnp.clip(uf, -cfg.swiglu_limit, cfg.swiglu_limit)
+        return (uf + 1.0) * gf * jax.nn.sigmoid(cfg.swiglu_alpha * gf)
+    return jax.nn.silu(gf) * uf
+
+
+def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
+    """Top-k routed expert MLP with capacity dispatch. x: [B, T, H]."""
+    B, T, H = x.shape
+    E, k = cfg.num_experts, cfg.top_k
+    S = B * T
+    C = max(int(cfg.capacity_factor * S * k / E), 1)
+    xf = x.reshape(S, H)
+    new_state = {}
+
+    router_w = lp["moe.router"]  # [E, H]
+    logits = (xf.astype(jnp.float32) @ router_w.T.astype(jnp.float32))  # [S, E]
+    if cfg.router_bias:
+        logits = logits + lp["moe.router__bias"].astype(jnp.float32)
+    topw, topi = route(cfg, logits)
+    dispatch, combine = dispatch_combine(cfg, topw, topi, S, C)
 
     xe = jnp.einsum("sec,sh->ech", dispatch, xf.astype(jnp.float32)).astype(x.dtype)
 
@@ -222,15 +245,7 @@ def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
         if bias is not None:
             g = g + bias["gate"].astype(g.dtype)
             u = u + bias["up"].astype(u.dtype)
-        gf, uf = g.astype(jnp.float32), u.astype(jnp.float32)
-        if cfg.swiglu_limit is not None:
-            # GPT-OSS clamped swiglu (GptOssExperts.forward)
-            gf = jnp.minimum(gf, cfg.swiglu_limit)
-            uf = jnp.clip(uf, -cfg.swiglu_limit, cfg.swiglu_limit)
-            y = ((uf + 1.0) * gf * jax.nn.sigmoid(cfg.swiglu_alpha * gf))
-        else:
-            y = jax.nn.silu(gf) * uf
-        y = y.astype(xe_e.dtype)
+        y = expert_act(cfg, g, u).astype(xe_e.dtype)
         d = y @ q("moe.down_proj", wd, wst["moe.down_proj"]).T.astype(y.dtype)
         if bias is not None:
             d = d + bias["down"].astype(d.dtype)

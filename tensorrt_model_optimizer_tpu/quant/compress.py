@@ -201,7 +201,7 @@ def convert_nvfp4_word(cm: "CompressedModel") -> "CompressedModel":
             continue
         arr = new_layers[name]
         pack = qmm_mod.nvfp4_word_pack
-        if arr["packed"].ndim == 3:  # stacked [L, ...]
+        for _ in range(arr["packed"].ndim - 2):  # stacked [L(, E), ...]
             pack = jax.vmap(pack)
         packed, scales = pack(arr["packed"], arr["scale_lo"], arr["scale_hi"])
         new_layers[name] = {
@@ -236,7 +236,7 @@ def convert_mxfp4_word(cm: "CompressedModel") -> "CompressedModel":
         import functools
 
         pack = functools.partial(qmm_mod.nvfp4_word_pack, block_size=bsz)
-        if arr["packed"].ndim == 3:
+        for _ in range(arr["packed"].ndim - 2):
             pack = jax.vmap(pack)
         packed, _ = pack(
             arr["packed"],
@@ -266,7 +266,7 @@ def convert_int4_word(cm: "CompressedModel") -> "CompressedModel":
             continue
         arr = new_layers[name]
         pack = qmm_mod.int4_word_pack
-        if arr["packed"].ndim == 3:
+        for _ in range(arr["packed"].ndim - 2):
             pack = jax.vmap(pack)
         packed, scales = pack(arr["packed"], arr["scale_lo"], arr["scale_hi"])
         new_layers[name] = {"packed": packed, "scales": scales}
@@ -385,10 +385,19 @@ class CompressedModel:
 
 
 def compress(model: QuantizedModel) -> CompressedModel:
-    """Pack every projection weight per its calibrated quantizer."""
+    """Pack every projection weight per its calibrated quantizer.
+
+    Covers the llama projections plus MoE-family expert stacks
+    ("moe.gate/up/down_proj", stacked [L, E, O, K]) and Llama4's shared
+    expert — whatever weight sites the model's layout declares and its
+    params carry. Routers/norms/biases/sinks pass through unpacked."""
     new_layers = dict(model.params["layers"])
     kinds = {}
-    for name in llama.PROJ_NAMES:
+    names = [n for n in llama.PROJ_NAMES if n in model.params["layers"]]
+    names += [n for n in model.params["layers"]
+              if n.split(".")[0] in ("moe", "shared")
+              and n.endswith(("gate_proj", "up_proj", "down_proj"))]
+    for name in names:
         wcfg = model.layout.get(f"{name}.weight")
         st = model.qstate.get(name, {}).get("weight")
         w = model.params["layers"][name]

@@ -61,7 +61,7 @@ class EngineConfig:
 
 
 def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
-             adapter=None, tp_axis=None, row=False):
+             adapter=None, tp_axis=None, row=False, skip_input_quant=False):
     """Quantized matmul dispatch: y = q_act(x) @ dequant(W)^T.
 
     `x` is [B*T, K] 2-D. Input quantizers stay active on the real-quant path
@@ -78,6 +78,11 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
     if tp_axis is not None and row:
         reduce_amax = lambda am: jax.lax.pmax(am, tp_axis)
     icfg = cm.layout.get(f"{name}.input")
+    if skip_input_quant:
+        # caller already applied the block's shared input quantizer (MoE
+        # experts share ONE site on the gate input, matching the
+        # calibrated forward's semantics)
+        icfg = dataclasses.replace(icfg, enable=False)
     if kind == "int8" and icfg.enable and not icfg.is_fp:
         # W8A8 on the native int8 MXU: per-token dynamic act quant, int8 x
         # int8 -> int32, rescale by (act_scale * weight_scale). Exact
@@ -122,6 +127,74 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
     if tp_axis is not None and row:
         y = jax.lax.psum(y, tp_axis)
     return y
+
+
+def _moe_ffn(cfg, cm, backend, h2, lp, lstate, kinds, tp_axis=None):
+    """Routed-expert FFN on packed weights (mixtral/qwen3-moe/gpt-oss).
+
+    Routing/dispatch/activation semantics come from the model family
+    (`models.mixtral.route/dispatch_combine/expert_act`) so serving is
+    token-faithful to the calibrated forward; each expert's packed slice
+    goes through the same `_qlinear` kernels as dense projections (a
+    static python loop over E — traced once)."""
+    from ..models import mixtral
+
+    S, H = h2.shape
+    E, k = cfg.num_experts, cfg.top_k
+    C = max(int(cfg.capacity_factor * S * k / E), 1)
+    logits = h2.astype(jnp.float32) @ lp["moe.router"].T.astype(jnp.float32)
+    if cfg.router_bias:
+        logits = logits + lp["moe.router__bias"].astype(jnp.float32)
+    topw, topi = mixtral.route(cfg, logits)
+    dispatch, combine = mixtral.dispatch_combine(cfg, topw, topi, S, C)
+    xe = jnp.einsum("sec,sh->ech", dispatch, h2.astype(jnp.float32)).astype(h2.dtype)
+    ist = (lstate or {}).get("moe.gate_proj", {}).get("input")
+    icfg_g = cm.layout.get("moe.gate_proj.input")
+    ye = []
+    for e in range(E):
+        sl = lambda n: jax.tree.map(lambda a: a[e], lp[n])
+        xq = xe[e]
+        if icfg_g.enable or (ist is not None and ist.pre_quant_scale is not None):
+            # ONE shared input site per expert block (the calibrated
+            # forward quantizes h_in once before gate AND up; down input
+            # stays unquantized — mixtral._moe_mlp semantics)
+            xq = Q.quantize(xq, icfg_g, ist)
+        g = _qlinear(xq, "moe.gate_proj", kinds["moe.gate_proj"],
+                     sl("moe.gate_proj"), cm, backend, ist, None, tp_axis,
+                     skip_input_quant=True)
+        u = _qlinear(xq, "moe.up_proj", kinds["moe.up_proj"],
+                     sl("moe.up_proj"), cm, backend, ist, None, tp_axis,
+                     skip_input_quant=True)
+        if cfg.moe_bias:
+            g = g + lp["moe.gate_proj__bias"][e].astype(g.dtype)
+            u = u + lp["moe.up_proj__bias"][e].astype(u.dtype)
+        y = mixtral.expert_act(cfg, g, u).astype(h2.dtype)
+        d = _qlinear(y, "moe.down_proj", kinds["moe.down_proj"],
+                     sl("moe.down_proj"), cm, backend, None, None, tp_axis,
+                     skip_input_quant=True)
+        if cfg.moe_bias:
+            d = d + lp["moe.down_proj__bias"][e].astype(d.dtype)
+        ye.append(d)
+    ye = jnp.stack(ye)  # [E, C, H]
+    return jnp.einsum(
+        "sec,ech->sh", combine, ye.astype(jnp.float32)
+    ).astype(h2.dtype)
+
+
+def _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis=None):
+    """Dense or routed FFN on packed weights (dispatch on the layer leaves)."""
+    if "moe.gate_proj" in lp:
+        y = _moe_ffn(cfg, cm, backend, h2, lp, lstate, kinds, tp_axis)
+        if "shared.gate_proj" in lp:  # Llama4 shared expert adds in
+            g = _qlinear(h2, "shared.gate_proj", kinds["shared.gate_proj"], lp["shared.gate_proj"], cm, backend, ist("shared.gate_proj"), None, tp_axis)
+            u = _qlinear(h2, "shared.up_proj", kinds["shared.up_proj"], lp["shared.up_proj"], cm, backend, ist("shared.up_proj"), None, tp_axis)
+            ys = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(h2.dtype)
+            y = y + _qlinear(ys, "shared.down_proj", kinds["shared.down_proj"], lp["shared.down_proj"], cm, backend, ist("shared.down_proj"), None, tp_axis, row=True)
+        return y
+    g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"), ad("mlp.gate_proj"), tp_axis)
+    u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"), ad("mlp.up_proj"), tp_axis)
+    y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(h2.dtype)
+    return _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"), tp_axis, row=True)
 
 
 def _kv_store(v: jax.Array, dtype, amax: Optional[jax.Array]):
@@ -197,6 +270,9 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     q = q.reshape(B, T, nH, hd)
     k = k.reshape(B, T, nKV, hd)
     v = v.reshape(B, T, nKV, hd)
+    if "self_attn.q_norm" in lp:  # Qwen3-style per-head norms
+        q = llama.rms_norm(q, lp["self_attn.q_norm"], eps)
+        k = llama.rms_norm(k, lp["self_attn.k_norm"], eps)
     q = llama.rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
     k = llama.rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
@@ -243,10 +319,7 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
 
     h = llama.rms_norm(x, lp["post_attention_layernorm"], eps)
     h2 = h.reshape(B * T, H)
-    g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"), ad("mlp.gate_proj"), tp_axis)
-    u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"), ad("mlp.up_proj"), tp_axis)
-    y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
-    d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"), tp_axis, row=True)
+    d = _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis)
     x = x + d.reshape(B, T, H)
     return x, ck, cv, keep_frac
 
@@ -455,8 +528,13 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
             q = q + lp["self_attn.q_proj__bias"].astype(q.dtype)
             k = k + lp["self_attn.k_proj__bias"].astype(k.dtype)
             v = v + lp["self_attn.v_proj__bias"].astype(v.dtype)
-        q = llama.rope(q.reshape(B, T, nH, hd), positions, cfg.rope_theta, cfg.rope_scaling)
-        k = llama.rope(k.reshape(B, T, nKV, hd), positions, cfg.rope_theta, cfg.rope_scaling)
+        q = q.reshape(B, T, nH, hd)
+        k = k.reshape(B, T, nKV, hd)
+        if "self_attn.q_norm" in lp:  # Qwen3-style per-head norms
+            q = llama.rms_norm(q, lp["self_attn.q_norm"], cfg.rms_norm_eps)
+            k = llama.rms_norm(k, lp["self_attn.k_norm"], cfg.rms_norm_eps)
+        q = llama.rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        k = llama.rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
         v = v.reshape(B, T, nKV, hd)
         ctx, kp, vp = _paged_layer_attn(
             cfg, ecfg, q, k, v, kp, vp, cache, positions, ka_l, va_l,
@@ -466,10 +544,7 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
         x = x + attn.reshape(B, T, -1)
         h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         h2 = h.reshape(B * T, -1)
-        g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"), ad("mlp.gate_proj"), tp_axis)
-        u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"), ad("mlp.up_proj"), tp_axis)
-        y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
-        d = _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"), tp_axis, row=True)
+        d = _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis)
         x = x + d.reshape(B, T, -1)
         return x, (kp, vp)
 

@@ -607,3 +607,41 @@ def test_mxfp4_word_kernel_and_engine(tiny_ptq):
     ref2, _, _ = model.forward(prompt)
     corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref2[:, -1]).ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+class TestMoEServing:
+    """Routed-expert serving in the main engine (mixtral/qwen3-moe)."""
+
+    @pytest.fixture(scope="class")
+    def moe_ptq(self):
+        from tensorrt_model_optimizer_tpu.models import mixtral
+
+        cfg = mixtral.MixtralConfig.tiny(qk_norm=True, capacity_factor=4.0)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(4))
+        rng = np.random.default_rng(12)
+        batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+        model = ptq.quantize_family("mixtral", cfg, params, "NVFP4_DEFAULT_CFG", batches)
+        return cfg, params, model, batches
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_prefill_matches_fakequant(self, moe_ptq, backend):
+        cfg, params, model, batches = moe_ptq
+        cm = compress.compress(model)
+        assert cm.kinds["moe.gate_proj"] == "nvfp4"
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+            max_seq_len=32, backend=backend))
+        prompt = batches[0][:, :8]
+        logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+        ref, _ = model.forward(prompt)
+        corr = np.corrcoef(np.asarray(logits).ravel(),
+                           np.asarray(ref[:, -1]).ravel())[0, 1]
+        assert corr > 0.99, (backend, corr)
+
+    def test_generate_runs_and_decodes(self, moe_ptq):
+        cfg, params, model, batches = moe_ptq
+        cm = compress.compress(model)
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+            max_seq_len=48, backend="xla"))
+        out = eng.generate(batches[0][:, :8], max_new_tokens=4)
+        assert out.shape == (2, 4)
+        assert np.all(np.asarray(out) >= 0)
