@@ -311,7 +311,18 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
         v_all = jnp.repeat(v_all, rep, axis=2)
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k_all, preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(hd) + mask
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        sinks = lp.get("self_attn.sinks")
+        if sinks is not None:
+            # GPT-OSS attention sinks: a learned per-head logit joins the
+            # softmax denominator, its mass is dropped (llama._attention)
+            sk = jnp.broadcast_to(
+                sinks.astype(jnp.float32)[None, :, None, None],
+                scores.shape[:3] + (1,))
+            comb = jnp.concatenate([scores, sk], axis=-1)
+            comb = comb - jnp.max(comb, axis=-1, keepdims=True)
+            probs = jax.nn.softmax(comb, axis=-1)[..., :-1].astype(x.dtype)
+        else:
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B * T, nH * hd)
 
     attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True)
@@ -338,21 +349,36 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
     B, T = tokens.shape
     x = params["embed_tokens"][tokens].astype(cfg.dtype)
     S = cache["k"].shape[2]
+    kpos = jnp.arange(S)[None, :]
+    qpos = positions[0][:, None]
     if mask_override is not None:
         mask = mask_override
     else:
-        kpos = jnp.arange(S)[None, :]
-        qpos = positions[0][:, None]
         mask = jnp.where(kpos <= qpos, 0.0, -1e9)[None, None, :, :].astype(jnp.float32)
+    # GPT-OSS alternating sliding windows: per-layer flag rides the scan
+    window = getattr(cfg, "sliding_window", None)
+    ltypes = (cfg.resolved_layer_types()
+              if hasattr(cfg, "resolved_layer_types") else None)
+    L_ = cfg.num_hidden_layers
+    if window and ltypes and mask_override is None:
+        slide_mask = jnp.where(
+            (kpos <= qpos) & (kpos > qpos - window), 0.0, -1e9
+        )[None, None, :, :].astype(jnp.float32)
+        sliding_flags = jnp.asarray(
+            [t == "sliding_attention" for t in ltypes], jnp.bool_)
+    else:  # (tree-verify mask_override applies to every layer)
+        slide_mask = mask
+        sliding_flags = jnp.zeros((L_,), jnp.bool_)
     kinds = cm.kinds
     k_amax = _kv_amax_from(qstate, "k")
     v_amax = _kv_amax_from(qstate, "v")
 
     def body(carry, per_layer):
         x = carry
-        lp, lstate, ck, cv, ka, va = per_layer
+        lp, lstate, ck, cv, ka, va, sliding = per_layer
+        mask_l = jnp.where(sliding, slide_mask, mask)
         x, ck, cv, keep_frac = _layer_forward(
-            cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask, ck, cv,
+            cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask_l, ck, cv,
             cache["pos"], ka, va, tp_axis=tp_axis, sparse_prefill=sparse_prefill,
         )
         ys = (ck, cv) if not sparse_prefill else (ck, cv, keep_frac)
@@ -367,7 +393,8 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
         for name, sub in (qstate or {}).items()
         if isinstance(sub, dict) and "input" in sub
     }
-    xs = (params["layers"], act_state, cache["k"], cache["v"], ka, va)
+    xs = (params["layers"], act_state, cache["k"], cache["v"], ka, va,
+          sliding_flags)
     keep_fracs = None
     if sparse_prefill:
         x, (ck, cv, keep_fracs) = jax.lax.scan(body, x, xs)
@@ -493,6 +520,10 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
     T>1 = chunked prefill writing the chunk's kv into pages)."""
     from . import paged_cache as pc
 
+    if "self_attn.sinks" in params["layers"]:
+        raise NotImplementedError(
+            "paged serving does not support attention sinks / sliding "
+            "windows yet (GPT-OSS) — use the dense cache path")
     B, T = tokens.shape
     x = params["embed_tokens"][tokens].astype(cfg.dtype)
     positions = cache.seq_lens[:, None] + jnp.arange(T)[None, :]
