@@ -244,8 +244,13 @@ def _kv_amax_from(qstate, which: str) -> Optional[jax.Array]:
 
 def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask,
                    ck, cv, pos, k_amax_l, v_amax_l, tp_axis=None,
-                   sparse_prefill=False):
-    """One decoder layer on packed weights. ck/cv: [B, S, n_kv, hd] stored."""
+                   sparse_prefill=False, alt_flag=None):
+    """One decoder layer on packed weights. ck/cv: [B, S, n_kv, hd] stored.
+
+    `alt_flag` is the per-layer scan-traced bool used by alternating
+    architectures: GPT-OSS (True = sliding mask, already folded into
+    `mask`) and Llama4 (True = rope+chunked layer, False = nope layer with
+    attention temperature tuning)."""
     B, T, H = x.shape
     hd, nH, nKV = cfg.hd, cfg.num_attention_heads, cfg.num_key_value_heads
     eps = cfg.rms_norm_eps
@@ -270,11 +275,29 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     q = q.reshape(B, T, nH, hd)
     k = k.reshape(B, T, nKV, hd)
     v = v.reshape(B, T, nKV, hd)
-    if "self_attn.q_norm" in lp:  # Qwen3-style per-head norms
-        q = llama.rms_norm(q, lp["self_attn.q_norm"], eps)
-        k = llama.rms_norm(k, lp["self_attn.k_norm"], eps)
-    q = llama.rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
-    k = llama.rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+    if hasattr(cfg, "use_rope_layers"):  # Llama4: interleaved rope on rope
+        # layers, log-floor temperature tuning on nope layers
+        from ..models.llama4 import _l2norm
+
+        qr = llama.rope_interleaved(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        kr = llama.rope_interleaved(k, positions, cfg.rope_theta, cfg.rope_scaling)
+        if cfg.use_qk_norm:
+            qr = _l2norm(qr, eps)
+            kr = _l2norm(kr, eps)
+        qn = q
+        if cfg.attn_temperature_tuning:
+            scales = (jnp.log1p(jnp.floor(
+                (positions.astype(jnp.float32) + 1.0) / cfg.floor_scale
+            )) * cfg.attn_scale + 1.0)
+            qn = (q.astype(jnp.float32) * scales[..., None, None]).astype(q.dtype)
+        q = jnp.where(alt_flag, qr, qn)
+        k = jnp.where(alt_flag, kr, k)
+    else:
+        if "self_attn.q_norm" in lp:  # Qwen3-style per-head norms
+            q = llama.rms_norm(q, lp["self_attn.q_norm"], eps)
+            k = llama.rms_norm(k, lp["self_attn.k_norm"], eps)
+        q = llama.rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        k = llama.rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
     kv_dtype = ecfg.kv_dtype
     ck = jax.lax.dynamic_update_slice_in_dim(
@@ -355,7 +378,10 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
         mask = mask_override
     else:
         mask = jnp.where(kpos <= qpos, 0.0, -1e9)[None, None, :, :].astype(jnp.float32)
-    # GPT-OSS alternating sliding windows: per-layer flag rides the scan
+    # Alternating-attention families: a per-layer flag rides the scan.
+    # GPT-OSS: flagged layers see only the last `sliding_window` keys.
+    # Llama4: flagged (rope) layers see only their `attention_chunk_size`
+    # chunk; unflagged (nope) layers stay fully causal.
     window = getattr(cfg, "sliding_window", None)
     ltypes = (cfg.resolved_layer_types()
               if hasattr(cfg, "resolved_layer_types") else None)
@@ -366,9 +392,17 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
         )[None, None, :, :].astype(jnp.float32)
         sliding_flags = jnp.asarray(
             [t == "sliding_attention" for t in ltypes], jnp.bool_)
+    elif hasattr(cfg, "use_rope_layers") and mask_override is None:
+        chunk = cfg.attention_chunk_size
+        slide_mask = jnp.where(
+            (kpos <= qpos) & (kpos // chunk == qpos // chunk), 0.0, -1e9
+        )[None, None, :, :].astype(jnp.float32)
+        sliding_flags = jnp.asarray(cfg.use_rope_layers(), jnp.bool_)
     else:  # (tree-verify mask_override applies to every layer)
         slide_mask = mask
-        sliding_flags = jnp.zeros((L_,), jnp.bool_)
+        sliding_flags = (jnp.asarray(cfg.use_rope_layers(), jnp.bool_)
+                         if hasattr(cfg, "use_rope_layers")
+                         else jnp.zeros((L_,), jnp.bool_))
     kinds = cm.kinds
     k_amax = _kv_amax_from(qstate, "k")
     v_amax = _kv_amax_from(qstate, "v")
@@ -380,6 +414,7 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
         x, ck, cv, keep_frac = _layer_forward(
             cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask_l, ck, cv,
             cache["pos"], ka, va, tp_axis=tp_axis, sparse_prefill=sparse_prefill,
+            alt_flag=sliding,
         )
         ys = (ck, cv) if not sparse_prefill else (ck, cv, keep_frac)
         return x, ys

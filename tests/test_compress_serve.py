@@ -718,3 +718,41 @@ class TestGptOssServing:
             max_seq_len=48, backend="xla"))
         out = eng.generate(batches[0][:1, :8], max_new_tokens=4)
         assert out.shape == (1, 4)
+
+
+class TestLlama4Serving:
+    """Llama4 in the main engine: interleaved rope, nope-layer temperature,
+    chunked attention, sigmoid input-scaled MoE + shared expert."""
+
+    @pytest.fixture(scope="class")
+    def l4_ptq(self):
+        from tensorrt_model_optimizer_tpu.models import llama4
+
+        cfg = llama4.Llama4Config.tiny(
+            capacity_factor=4.0, attention_chunk_size=4, floor_scale=4.0)
+        params = llama4.init_params(cfg, jax.random.PRNGKey(8))
+        rng = np.random.default_rng(14)
+        batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+        model = ptq.quantize_family("llama4", cfg, params, "NVFP4_DEFAULT_CFG", batches)
+        return cfg, params, model, batches
+
+    def test_prefill_matches_fakequant(self, l4_ptq):
+        cfg, params, model, batches = l4_ptq
+        cm = compress.compress(model)
+        assert cm.kinds["shared.gate_proj"] == "nvfp4"
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+            max_seq_len=32, backend="pallas"))
+        prompt = batches[0][:, :12]  # > chunk and > floor_scale
+        logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+        ref, _ = model.forward(prompt)
+        corr = np.corrcoef(np.asarray(logits).ravel(),
+                           np.asarray(ref[:, -1]).ravel())[0, 1]
+        assert corr > 0.99, corr
+
+    def test_generate_runs(self, l4_ptq):
+        cfg, params, model, batches = l4_ptq
+        cm = compress.compress(model)
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+            max_seq_len=48, backend="xla"))
+        out = eng.generate(batches[0][:1, :8], max_new_tokens=4)
+        assert out.shape == (1, 4)
