@@ -147,11 +147,20 @@ def _moe_ffn(cfg, cm, backend, h2, lp, lstate, kinds, tp_axis=None):
         logits = logits + lp["moe.router__bias"].astype(jnp.float32)
     topw, topi = mixtral.route(cfg, logits)
     dispatch, combine = mixtral.dispatch_combine(cfg, topw, topi, S, C)
+    E_loop = E
+    if tp_axis is not None:
+        # expert parallelism: this device holds E/d experts; routing is
+        # computed on the replicated activations, the dispatch/combine
+        # slices pick the local experts, and the combine partial psums
+        E_loop = jax.tree.leaves(lp["moe.gate_proj"])[0].shape[0]
+        e0 = jax.lax.axis_index(tp_axis) * E_loop
+        dispatch = jax.lax.dynamic_slice_in_dim(dispatch, e0, E_loop, axis=1)
+        combine = jax.lax.dynamic_slice_in_dim(combine, e0, E_loop, axis=1)
     xe = jnp.einsum("sec,sh->ech", dispatch, h2.astype(jnp.float32)).astype(h2.dtype)
     ist = (lstate or {}).get("moe.gate_proj", {}).get("input")
     icfg_g = cm.layout.get("moe.gate_proj.input")
     ye = []
-    for e in range(E):
+    for e in range(E_loop):
         sl = lambda n: jax.tree.map(lambda a: a[e], lp[n])
         xq = xe[e]
         if icfg_g.enable or (ist is not None and ist.pre_quant_scale is not None):
@@ -175,10 +184,13 @@ def _moe_ffn(cfg, cm, backend, h2, lp, lstate, kinds, tp_axis=None):
         if cfg.moe_bias:
             d = d + lp["moe.down_proj__bias"][e].astype(d.dtype)
         ye.append(d)
-    ye = jnp.stack(ye)  # [E, C, H]
-    return jnp.einsum(
+    ye = jnp.stack(ye)  # [E(_local), C, H]
+    y = jnp.einsum(
         "sec,ech->sh", combine, ye.astype(jnp.float32)
     ).astype(h2.dtype)
+    if tp_axis is not None:
+        y = jax.lax.psum(y, tp_axis)
+    return y
 
 
 def _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis=None):
@@ -349,6 +361,8 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B * T, nH * hd)
 
     attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True)
+    if "self_attn.o_proj__bias" in lp:  # GPT-OSS biases all four projections
+        attn = attn + lp["self_attn.o_proj__bias"].astype(attn.dtype)
     x = x + attn.reshape(B, T, H)
 
     h = llama.rms_norm(x, lp["post_attention_layernorm"], eps)
@@ -607,6 +621,8 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
             write_mask=active,
         )
         attn = _qlinear(ctx.reshape(B * T, -1), "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True)
+        if "self_attn.o_proj__bias" in lp:
+            attn = attn + lp["self_attn.o_proj__bias"].astype(attn.dtype)
         x = x + attn.reshape(B, T, -1)
         h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         h2 = h.reshape(B * T, -1)

@@ -44,8 +44,10 @@ COL_SITES = (
     "self_attn.v_proj",
     "mlp.gate_proj",
     "mlp.up_proj",
+    "shared.gate_proj",
+    "shared.up_proj",
 )
-ROW_SITES = ("self_attn.o_proj", "mlp.down_proj")
+ROW_SITES = ("self_attn.o_proj", "mlp.down_proj", "shared.down_proj")
 
 
 @dataclasses.dataclass
@@ -130,6 +132,25 @@ def _relayout_site(kind: str, arrays: dict, col: bool, d: int, axis: str):
                 )
         if kind == "nvfp4":
             specs["global_scale"] = P()  # [L]
+    elif kind == "mxfp4":
+        # same plane machinery as int4/nvfp4; E8M0 exponents are the
+        # per-plane "scales" (int8 round-trips the f32 cast losslessly)
+        if col:
+            arrays["packed"] = _plane_to_tp_major(arrays["packed"], d)
+            arrays["exp_lo"], arrays["exp_hi"] = _scales_to_tp_major(
+                arrays["exp_lo"], arrays["exp_hi"], d
+            )
+            specs["packed"] = shard_O
+            specs["exp_lo"] = shard_O
+            specs["exp_hi"] = shard_O
+        else:
+            specs["packed"] = shard_K
+            nblk = arrays["exp_lo"].shape[-1]
+            if nblk % d == 0:
+                specs["exp_lo"] = shard_K
+                specs["exp_hi"] = shard_K
+            else:
+                raise ValueError(f"K block count {nblk} not divisible by tp={d}")
     else:
         raise ValueError(f"cannot TP-shard kind {kind!r} (convert perm after sharding)")
     return arrays, specs
@@ -181,7 +202,22 @@ def shard_compressed(
     kinds = dict(cm.kinds)
     layer_specs: dict[str, Any] = {}
 
+    if any(n.startswith("moe.") for n in cm.kinds):
+        assert cfg.num_experts % d == 0, "experts not divisible by tp"
+
     for name, kind in cm.kinds.items():
+        if name.startswith("moe."):
+            # expert parallelism: stacked [L, E, ...] leaves shard the E
+            # axis; each device runs its local experts on the replicated
+            # activations and the combine partial psums (serve/engine
+            # _moe_ffn slices dispatch/combine by axis_index)
+            arrays = dict(new_layers[name])
+            layer_specs[name] = {
+                k: P(None, axis, *([None] * (v.ndim - 2)))
+                for k, v in arrays.items()
+            }
+            new_layers[name] = arrays
+            continue
         col = name in COL_SITES
         arrays, specs = _relayout_site(kind, new_layers[name], col, d, axis)
         if kind == "nvfp4" and nvfp4_perm:
@@ -190,11 +226,23 @@ def shard_compressed(
         new_layers[name] = arrays
         layer_specs[name] = specs
 
-    # Qwen2-style attention biases: column-sharded with their projection
+    # Qwen2-style attention biases: column-sharded with their projection;
+    # MoE expert biases shard the E axis, the router (+ its bias) and
+    # per-head-dim norms replicate, sinks shard with the q heads
     for name in list(new_layers):
-        if name.endswith("__bias"):
+        if name in layer_specs or name == "__adapters__":
+            continue
+        arr = new_layers[name]
+        if name == "moe.router" or name == "moe.router__bias":
+            layer_specs[name] = P()
+        elif name.startswith("moe.") and name.endswith("__bias"):
+            layer_specs[name] = P(None, axis, *([None] * (arr.ndim - 2)))
+        elif name == "self_attn.sinks":
             layer_specs[name] = P(None, axis)
-        elif name in ("input_layernorm", "post_attention_layernorm"):
+        elif name.endswith("__bias"):
+            bias_col = name[: -len("__bias")] in COL_SITES
+            layer_specs[name] = P(None, axis) if bias_col else P()
+        else:  # norms (input/post/q_norm/k_norm), anything residual-shaped
             layer_specs[name] = P()
 
     # SVDQuant adapters: col -> shard B rows; row -> shard A's input dim

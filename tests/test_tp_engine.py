@@ -155,3 +155,48 @@ class TestTPEngineParity:
             cm, dataclasses.replace(ec, mesh=tp_mesh(2)), prompt
         )
         np.testing.assert_array_equal(got, ref)
+
+
+class TestMoEExpertParallel:
+    """Expert-parallel MoE serving: TP=2 token parity vs single device."""
+
+    def _moe_cm(self, preset, gpt_oss=False):
+        if gpt_oss:
+            from tensorrt_model_optimizer_tpu.models import gpt_oss as fam
+
+            cfg = fam.GptOssConfig.tiny(capacity_factor=4.0, sliding_window=4)
+        else:
+            from tensorrt_model_optimizer_tpu.models import mixtral as fam
+
+            cfg = fam.MixtralConfig.tiny(qk_norm=True, capacity_factor=4.0)
+        params = fam.init_params(cfg, jax.random.PRNGKey(9))
+        if gpt_oss:
+            layers = dict(params["layers"])
+            layers["self_attn.sinks"] = jnp.asarray(
+                np.random.default_rng(2).normal(size=layers["self_attn.sinks"].shape),
+                cfg.dtype)
+            params = {**params, "layers": layers}
+        rng = np.random.default_rng(15)
+        batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+        model = ptq.quantize_family(
+            "gpt_oss" if gpt_oss else "mixtral", cfg, params, preset, batches)
+        return compress.compress(model), batches
+
+    @pytest.mark.parametrize("preset", ["INT8_DEFAULT_CFG", "NVFP4_DEFAULT_CFG"])
+    def test_mixtral_tp2_token_parity(self, preset):
+        cm, batches = self._moe_cm(preset)
+        prompt = batches[0][:, :8]
+        ref, _ = _generate(cm, serve_engine.EngineConfig(
+            max_seq_len=48, backend="xla"), prompt)
+        got, _ = _generate(cm, serve_engine.EngineConfig(
+            max_seq_len=48, backend="xla", mesh=tp_mesh(2)), prompt)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_gpt_oss_tp2_token_parity(self):
+        cm, batches = self._moe_cm("MXFP4_DEFAULT_CFG", gpt_oss=True)
+        prompt = batches[0][:, :8]
+        ref, _ = _generate(cm, serve_engine.EngineConfig(
+            max_seq_len=48, backend="xla"), prompt)
+        got, _ = _generate(cm, serve_engine.EngineConfig(
+            max_seq_len=48, backend="xla", mesh=tp_mesh(2)), prompt)
+        np.testing.assert_array_equal(got, ref)
