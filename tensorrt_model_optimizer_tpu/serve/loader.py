@@ -51,7 +51,21 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
     with open(os.path.join(path, "hf_quant_config.json")) as f:
         qc = json.load(f)["quantization"]
     with open(os.path.join(path, "config.json")) as f:
-        cfg = hf_loader.config_from_hf(json.load(f))
+        cfg_d = json.load(f)
+    cfg = hf_loader.config_from_hf(cfg_d)
+    is_moe = cfg_d.get("model_type") in ("qwen3_moe", "mixtral")
+    if is_moe:
+        from ..models.mixtral import MixtralConfig
+
+        E_ = cfg_d.get("num_experts", cfg_d.get("num_local_experts"))
+        cfg = MixtralConfig(**{
+            **cfg.__dict__,
+            "intermediate_size": cfg_d.get("moe_intermediate_size",
+                                           cfg_d["intermediate_size"]),
+            "num_experts": E_,
+            "top_k": cfg_d.get("num_experts_per_tok", 2),
+            "norm_topk_prob": cfg_d.get("norm_topk_prob", True),
+        })
     tensors = hf_export.load_exported(path)
     algo = qc["quant_algo"]
     # SVDQuant = base format + low-rank tensors; strip for weight decode
@@ -72,6 +86,8 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
     kinds: dict[str, str] = {}
     qstate: dict = {}
     for name, hf_fmt in hf_export.PROJ_TO_HF.items():
+        if is_moe and name.startswith("mlp."):
+            continue  # MoE checkpoints carry experts instead
         base = hf_fmt + ".{suffix}"
 
         def t(i, suffix):
@@ -142,6 +158,67 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
                 pre_quant_scale=pqs.astype(jnp.float32)
             )
 
+    if is_moe:
+        E = cfg.num_experts
+        layers["moe.router"] = stack("model.layers.{i}.mlp.gate.weight", cfg.dtype)
+        if "model.layers.0.self_attn.q_norm.weight" in tensors:
+            layers["self_attn.q_norm"] = stack(
+                "model.layers.{i}.self_attn.q_norm.weight", cfg.dtype)
+            layers["self_attn.k_norm"] = stack(
+                "model.layers.{i}.self_attn.k_norm.weight", cfg.dtype)
+        for ours, hfp in (("moe.gate_proj", "gate_proj"),
+                          ("moe.up_proj", "up_proj"),
+                          ("moe.down_proj", "down_proj")):
+            def te(i, e, suffix, _hfp=hfp):
+                return tensors[
+                    f"model.layers.{i}.mlp.experts.{e}.{_hfp}.{suffix}"]
+
+            if base_algo == "NVFP4":
+                packed = np.stack([
+                    np.stack([_adjacent_to_plane(te(i, e, "weight"))
+                              for e in range(E)]) for i in range(L)])
+                ws = np.stack([
+                    np.stack([np.asarray(te(i, e, "weight_scale"))
+                              for e in range(E)]) for i in range(L)])
+                gs = np.stack([
+                    np.stack([np.asarray(te(i, e, "weight_scale_2")).reshape(())
+                              for e in range(E)]) for i in range(L)])
+                O2 = packed.shape[2]
+                sdtype = (jnp.float8_e4m3fn
+                          if ws.dtype != np.dtype("uint8") else None)
+                sl = jnp.asarray(ws[:, :, :O2])
+                sh = jnp.asarray(ws[:, :, O2:])
+                layers[ours] = {
+                    "packed": jnp.asarray(packed),
+                    "scale_lo": sl.astype(sdtype) if sdtype else sl,
+                    "scale_hi": sh.astype(sdtype) if sdtype else sh,
+                    "global_scale": jnp.asarray(gs),
+                }
+                kinds[ours] = "nvfp4"
+            elif base_algo == "FP8":
+                layers[ours] = {
+                    "q": jnp.stack([
+                        jnp.stack([jnp.asarray(te(i, e, "weight"))
+                                   for e in range(E)]) for i in range(L)]),
+                    "scale": jnp.asarray(np.stack([
+                        np.stack([np.asarray(te(i, e, "weight_scale")).reshape(-1, 1)[:1]
+                                  for e in range(E)]) for i in range(L)])),
+                }
+                kinds[ours] = "fp8"
+            elif base_algo in ("W8A8_SQ_PER_CHANNEL", "INT8"):
+                layers[ours] = {
+                    "q": jnp.stack([
+                        jnp.stack([jnp.asarray(te(i, e, "weight"))
+                                   for e in range(E)]) for i in range(L)]),
+                    "scale": jnp.asarray(np.stack([
+                        np.stack([np.asarray(te(i, e, "weight_scale")).reshape(-1, 1)
+                                  for e in range(E)]) for i in range(L)])),
+                }
+                kinds[ours] = "int8"
+            else:
+                raise NotImplementedError(
+                    f"MoE deploy loading for {base_algo} not wired")
+
     params = {
         "embed_tokens": jnp.asarray(tensors["model.embed_tokens.weight"]).astype(cfg.dtype),
         "layers": layers,
@@ -161,11 +238,14 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
         "MXFP4": "MXFP4_DEFAULT_CFG",
         "MXFP8": "MXFP8_DEFAULT_CFG",
     }.get(base_algo)
-    layout = (
-        llama.build_layout(cfg, get_preset(preset))
-        if preset
-        else llama.QuantLayout(sites=())
-    )
+    if preset and is_moe:
+        from ..models import mixtral as mixtral_mod
+
+        layout = mixtral_mod.build_layout(cfg, get_preset(preset))
+    elif preset:
+        layout = llama.build_layout(cfg, get_preset(preset))
+    else:
+        layout = llama.QuantLayout(sites=())
     # amax state for static act quantizers from input_scale
     for name, hf_fmt in hf_export.PROJ_TO_HF.items():
         icfg = layout.get(f"{name}.input")
@@ -179,5 +259,17 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
             sub = qstate.setdefault(name, {})
             ist = sub.get("input", Q.QuantizerState())
             sub["input"] = ist.replace(amax=amax)
+    if is_moe:
+        icfg = layout.get("moe.gate_proj.input")
+        key0 = "model.layers.0.mlp.experts.0.gate_proj.input_scale"
+        if icfg.enable and not icfg.dynamic and key0 in tensors:
+            div = 6.0 * 448.0 if base_algo == "NVFP4" else (
+                448.0 if icfg.is_fp else 127.0)
+            amax = jnp.stack([
+                jnp.asarray(
+                    tensors[f"model.layers.{i}.mlp.experts.0.gate_proj.input_scale"]
+                ).reshape(()) * div for i in range(L)])
+            qstate.setdefault("moe.gate_proj", {})["input"] = Q.QuantizerState(
+                amax=amax)
     return CompressedModel(cfg, params, kinds, layout, qstate,
                            adapters=layers.get("__adapters__"))

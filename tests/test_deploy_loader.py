@@ -99,3 +99,67 @@ class TestExportSweep:
         corr = np.corrcoef(np.asarray(logits).ravel(),
                            np.asarray(ref[:, -1]).ravel())[0, 1]
         assert corr > 0.93, (preset, corr)
+
+
+def test_moe_export_deploy_roundtrip(tmp_path):
+    """MoE unified checkpoint: quantize -> export -> deploy-load -> engine
+    prefill parity against the in-memory compressed engine."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensorrt_model_optimizer_tpu.export import hf_export
+    from tensorrt_model_optimizer_tpu.models import mixtral
+    from tensorrt_model_optimizer_tpu.quant import compress, ptq
+    from tensorrt_model_optimizer_tpu.serve import engine as serve_engine
+    from tensorrt_model_optimizer_tpu.serve.loader import load_quantized_checkpoint
+
+    cfg = mixtral.MixtralConfig.tiny(qk_norm=True, capacity_factor=4.0)
+    params = mixtral.init_params(cfg, jax.random.PRNGKey(11))
+    rng = np.random.default_rng(16)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    model = ptq.quantize_family("mixtral", cfg, params, "NVFP4_DEFAULT_CFG", batches)
+    hf_export.export_hf_checkpoint(model, str(tmp_path / "moe"))
+
+    cm_mem = compress.compress(model)
+    cm_disk = load_quantized_checkpoint(str(tmp_path / "moe"))
+    assert cm_disk.kinds["moe.gate_proj"] == "nvfp4"
+    assert cm_disk.model_cfg.num_experts == cfg.num_experts
+    # capacity_factor is a serving knob (not checkpoint metadata) and the
+    # disk default dtype is bf16 — align both for the parity comparison
+    import dataclasses as _dc
+    cm_disk = _dc.replace(
+        cm_disk, model_cfg=_dc.replace(
+            cm_disk.model_cfg, capacity_factor=4.0, dtype=jnp.float32))
+
+    # the loader must reconstruct the packed expert grids EXACTLY; logits
+    # can only be compared loosely (fp16 router passthrough flips top-k on
+    # near-ties, swapping whole experts for some tokens)
+    for site in ("moe.gate_proj", "moe.down_proj", "self_attn.q_proj"):
+        for key, a in cm_mem.params["layers"][site].items():
+            b = cm_disk.params["layers"][site][key]
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                err_msg=f"{site}.{key}")
+    prompt = batches[0][:, :8]
+    e1 = serve_engine.Engine(cm_mem, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+    e2 = serve_engine.Engine(cm_disk, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+    l1, _ = e1.prefill(prompt, e1.init_cache(2, 32))
+    l2, _ = e2.prefill(prompt, e2.init_cache(2, 32))
+    corr = np.corrcoef(np.asarray(l1).ravel(), np.asarray(l2).ravel())[0, 1]
+    assert corr > 0.95, corr  # fp16 router rounding flips near-tie routing
+    # with the aux leaves (router/norms/embeds) taken exactly, the loaded
+    # engine must be numerically IDENTICAL — pins the packed-weight path
+    l3d = dict(cm_disk.params["layers"])
+    for n in ("moe.router", "input_layernorm", "post_attention_layernorm",
+              "self_attn.q_norm", "self_attn.k_norm"):
+        l3d[n] = cm_mem.params["layers"][n]
+    p3 = {**cm_disk.params, "layers": l3d,
+          "embed_tokens": cm_mem.params["embed_tokens"],
+          "norm": cm_mem.params["norm"]}
+    if "lm_head" in cm_mem.params:
+        p3["lm_head"] = cm_mem.params["lm_head"]
+    cm3 = _dc.replace(cm_disk, params=p3)
+    e3 = serve_engine.Engine(cm3, serve_engine.EngineConfig(max_seq_len=32, backend="xla"))
+    l3, _ = e3.prefill(prompt, e3.init_cache(2, 32))
+    np.testing.assert_allclose(np.asarray(l3), np.asarray(l1), rtol=1e-5, atol=1e-5)
