@@ -238,7 +238,11 @@ def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
             return Q.quantize(w, wcfg, st)
         icfg_g = layout.get("moe.gate_proj.input")
         h_in = xe_e
-        if icfg_g.enable and not calib and ist is not None:
+        # pre_quant_scale must apply even for weight-only AWQ presets
+        # (input site disabled but the migration scale was folded out of
+        # the weights) — same rule as llama._qsite / engine._moe_ffn
+        has_pqs = ist is not None and ist.pre_quant_scale is not None
+        if (icfg_g.enable or has_pqs) and not calib and ist is not None:
             h_in = Q.quantize(h_in, icfg_g, ist)
         g = h_in @ q("moe.gate_proj", wg, wst["moe.gate_proj"]).T.astype(h_in.dtype)
         u = h_in @ q("moe.up_proj", wu, wst["moe.up_proj"]).T.astype(h_in.dtype)
@@ -282,10 +286,12 @@ def _moe_mlp(cfg: MixtralConfig, x, lp, lstate, layout, calib):
                     st,
                 )
         icfg = layout.get("moe.gate_proj.input")
-        if icfg.enable:
-            st = (lstate or {}).get("moe.gate_proj", {}).get("input", QuantizerState())
+        st_in = (lstate or {}).get("moe.gate_proj", {}).get("input")
+        if icfg.enable or st_in is not None:
+            # carry the state through even when the site is disabled —
+            # weight-only AWQ parks pre_quant_scale here (llama._qsite rule)
             new_state.setdefault("moe.gate_proj", {})["input"] = Q.collect(
-                x, icfg, st
+                x, icfg, st_in if st_in is not None else QuantizerState()
             )
     return y.reshape(B, T, H), new_state
 

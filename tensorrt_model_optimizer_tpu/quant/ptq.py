@@ -163,6 +163,94 @@ def quantize(
     return QuantizedModel(model_cfg, params, layout, qstate, qcfg, adapters)
 
 
+# MoE-family shared-input capture groups: every member consumes the group's
+# captured tensor; expert stacks fold E into the row dim for ONE shared
+# migration scale per layer (the fused-MoE modules in the reference carry a
+# single weight quantizer across experts the same way,
+# `plugins/huggingface.py:596`).
+FAMILY_CAPTURE_GROUPS = {
+    "attn_in": ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+    "moe_in": ("moe.gate_proj", "moe.up_proj",
+               "shared.gate_proj", "shared.up_proj"),
+}
+
+
+def _sequential_calibrate_family(fam, model_cfg, params, layout, qstate,
+                                 batches, algo, capture_tokens=128):
+    """SmoothQuant / AWQ-lite over a registry family's capture groups."""
+    method = _method_of(algo)
+
+    @jax.jit
+    def cap(p, t, q):
+        return fam.forward(model_cfg, p, t, layout=layout, qstate=q,
+                           calib=True, capture_tokens=capture_tokens)[2]
+
+    absmean, amax, xs, n = {}, {}, {}, 0
+    for b in batches:
+        caps = cap(params, jnp.asarray(b), qstate)
+        for key, x in caps.items():  # [L, n_tok, d]
+            x32 = jnp.abs(x.astype(jnp.float32))
+            m = jnp.mean(x32, axis=1)
+            a = jnp.max(x32, axis=1)
+            absmean[key] = m if key not in absmean else (absmean[key] * n + m) / (n + 1)
+            amax[key] = a if key not in amax else jnp.maximum(amax[key], a)
+            xs.setdefault(key, [])
+            if len(xs[key]) < 4:
+                xs[key].append(x)
+        n += 1
+    samples = {k: jnp.concatenate(v, axis=1) for k, v in xs.items() if v}
+
+    new_layers = dict(params["layers"])
+    qstate = dict(qstate)
+    for cap_key, group in FAMILY_CAPTURE_GROUPS.items():
+        members = [m for m in group if m in new_layers]
+        if cap_key not in samples or not members:
+            continue
+        wcfgs = [layout.get(f"{m}.weight") for m in members]
+        if not any(c.enable for c in wcfgs):
+            continue
+        shapes = [new_layers[m].shape for m in members]
+        # expert stacks [L, E, O, K] fold E into rows: one shared scale
+        ws = [new_layers[m].reshape(sh[0], -1, sh[-1])
+              for m, sh in zip(members, shapes)]
+
+        if method == "smoothquant":
+            alpha = algo.get("alpha", 1.0) if isinstance(algo, dict) else 1.0
+            folded, pqs = jax.jit(
+                lambda a, w: sq_mod.apply_smoothquant(a, w, alpha)
+            )(amax[cap_key], ws)
+        else:  # awq_lite / awq_full
+            alpha_step = algo.get("alpha_step", 0.1) if isinstance(algo, dict) else 0.1
+            qfns = [
+                (lambda c: (lambda w: Q.quantize(w, _dynamic_like(c), None)))(c)
+                if c.enable else (lambda w: w)
+                for c in wcfgs
+            ]
+
+            @jax.jit
+            def search(x, w_list, am):
+                _, s = awq_mod.awq_lite_search(x, w_list, qfns, am, alpha_step)
+                folded = [
+                    (w.astype(jnp.float32) * s[..., None, :]).astype(w.dtype)
+                    for w in w_list
+                ]
+                return folded, 1.0 / s
+
+            folded, pqs = search(samples[cap_key], ws, absmean[cap_key])
+
+        for m, w_new, sh in zip(members, folded, shapes):
+            new_layers[m] = w_new.reshape(sh)
+        for m in members:
+            sub = dict(qstate.get(m, {}))
+            ist = sub.get("input", Q.QuantizerState())
+            sub["input"] = ist.replace(pre_quant_scale=pqs)
+            qstate[m] = sub
+
+    new_params = dict(params)
+    new_params["layers"] = new_layers
+    return new_params, qstate
+
+
 def quantize_family(
     family,
     model_cfg,
@@ -170,26 +258,32 @@ def quantize_family(
     quant_cfg: QuantizeConfig | str,
     calib_batches: Optional[Iterable[jax.Array]] = None,
 ) -> QuantizedModel:
-    """PTQ for any registered model family (max calibration).
+    """PTQ for any registered model family.
 
     The generic analog of `quantize` for MoE/hybrid families (mixtral,
     gpt_oss, llama4, dbrx via mixtral, mamba): builds the family's layout,
-    runs in-forward max collection, returns a QuantizedModel whose
-    `.forward` routes through the family. Sequential algorithms
-    (smoothquant/awq/gptq/svdquant) remain llama-layout-specific — use the
-    family-aware entries (e.g. deepseek.quantize) or `quantize` for those.
-    """
+    runs the configured calibration (max always; smoothquant/awq_lite via
+    the shared-input capture groups), returns a QuantizedModel whose
+    `.forward` routes through the family. GPTQ/SVDQuant remain
+    llama-layout-specific."""
     from ..models import registry
 
     fam = registry.get(family) if isinstance(family, str) else family
     qcfg = get_preset(quant_cfg) if isinstance(quant_cfg, str) else quant_cfg
     method = _method_of(qcfg.algorithm)
-    if method != "max":
-        raise NotImplementedError(
-            f"{method!r} calibration is llama-family only; "
-            f"family {fam.name!r} supports max calibration here")
     layout = fam.build_layout(model_cfg, qcfg)
     qstate = fam.init_quant_state(model_cfg, layout)
+    if method in ("smoothquant", "awq_lite", "awq_full"):
+        if not calib_batches:
+            raise ValueError(f"{method} calibration requires calib_batches")
+        calib_batches = list(calib_batches)
+        params, qstate = _sequential_calibrate_family(
+            fam, model_cfg, params, layout, qstate, calib_batches,
+            qcfg.algorithm)
+    elif method != "max":
+        raise NotImplementedError(
+            f"{method!r} calibration is llama-family only; "
+            f"family {fam.name!r} supports max/smoothquant/awq_lite here")
     step = jax.jit(lambda p, t, q: fam.forward(
         model_cfg, p, t, layout=layout, qstate=q, calib=True)[1])
     batches = list(calib_batches) if calib_batches is not None else []

@@ -325,3 +325,60 @@ def test_local_hessian_non_divisible_axis():
     m = ptq.quantize(cfg, params, "INT4_LOCAL_HESSIAN_CFG", batches)
     logits, _, _ = m.forward(batches[0])
     assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestFamilySequentialCalibration:
+    """SmoothQuant / AWQ-lite for MoE families via shared capture groups."""
+
+    def _setup(self, preset):
+        from tensorrt_model_optimizer_tpu.models import mixtral
+        from tensorrt_model_optimizer_tpu.quant import ptq as ptq_mod
+
+        cfg = mixtral.MixtralConfig.tiny(capacity_factor=4.0)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(21))
+        rng = np.random.default_rng(21)
+        batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+        model = ptq_mod.quantize_family("mixtral", cfg, params, preset, batches)
+        return cfg, params, model, batches
+
+    def test_awq_scale_migration_is_exact_unquantized(self):
+        """(x / s) @ (w * s)^T == x @ w^T: with quantizers OFF, the folded
+        model must reproduce the original logits (the AWQ invariant)."""
+        from tensorrt_model_optimizer_tpu.models import mixtral
+
+        cfg, params, model, batches = self._setup("INT4_AWQ_CFG")
+        ist = model.qstate["moe.gate_proj"]["input"]
+        assert ist.pre_quant_scale is not None
+        assert ist.pre_quant_scale.shape == (cfg.num_hidden_layers, cfg.hidden_size)
+        # disable all quantizers but keep the folded weights + pqs states
+        ref, _ = mixtral.forward(cfg, params, batches[0])
+        noq_layout = model.layout.__class__(sites=tuple(
+            (k, v.replace(enable=False)) for k, v in model.layout.sites))
+        folded, _ = mixtral.forward(
+            cfg, model.params, batches[0], layout=noq_layout, qstate=model.qstate)
+        np.testing.assert_allclose(
+            np.asarray(folded), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    @pytest.mark.parametrize("preset", ["INT4_AWQ_CFG", "INT8_SMOOTHQUANT_CFG"])
+    def test_family_sequential_runs_and_tracks(self, preset):
+        cfg, params, model, batches = self._setup(preset)
+        ql, _ = model.forward(batches[0])
+        from tensorrt_model_optimizer_tpu.models import mixtral
+
+        ref, _ = mixtral.forward(cfg, params, batches[0])
+        assert np.all(np.isfinite(np.asarray(ql)))
+        corr = np.corrcoef(np.asarray(ql).ravel(), np.asarray(ref).ravel())[0, 1]
+        assert corr > 0.9, corr
+
+    def test_gpt_oss_awq_runs(self):
+        from tensorrt_model_optimizer_tpu.models import gpt_oss
+        from tensorrt_model_optimizer_tpu.quant import ptq as ptq_mod
+
+        cfg = gpt_oss.GptOssConfig.tiny(capacity_factor=4.0)
+        params = gpt_oss.init_params(cfg, jax.random.PRNGKey(22))
+        rng = np.random.default_rng(22)
+        batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+        model = ptq_mod.quantize_family("gpt_oss", cfg, params, "INT4_AWQ_CFG", batches)
+        assert model.qstate["moe.gate_proj"]["input"].pre_quant_scale is not None
+        ql, _ = model.forward(batches[0])
+        assert np.all(np.isfinite(np.asarray(ql)))
