@@ -26,15 +26,23 @@ def cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return -jnp.mean(ll)
 
 
-def qat_loss(model_cfg, layout, params, qstate, tokens):
-    """Next-token loss with fake quant active (STE backward)."""
-    logits, _, _ = llama.forward(
-        model_cfg, params, tokens[:, :-1], layout=layout, qstate=qstate
-    )
+def qat_loss(model_cfg, layout, params, qstate, tokens, forward_fn=None):
+    """Next-token loss with fake quant active (STE backward).
+
+    `forward_fn` selects a non-llama registry family's forward (returns
+    (logits, state)); default is the llama forward."""
+    if forward_fn is not None:
+        logits = forward_fn(
+            model_cfg, params, tokens[:, :-1], layout=layout, qstate=qstate
+        )[0]
+    else:
+        logits, _, _ = llama.forward(
+            model_cfg, params, tokens[:, :-1], layout=layout, qstate=qstate
+        )
     return cross_entropy(logits, tokens[:, 1:])
 
 
-def make_train_step(model_cfg, layout, lr: float = 1e-4):
+def make_train_step(model_cfg, layout, lr: float = 1e-4, forward_fn=None):
     """Returns a pure SGD train step: (params, qstate, tokens) -> (params, loss).
 
     qstate (amax etc.) is frozen during QAT (the reference freezes calibrated
@@ -43,7 +51,7 @@ def make_train_step(model_cfg, layout, lr: float = 1e-4):
 
     def train_step(params, qstate, tokens):
         loss, grads = jax.value_and_grad(
-            lambda p: qat_loss(model_cfg, layout, p, qstate, tokens)
+            lambda p: qat_loss(model_cfg, layout, p, qstate, tokens, forward_fn)
         )(params)
         new_params = jax.tree.map(
             lambda p, g: (p - lr * g.astype(jnp.float32).astype(p.dtype))
@@ -63,6 +71,7 @@ def make_optax_train_step(
     optimizer=None,
     train_amax: bool = False,
     masks: Optional[dict] = None,
+    forward_fn=None,
 ):
     """Full QAT trainer step (the QATTrainer analog): optax optimizer,
     optional LSQ amax training (sites with `learn_amax=True` receive amax
@@ -77,7 +86,7 @@ def make_optax_train_step(
     optimizer = optimizer or optax.adam(1e-4)
 
     def loss_fn(params, qstate, tokens):
-        return qat_loss(model_cfg, layout, params, qstate, tokens)
+        return qat_loss(model_cfg, layout, params, qstate, tokens, forward_fn)
 
     def init_fn(params, qstate):
         trainables = (params, qstate) if train_amax else params

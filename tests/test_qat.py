@@ -80,3 +80,28 @@ def test_sparse_qat_preserves_masks(tiny):
     w = np.asarray(p["layers"]["mlp.gate_proj"])
     m = np.asarray(masks["mlp.gate_proj"])
     assert np.all(w[~m] == 0)
+
+
+def test_moe_family_qat_step_reduces_loss():
+    """QAT over a registry family forward (mixtral): loss decreases."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensorrt_model_optimizer_tpu.models import mixtral
+    from tensorrt_model_optimizer_tpu.quant import get_preset, qat
+
+    cfg = mixtral.MixtralConfig.tiny(capacity_factor=4.0)
+    params = mixtral.init_params(cfg, jax.random.PRNGKey(30))
+    layout = mixtral.build_layout(cfg, get_preset("FP8_DEFAULT_CFG"))
+    qs = mixtral.init_quant_state(cfg, layout)
+    toks = jnp.asarray(np.random.default_rng(30).integers(0, 256, (4, 17)))
+    _, qs = mixtral.forward(cfg, params, toks[:, :-1], layout=layout, qstate=qs, calib=True)
+    step, init = qat.make_optax_train_step(cfg, layout, forward_fn=mixtral.forward)
+    opt = init(params, qs)
+    step = jax.jit(step)
+    losses = []
+    for _ in range(8):
+        params, qs, opt, loss = step(params, qs, opt, toks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
