@@ -358,6 +358,7 @@ def auto_quantize_moe(
     effective_bits: float = 6.0,
     capture_tokens: int = 64,
     expert_cost_ratio: Optional[float] = None,
+    forward_fn=None,
 ) -> AutoQuantizeMoEResult:
     """AutoQuantize for routed-MoE models with active-expert costing.
 
@@ -374,8 +375,9 @@ def auto_quantize_moe(
     tokens = batches[0]
     ratio = (expert_cost_ratio if expert_cost_ratio is not None
              else cfg.top_k / cfg.num_experts)  # infer_active_moe_expert_ratio
+    fwd = forward_fn or mixtral.forward  # gpt_oss/llama4 share the signature
     _, _, caps = jax.jit(
-        lambda t: mixtral.forward(cfg, params, t, capture_tokens=capture_tokens)
+        lambda t: fwd(cfg, params, t, capture_tokens=capture_tokens)
     )(tokens)
     X_attn, X_moe = caps["attn_in"], caps["moe_in"]
 

@@ -203,3 +203,24 @@ def test_validation_and_utils():
     with M.MemoryMonitor() as mm:
         _ = jnp.ones((128, 128)) @ jnp.ones((128, 128))
     assert mm.end is not None
+
+
+def test_auto_quantize_moe_gpt_oss():
+    """AutoQuantize's active-expert costing runs on the GPT-OSS family
+    through the shared forward signature."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensorrt_model_optimizer_tpu.models import gpt_oss
+    from tensorrt_model_optimizer_tpu.quant import auto
+
+    cfg = gpt_oss.GptOssConfig.tiny(capacity_factor=4.0)
+    params = gpt_oss.init_params(cfg, jax.random.PRNGKey(31))
+    toks = jnp.asarray(np.random.default_rng(31).integers(0, 256, (2, 16)))
+    res = auto.auto_quantize_moe(
+        cfg, params, ["NVFP4_DEFAULT_CFG", "FP8_DEFAULT_CFG"], [toks],
+        effective_bits=6.0, forward_fn=gpt_oss.forward,
+    )
+    assert res.effective_bits <= 6.0 + 1e-6
+    assert len(res.layer_layouts) == cfg.num_hidden_layers
