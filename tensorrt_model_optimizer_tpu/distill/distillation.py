@@ -37,13 +37,28 @@ def distill_loss(
     layout: Optional[llama.QuantLayout] = None,
     qstate: Optional[llama.QuantState] = None,
     teacher_cfg: Optional[llama.LlamaConfig] = None,
+    forward_fn=None,
+    teacher_forward_fn=None,
 ) -> jax.Array:
-    """Combined CE + KD loss for one batch (teacher is frozen)."""
+    """Combined CE + KD loss for one batch (teacher is frozen).
+
+    `forward_fn`/`teacher_forward_fn` select non-llama registry family
+    forwards (returning (logits, state)) for student/teacher — e.g. QAD on
+    a fused-MoE family, or distilling a mixtral teacher into a llama
+    student."""
     inp, tgt = tokens[:, :-1], tokens[:, 1:]
-    s_logits, _, _ = llama.forward(
-        model_cfg, student_params, inp, layout=layout, qstate=qstate
-    )
-    t_logits, _, _ = llama.forward(teacher_cfg or model_cfg, teacher_params, inp)
+    if forward_fn is not None:
+        s_logits = forward_fn(
+            model_cfg, student_params, inp, layout=layout, qstate=qstate)[0]
+    else:
+        s_logits, _, _ = llama.forward(
+            model_cfg, student_params, inp, layout=layout, qstate=qstate
+        )
+    tfwd = teacher_forward_fn or forward_fn
+    if tfwd is not None:
+        t_logits = tfwd(teacher_cfg or model_cfg, teacher_params, inp)[0]
+    else:
+        t_logits, _, _ = llama.forward(teacher_cfg or model_cfg, teacher_params, inp)
     t_logits = jax.lax.stop_gradient(t_logits)
     ce = qat_mod.cross_entropy(s_logits, tgt)
     if kd.loss == "mft":
@@ -59,13 +74,16 @@ def make_distill_step(
     lr: float = 1e-4,
     layout: Optional[llama.QuantLayout] = None,
     teacher_cfg: Optional[llama.LlamaConfig] = None,
+    forward_fn=None,
+    teacher_forward_fn=None,
 ):
     """SGD distillation step; pass `layout`+qstate for QAD."""
 
     def step(student_params, teacher_params, tokens, qstate=None):
         loss, grads = jax.value_and_grad(
             lambda p: distill_loss(
-                model_cfg, p, teacher_params, tokens, kd, layout, qstate, teacher_cfg
+                model_cfg, p, teacher_params, tokens, kd, layout, qstate,
+                teacher_cfg, forward_fn, teacher_forward_fn
             )
         )(student_params)
         new_params = jax.tree.map(

@@ -213,3 +213,29 @@ class TestVSA:
         # first tile = the (2,2,2) corner block of the video volume
         t, h, w = np.unravel_index(perm[:8], (4, 4, 4))
         assert t.max() < 2 and h.max() < 2 and w.max() < 2
+
+
+def test_moe_family_qad_step_reduces_loss():
+    """QAD (distill with fake quant) over a registry family forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensorrt_model_optimizer_tpu.distill import distillation as dd
+    from tensorrt_model_optimizer_tpu.models import mixtral
+    from tensorrt_model_optimizer_tpu.quant import get_preset
+
+    cfg = mixtral.MixtralConfig.tiny(capacity_factor=4.0)
+    teacher = mixtral.init_params(cfg, jax.random.PRNGKey(40))
+    student = jax.tree.map(lambda a: a + 0.01, teacher)
+    layout = mixtral.build_layout(cfg, get_preset("FP8_DEFAULT_CFG"))
+    qs = mixtral.init_quant_state(cfg, layout)
+    toks = jnp.asarray(np.random.default_rng(40).integers(0, 256, (4, 17)))
+    _, qs = mixtral.forward(cfg, student, toks[:, :-1], layout=layout, qstate=qs, calib=True)
+    step = jax.jit(dd.make_distill_step(
+        cfg, lr=1e-3, layout=layout, forward_fn=mixtral.forward))
+    losses = []
+    for _ in range(6):
+        student, loss = step(student, teacher, toks, qs)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
