@@ -251,6 +251,73 @@ def _sequential_calibrate_family(fam, model_cfg, params, layout, qstate,
     return new_params, qstate
 
 
+def _gptq_calibrate_family(fam, model_cfg, params, layout, qstate, batches,
+                           algo, capture_tokens=128):
+    """GPTQ over a registry family's capture groups (expert stacks solve
+    per (layer, expert) against the shared captured input)."""
+    from .calib import gptq as gptq_mod
+
+    @jax.jit
+    def cap(p, t, q):
+        return fam.forward(model_cfg, p, t, layout=layout, qstate=q,
+                           calib=True, capture_tokens=capture_tokens)[2]
+
+    xs: dict = {}
+    for b in batches:
+        for key, x in cap(params, jnp.asarray(b), qstate).items():
+            xs.setdefault(key, [])
+            if len(xs[key]) < 4:
+                xs[key].append(x)
+    samples = {k: jnp.concatenate(v, axis=1) for k, v in xs.items() if v}
+
+    block = algo.get("block_size", 128) if isinstance(algo, dict) else 128
+    new_layers = dict(params["layers"])
+    qstate = dict(qstate)
+    for cap_key, group in FAMILY_CAPTURE_GROUPS.items():
+        if cap_key not in samples:
+            continue
+        X = samples[cap_key]  # [L, n, K]
+        for m in group:
+            if m not in new_layers:
+                continue
+            wcfg = layout.get(f"{m}.weight")
+            if not wcfg.enable:
+                continue
+            w = new_layers[m]
+            one = lambda wl, xl: gptq_mod.gptq_calibrate_weight(wl, xl, wcfg, block)
+            nlead = w.ndim - 2  # 1 (=[L]) or 2 (=[L, E] expert stacks)
+            run = one
+            for lvl in range(nlead):
+                run = jax.vmap(run, in_axes=(0, None if lvl < nlead - 1 else 0))
+            run = jax.jit(run)
+            # amax pinned to the ORIGINAL weights' grid so requantization
+            # is idempotent (same rule as _gptq_calibrate)
+            base = wcfg.sequential[0] if wcfg.sequential else wcfg
+            if base.block is not None and base.block.sizes:
+                af = lambda wl: numerics.block_amax_compact(
+                    jnp.abs(wl.astype(jnp.float32)), base.block.sizes)
+            elif base.axis is not None:
+                kept = tuple(a % 2 for a in base.axis)
+                red = tuple(i for i in range(2) if i not in kept)
+                af = lambda wl: jnp.max(
+                    jnp.abs(wl.astype(jnp.float32)), axis=red, keepdims=True)
+            else:
+                af = lambda wl: jnp.max(jnp.abs(wl.astype(jnp.float32)))
+            for _ in range(nlead):
+                af = jax.vmap(af)
+            amax = af(w)
+            sub = dict(qstate.get(m, {}))
+            st = sub.get("weight", Q.QuantizerState())
+            sub["weight"] = st.replace(
+                amax=(amax,) + ((None,) * (len(wcfg.sequential) - 1))
+                if wcfg.sequential else amax)
+            qstate[m] = sub
+            new_layers[m] = run(w, X)
+    new_params = dict(params)
+    new_params["layers"] = new_layers
+    return new_params, qstate
+
+
 def quantize_family(
     family,
     model_cfg,
@@ -280,10 +347,17 @@ def quantize_family(
         params, qstate = _sequential_calibrate_family(
             fam, model_cfg, params, layout, qstate, calib_batches,
             qcfg.algorithm)
+    elif method == "gptq":
+        if not calib_batches:
+            raise ValueError("gptq calibration requires calib_batches")
+        calib_batches = list(calib_batches)
+        params, qstate = _gptq_calibrate_family(
+            fam, model_cfg, params, layout, qstate, calib_batches,
+            qcfg.algorithm)
     elif method != "max":
         raise NotImplementedError(
             f"{method!r} calibration is llama-family only; "
-            f"family {fam.name!r} supports max/smoothquant/awq_lite here")
+            f"family {fam.name!r} supports max/smoothquant/awq_lite/gptq here")
     step = jax.jit(lambda p, t, q: fam.forward(
         model_cfg, p, t, layout=layout, qstate=q, calib=True)[1])
     batches = list(calib_batches) if calib_batches is not None else []
