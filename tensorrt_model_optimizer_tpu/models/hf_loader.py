@@ -256,6 +256,27 @@ def save_hf_checkpoint(cfg: LlamaConfig, params: dict, path: str) -> None:
         stacked = layers[ours]
         for i in range(cfg.num_hidden_layers):
             put(fmt.format(i=i), stacked[i])
+    if "moe.gate_proj" in layers:
+        # MoE stacks unstack to per-expert HF modules (qwen3_moe naming for
+        # qk_norm configs, mixtral naming otherwise — matching what
+        # `load_hf_moe_checkpoint` reads back for each model_type)
+        E = layers["moe.gate_proj"].shape[1]
+        if cfg.qk_norm:
+            router_fmt = "model.layers.{i}.mlp.gate.weight"
+            exp_fmt = "model.layers.{i}.mlp.experts.{e}.{proj}.weight"
+            projs = {"moe.gate_proj": "gate_proj", "moe.up_proj": "up_proj",
+                     "moe.down_proj": "down_proj"}
+        else:
+            router_fmt = "model.layers.{i}.block_sparse_moe.gate.weight"
+            exp_fmt = "model.layers.{i}.block_sparse_moe.experts.{e}.{proj}.weight"
+            projs = {"moe.gate_proj": "w1", "moe.up_proj": "w3",
+                     "moe.down_proj": "w2"}
+        for i in range(cfg.num_hidden_layers):
+            put(router_fmt.format(i=i), layers["moe.router"][i])
+            for ours, theirs in projs.items():
+                for e in range(E):
+                    put(exp_fmt.format(i=i, e=e, proj=theirs),
+                        layers[ours][i, e])
     # Final pre-write audit: host checksums against the device-side sums
     # captured at transfer time — catches staging-buffer recycling that
     # happened AFTER the per-tensor verification (observed on the relay).
