@@ -104,6 +104,16 @@ def main():
     if args.auto_quantize_bits:
         from tensorrt_model_optimizer_tpu.quant import auto
 
+        if family is not None:
+            res = auto.auto_quantize_moe(
+                cfg, params, [qformat, "FP8_DEFAULT_CFG"], batches,
+                effective_bits=args.auto_quantize_bits,
+                forward_fn=family.forward,
+            )
+            print(f"[hf_ptq] auto_quantize_moe achieved "
+                  f"{res.effective_bits:.2f} effective bits in "
+                  f"{time.time()-t0:.1f}s", flush=True)
+            return 0
         res = auto.auto_quantize(
             cfg, params, [qformat, "FP8_DEFAULT_CFG"], batches,
             effective_bits=args.auto_quantize_bits,

@@ -402,12 +402,24 @@ def _iter_export_tensors(model: QuantizedModel):
                         ist.pre_quant_scale, np.float32
                     )
         if is_moe:
-            # Stacked experts unstack into per-expert HF modules
-            # (qwen3_moe naming: mlp.gate router + mlp.experts.{e}.*_proj;
-            # the reference's fused-MoE plugins quantize the same modules,
-            # `quantization/plugins/huggingface.py:593-751`).
-            yield f"model.layers.{i}.mlp.gate.weight", to_np16(
-                layers["moe.router"][i])
+            # Stacked experts unstack into per-expert HF modules in the
+            # naming convention of the DECLARED model_type (config_to_hf:
+            # qwen3_moe for qk_norm configs, mixtral otherwise) so the
+            # directory is self-consistent. The reference's fused-MoE
+            # plugins quantize the same modules
+            # (`quantization/plugins/huggingface.py:593-751`).
+            if cfg.qk_norm:
+                router_name = f"model.layers.{i}.mlp.gate.weight"
+                exp_prefix = f"model.layers.{i}.mlp.experts"
+                proj_names = {"moe.gate_proj": "gate_proj",
+                              "moe.up_proj": "up_proj",
+                              "moe.down_proj": "down_proj"}
+            else:
+                router_name = f"model.layers.{i}.block_sparse_moe.gate.weight"
+                exp_prefix = f"model.layers.{i}.block_sparse_moe.experts"
+                proj_names = {"moe.gate_proj": "w1", "moe.up_proj": "w3",
+                              "moe.down_proj": "w2"}
+            yield router_name, to_np16(layers["moe.router"][i])
             ist_all = model.qstate.get("moe.gate_proj", {}).get("input")
             icfg = model.layout.get("moe.gate_proj.input")
             in_scale = None
@@ -419,16 +431,14 @@ def _iter_export_tensors(model: QuantizedModel):
                         448.0 if icfg.is_fp else 127.0)
                     in_scale = np.asarray(a / div, np.float32)
             E = layers["moe.gate_proj"].shape[1]
-            for name, hfn in (("moe.gate_proj", "gate_proj"),
-                              ("moe.up_proj", "up_proj"),
-                              ("moe.down_proj", "down_proj")):
+            for name, hfn in proj_names.items():
                 wcfg = model.layout.get(f"{name}.weight")
                 wst_all = model.qstate.get(name, {}).get("weight")
                 for e in range(E):
                     wst = (jax.tree.map(lambda a: a[i, e], wst_all)
                            if wst_all is not None else None)
                     exported = _export_weight(layers[name][i, e], wcfg, wst, algo)
-                    prefix = f"model.layers.{i}.mlp.experts.{e}.{hfn}"
+                    prefix = f"{exp_prefix}.{e}.{hfn}"
                     for suffix, arr in exported.items():
                         yield f"{prefix}.{suffix}", arr
                     if in_scale is not None:
@@ -530,7 +540,8 @@ def _mxfp4_pack_hf(w: jax.Array) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(by).copy(), np.asarray(exps).copy()
 
 
-def export_gpt_oss_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
+def export_gpt_oss_checkpoint(model: QuantizedModel, export_dir: str,
+                              max_shard_bytes: Optional[int] = None) -> dict:
     """GPT-OSS unified export in the architecture's NATIVE shipped format:
     experts re-fuse to `gate_up_proj_blocks/scales` + `down_proj_blocks/
     scales` (MXFP4, blocks along the contraction dim), everything else
@@ -545,52 +556,59 @@ def export_gpt_oss_checkpoint(model: QuantizedModel, export_dir: str) -> dict:
             f"GPT-OSS export writes the native MXFP4 format; got {algo}. "
             "Quantize with MXFP4_DEFAULT_CFG/MXFP4_WEIGHT_ONLY_CFG.")
     os.makedirs(export_dir, exist_ok=True)
-    layers = model.params["layers"]
-    L, E = cfg.num_hidden_layers, cfg.num_experts
-    inter, h = cfg.intermediate_size, cfg.hidden_size
 
-    def to_np16(a):
-        return np.asarray(jnp.asarray(a).astype(jnp.float32), dtype=np.float16)
+    def _iter():
+        """Layer-at-a-time tensor stream (the streaming spine, same rule as
+        `_iter_export_tensors`: host memory never holds the full model)."""
+        layers = model.params["layers"]
+        L, E = cfg.num_hidden_layers, cfg.num_experts
+        inter, h = cfg.intermediate_size, cfg.hidden_size
 
-    tensors: dict[str, np.ndarray] = {
-        "model.embed_tokens.weight": to_np16(model.params["embed_tokens"]),
-        "model.norm.weight": to_np16(model.params["norm"]),
-    }
-    if "lm_head" in model.params:
-        tensors["lm_head.weight"] = to_np16(model.params["lm_head"])
-    for i in range(L):
-        p = f"model.layers.{i}."
-        tensors[p + "input_layernorm.weight"] = to_np16(layers["input_layernorm"][i])
-        tensors[p + "post_attention_layernorm.weight"] = to_np16(
-            layers["post_attention_layernorm"][i])
-        tensors[p + "self_attn.sinks"] = to_np16(layers["self_attn.sinks"][i])
-        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            tensors[p + f"self_attn.{proj}.weight"] = to_np16(
-                layers[f"self_attn.{proj}"][i])
-            tensors[p + f"self_attn.{proj}.bias"] = to_np16(
-                layers[f"self_attn.{proj}__bias"][i])
-        tensors[p + "mlp.router.weight"] = to_np16(layers["moe.router"][i])
-        tensors[p + "mlp.router.bias"] = to_np16(layers["moe.router__bias"][i])
-        # re-fuse gate/up (ours [E, I, H]) into interleaved [E, 2I, H] rows
-        gate = jnp.asarray(layers["moe.gate_proj"][i], jnp.float32)
-        up = jnp.asarray(layers["moe.up_proj"][i], jnp.float32)
-        gu = jnp.stack([gate, up], axis=-2).reshape(E, 2 * inter, h)
-        pe = [_mxfp4_pack_hf(gu[e]) for e in range(E)]
-        tensors[p + "mlp.experts.gate_up_proj_blocks"] = np.stack([b for b, _ in pe])
-        tensors[p + "mlp.experts.gate_up_proj_scales"] = np.stack([s_ for _, s_ in pe])
-        gub = jnp.stack([layers["moe.gate_proj__bias"][i],
-                         layers["moe.up_proj__bias"][i]], axis=-1)
-        tensors[p + "mlp.experts.gate_up_proj_bias"] = to_np16(
-            gub.reshape(E, 2 * inter))
-        # HF down_proj blocks quantize along its contraction dim I, so the
-        # packed rows are the H outputs — exactly our [E, H, I] layout
-        down_rows = jnp.asarray(layers["moe.down_proj"][i], jnp.float32)
-        pe = [_mxfp4_pack_hf(down_rows[e]) for e in range(E)]
-        tensors[p + "mlp.experts.down_proj_blocks"] = np.stack([b for b, _ in pe])
-        tensors[p + "mlp.experts.down_proj_scales"] = np.stack([s_ for _, s_ in pe])
-        tensors[p + "mlp.experts.down_proj_bias"] = to_np16(
-            layers["moe.down_proj__bias"][i])
-    _save_safetensors_with_fp8(tensors, os.path.join(export_dir, "model.safetensors"))
+        def to_np16(a):
+            return np.asarray(jnp.asarray(a).astype(jnp.float32), dtype=np.float16)
+
+        yield "model.embed_tokens.weight", to_np16(model.params["embed_tokens"])
+        yield "model.norm.weight", to_np16(model.params["norm"])
+        if "lm_head" in model.params:
+            yield "lm_head.weight", to_np16(model.params["lm_head"])
+        for i in range(L):
+            p = f"model.layers.{i}."
+            yield p + "input_layernorm.weight", to_np16(layers["input_layernorm"][i])
+            yield p + "post_attention_layernorm.weight", to_np16(
+                layers["post_attention_layernorm"][i])
+            yield p + "self_attn.sinks", to_np16(layers["self_attn.sinks"][i])
+            for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                yield p + f"self_attn.{proj}.weight", to_np16(
+                    layers[f"self_attn.{proj}"][i])
+                yield p + f"self_attn.{proj}.bias", to_np16(
+                    layers[f"self_attn.{proj}__bias"][i])
+            yield p + "mlp.router.weight", to_np16(layers["moe.router"][i])
+            yield p + "mlp.router.bias", to_np16(layers["moe.router__bias"][i])
+            # re-fuse gate/up (ours [E, I, H]) into interleaved [E, 2I, H]
+            gate = jnp.asarray(layers["moe.gate_proj"][i], jnp.float32)
+            up = jnp.asarray(layers["moe.up_proj"][i], jnp.float32)
+            gu = jnp.stack([gate, up], axis=-2).reshape(E, 2 * inter, h)
+            pe = [_mxfp4_pack_hf(gu[e]) for e in range(E)]
+            yield p + "mlp.experts.gate_up_proj_blocks", np.stack([b for b, _ in pe])
+            yield p + "mlp.experts.gate_up_proj_scales", np.stack([s_ for _, s_ in pe])
+            gub = jnp.stack([layers["moe.gate_proj__bias"][i],
+                             layers["moe.up_proj__bias"][i]], axis=-1)
+            yield p + "mlp.experts.gate_up_proj_bias", to_np16(
+                gub.reshape(E, 2 * inter))
+            # HF down_proj blocks quantize along its contraction dim I, so
+            # the packed rows are the H outputs — exactly our [E, H, I]
+            down_rows = jnp.asarray(layers["moe.down_proj"][i], jnp.float32)
+            pe = [_mxfp4_pack_hf(down_rows[e]) for e in range(E)]
+            yield p + "mlp.experts.down_proj_blocks", np.stack([b for b, _ in pe])
+            yield p + "mlp.experts.down_proj_scales", np.stack([s_ for _, s_ in pe])
+            yield p + "mlp.experts.down_proj_bias", to_np16(
+                layers["moe.down_proj__bias"][i])
+
+    if max_shard_bytes is not None:
+        _write_sharded(_iter(), export_dir, max_shard_bytes)
+    else:
+        tensors = {k: np.array(v, copy=True) for k, v in _iter()}
+        _save_safetensors_with_fp8(tensors, os.path.join(export_dir, "model.safetensors"))
 
     hf_quant_config = {
         "producer": {"name": "tensorrt_model_optimizer_tpu", "version": "0.1.0"},
@@ -640,7 +658,7 @@ def export_hf_checkpoint(
 
     if isinstance(model.model_cfg, GptOssConfig):
         # GPT-OSS ships MXFP4 natively — write that format back
-        return export_gpt_oss_checkpoint(model, export_dir)
+        return export_gpt_oss_checkpoint(model, export_dir, max_shard_bytes)
     os.makedirs(export_dir, exist_ok=True)
     cfg = model.model_cfg
     algo, group_size = _quant_algo(model)

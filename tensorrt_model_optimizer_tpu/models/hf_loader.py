@@ -454,6 +454,10 @@ def _load_llama4(path: str, d: dict, dtype):
         max_position_embeddings=td.get("max_position_embeddings", 4096),
         num_experts=td.get("num_local_experts", 16),
         top_k=td.get("num_experts_per_tok", 1),
+        # HF serializes the resolved per-layer flags; honor them over the
+        # default every-4th rule
+        no_rope_layers=(tuple(td["no_rope_layers"])
+                        if td.get("no_rope_layers") else None),
         no_rope_layer_interval=4,
         attention_chunk_size=td.get("attention_chunk_size", 8192),
         attn_temperature_tuning=bool(td.get("attn_temperature_tuning", True)),

@@ -441,6 +441,18 @@ def rope_interleaved(
     return out.astype(x.dtype)
 
 
+def sink_softmax(scores: jax.Array, sinks: jax.Array, out_dtype) -> jax.Array:
+    """GPT-OSS attention-sink softmax: a learned per-head logit joins the
+    denominator and its probability mass is dropped
+    (`modeling_gpt_oss.eager_attention_forward`). scores: [B, nH, T, S]."""
+    sk = jnp.broadcast_to(
+        sinks.astype(jnp.float32)[None, :, None, None],
+        scores.shape[:3] + (1,))
+    comb = jnp.concatenate([scores, sk], axis=-1)
+    comb = comb - jnp.max(comb, axis=-1, keepdims=True)
+    return jax.nn.softmax(comb, axis=-1)[..., :-1].astype(out_dtype)
+
+
 def _qsite(x, site_cfg: QuantizerConfig, st, calib: bool):
     """Quantize (and optionally collect) at one site. Returns (y, new_state)."""
     if not site_cfg.enable and st is None:
@@ -553,16 +565,7 @@ def _attention(cfg, x, lp, lstate, layout, positions, mask, cache_kv, calib, ada
         scores = scores / math.sqrt(hd)
         scores = scores + mask
         if sinks is not None:
-            # GPT-OSS attention sinks: a learned per-head logit joins the
-            # softmax denominator and its probability mass is dropped
-            # (modeling_gpt_oss.eager_attention_forward)
-            sk = jnp.broadcast_to(
-                sinks.astype(jnp.float32)[None, :, None, None],
-                scores.shape[:3] + (1,),
-            )
-            comb = jnp.concatenate([scores, sk], axis=-1)
-            comb = comb - jnp.max(comb, axis=-1, keepdims=True)
-            probs = jax.nn.softmax(comb, axis=-1)[..., :-1].astype(x.dtype)
+            probs = sink_softmax(scores, sinks, x.dtype)
         else:
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all)

@@ -50,6 +50,9 @@ class Llama4Config(mixtral.MixtralConfig):
     router_sigmoid_input_scaled: bool = True
     interleave_moe_layer_step: int = 1
     no_rope_layer_interval: int = 4
+    # explicit per-layer rope flags (HF `no_rope_layers`: 1 = rope); when
+    # set, overrides the interval rule
+    no_rope_layers: "Optional[tuple]" = None
     attention_chunk_size: int = 8192
     attn_temperature_tuning: bool = True
     attn_scale: float = 0.1
@@ -57,6 +60,8 @@ class Llama4Config(mixtral.MixtralConfig):
     use_qk_norm: bool = True
 
     def use_rope_layers(self) -> tuple:
+        if self.no_rope_layers is not None:
+            return tuple(bool(v) for v in self.no_rope_layers)
         return tuple(
             (i + 1) % self.no_rope_layer_interval != 0
             for i in range(self.num_hidden_layers)
@@ -148,6 +153,24 @@ def _l2norm(x, eps):
             ).astype(x.dtype)
 
 
+def rope_or_temperature(cfg, q, k, positions, use_rope):
+    """Llama4 q/k positional treatment, shared with the serving engine:
+    interleaved rope (+ optional L2 qk-norm) on rope layers; log-floor
+    attention-temperature tuning on nope layers (arXiv:2501.19399)."""
+    qr = llama.rope_interleaved(q, positions, cfg.rope_theta, cfg.rope_scaling)
+    kr = llama.rope_interleaved(k, positions, cfg.rope_theta, cfg.rope_scaling)
+    if cfg.use_qk_norm:  # rope layers only (modeling_llama4)
+        qr = _l2norm(qr, cfg.rms_norm_eps)
+        kr = _l2norm(kr, cfg.rms_norm_eps)
+    qn = q
+    if cfg.attn_temperature_tuning:
+        scales = (jnp.log1p(jnp.floor(
+            (positions.astype(jnp.float32) + 1.0) / cfg.floor_scale
+        )) * cfg.attn_scale + 1.0)
+        qn = (q.astype(jnp.float32) * scales[..., None, None]).astype(q.dtype)
+    return jnp.where(use_rope, qr, qn), jnp.where(use_rope, kr, k)
+
+
 def _attention_l4(cfg, x, lp, lstate, layout, positions, mask, calib, use_rope):
     """Llama4 attention; `use_rope` is a scan-traced scalar bool."""
     hd = cfg.hd
@@ -164,20 +187,7 @@ def _attention_l4(cfg, x, lp, lstate, layout, positions, mask, calib, use_rope):
     k = k.reshape(B, T, nKV, hd)
     v = v.reshape(B, T, nKV, hd)
 
-    qr = llama.rope_interleaved(q, positions, cfg.rope_theta, cfg.rope_scaling)
-    kr = llama.rope_interleaved(k, positions, cfg.rope_theta, cfg.rope_scaling)
-    if cfg.use_qk_norm:  # rope layers only (modeling_llama4)
-        qr = _l2norm(qr, cfg.rms_norm_eps)
-        kr = _l2norm(kr, cfg.rms_norm_eps)
-    qn = q
-    if cfg.attn_temperature_tuning:
-        # log-floor temperature on nope layers (arXiv:2501.19399)
-        scales = (jnp.log1p(jnp.floor(
-            (positions.astype(jnp.float32) + 1.0) / cfg.floor_scale
-        )) * cfg.attn_scale + 1.0)
-        qn = (q.astype(jnp.float32) * scales[..., None, None]).astype(q.dtype)
-    q = jnp.where(use_rope, qr, qn)
-    k = jnp.where(use_rope, kr, k)
+    q, k = rope_or_temperature(cfg, q, k, positions, use_rope)
 
     kcfg = layout.get("self_attn.k_bmm")
     vcfg = layout.get("self_attn.v_bmm")

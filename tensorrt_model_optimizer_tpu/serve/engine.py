@@ -81,8 +81,11 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
     if skip_input_quant:
         # caller already applied the block's shared input quantizer (MoE
         # experts share ONE site on the gate input, matching the
-        # calibrated forward's semantics)
+        # calibrated forward's semantics). ist must drop too: Q.quantize
+        # applies pre_quant_scale even for disabled sites, so leaving the
+        # state would scale the activations a second time.
         icfg = dataclasses.replace(icfg, enable=False)
+        ist = None
     if kind == "int8" and icfg.enable and not icfg.is_fp:
         # W8A8 on the native int8 MXU: per-token dynamic act quant, int8 x
         # int8 -> int32, rescale by (act_scale * weight_scale). Exact
@@ -273,7 +276,7 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
     def ad(name):
         return (lp.get("__adapters__") or {}).get(name) if "__adapters__" in lp else None
 
-    h = llama.rms_norm(x, lp["input_layernorm"], eps)
+    h = llama.norm(cfg, x, lp["input_layernorm"])
     h2 = h.reshape(B * T, H)
 
     q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"), ad("self_attn.q_proj"), tp_axis)
@@ -284,26 +287,18 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
         q = q + lp["self_attn.q_proj__bias"].astype(q.dtype)
         k = k + lp["self_attn.k_proj__bias"].astype(k.dtype)
         v = v + lp["self_attn.v_proj__bias"].astype(v.dtype)
+    if cfg.clip_qkv is not None:  # DBRX qkv clamp (llama._attention rule)
+        q = jnp.clip(q, -cfg.clip_qkv, cfg.clip_qkv)
+        k = jnp.clip(k, -cfg.clip_qkv, cfg.clip_qkv)
+        v = jnp.clip(v, -cfg.clip_qkv, cfg.clip_qkv)
     q = q.reshape(B, T, nH, hd)
     k = k.reshape(B, T, nKV, hd)
     v = v.reshape(B, T, nKV, hd)
-    if hasattr(cfg, "use_rope_layers"):  # Llama4: interleaved rope on rope
-        # layers, log-floor temperature tuning on nope layers
-        from ..models.llama4 import _l2norm
+    if hasattr(cfg, "use_rope_layers"):  # Llama4 rope/nope layers — the
+        # SAME helper the parity-tested model forward uses
+        from ..models.llama4 import rope_or_temperature
 
-        qr = llama.rope_interleaved(q, positions, cfg.rope_theta, cfg.rope_scaling)
-        kr = llama.rope_interleaved(k, positions, cfg.rope_theta, cfg.rope_scaling)
-        if cfg.use_qk_norm:
-            qr = _l2norm(qr, eps)
-            kr = _l2norm(kr, eps)
-        qn = q
-        if cfg.attn_temperature_tuning:
-            scales = (jnp.log1p(jnp.floor(
-                (positions.astype(jnp.float32) + 1.0) / cfg.floor_scale
-            )) * cfg.attn_scale + 1.0)
-            qn = (q.astype(jnp.float32) * scales[..., None, None]).astype(q.dtype)
-        q = jnp.where(alt_flag, qr, qn)
-        k = jnp.where(alt_flag, kr, k)
+        q, k = rope_or_temperature(cfg, q, k, positions, alt_flag)
     else:
         if "self_attn.q_norm" in lp:  # Qwen3-style per-head norms
             q = llama.rms_norm(q, lp["self_attn.q_norm"], eps)
@@ -348,14 +343,7 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
         scores = scores / math.sqrt(hd) + mask
         sinks = lp.get("self_attn.sinks")
         if sinks is not None:
-            # GPT-OSS attention sinks: a learned per-head logit joins the
-            # softmax denominator, its mass is dropped (llama._attention)
-            sk = jnp.broadcast_to(
-                sinks.astype(jnp.float32)[None, :, None, None],
-                scores.shape[:3] + (1,))
-            comb = jnp.concatenate([scores, sk], axis=-1)
-            comb = comb - jnp.max(comb, axis=-1, keepdims=True)
-            probs = jax.nn.softmax(comb, axis=-1)[..., :-1].astype(x.dtype)
+            probs = llama.sink_softmax(scores, sinks, x.dtype)
         else:
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B * T, nH * hd)
@@ -365,7 +353,7 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
         attn = attn + lp["self_attn.o_proj__bias"].astype(attn.dtype)
     x = x + attn.reshape(B, T, H)
 
-    h = llama.rms_norm(x, lp["post_attention_layernorm"], eps)
+    h = llama.norm(cfg, x, lp["post_attention_layernorm"])
     h2 = h.reshape(B * T, H)
     d = _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis)
     x = x + d.reshape(B, T, H)
@@ -449,7 +437,7 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
         x, (ck, cv, keep_fracs) = jax.lax.scan(body, x, xs)
     else:
         x, (ck, cv) = jax.lax.scan(body, x, xs)
-    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = llama.norm(cfg, x, params["norm"])
     head_w = params.get("lm_head", params["embed_tokens"])
     if full_logits:
         logits = (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
@@ -599,7 +587,7 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
         def ad(name):
             return (lp.get("__adapters__") or {}).get(name) if "__adapters__" in lp else None
 
-        h = llama.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        h = llama.norm(cfg, x, lp["input_layernorm"])
         h2 = h.reshape(B * T, -1)
         q = _qlinear(h2, "self_attn.q_proj", kinds["self_attn.q_proj"], lp["self_attn.q_proj"], cm, backend, ist("self_attn.q_proj"), ad("self_attn.q_proj"), tp_axis)
         k = _qlinear(h2, "self_attn.k_proj", kinds["self_attn.k_proj"], lp["self_attn.k_proj"], cm, backend, ist("self_attn.k_proj"), ad("self_attn.k_proj"), tp_axis)
@@ -608,6 +596,10 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
             q = q + lp["self_attn.q_proj__bias"].astype(q.dtype)
             k = k + lp["self_attn.k_proj__bias"].astype(k.dtype)
             v = v + lp["self_attn.v_proj__bias"].astype(v.dtype)
+        if cfg.clip_qkv is not None:  # DBRX qkv clamp
+            q = jnp.clip(q, -cfg.clip_qkv, cfg.clip_qkv)
+            k = jnp.clip(k, -cfg.clip_qkv, cfg.clip_qkv)
+            v = jnp.clip(v, -cfg.clip_qkv, cfg.clip_qkv)
         q = q.reshape(B, T, nH, hd)
         k = k.reshape(B, T, nKV, hd)
         if "self_attn.q_norm" in lp:  # Qwen3-style per-head norms
@@ -624,7 +616,7 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
         if "self_attn.o_proj__bias" in lp:
             attn = attn + lp["self_attn.o_proj__bias"].astype(attn.dtype)
         x = x + attn.reshape(B, T, -1)
-        h = llama.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        h = llama.norm(cfg, x, lp["post_attention_layernorm"])
         h2 = h.reshape(B * T, -1)
         d = _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis)
         x = x + d.reshape(B, T, -1)
@@ -632,7 +624,7 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
 
     xs = (params["layers"], act_state, cache.k_pages, cache.v_pages, ka, va)
     x, (new_kp, new_vp) = jax.lax.scan(body, x, xs)
-    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = llama.norm(cfg, x, params["norm"])
     head_w = params.get("lm_head", params["embed_tokens"])
     logits = (x[:, -1] @ head_w.T.astype(x.dtype)).astype(jnp.float32)
     import dataclasses as _dc

@@ -160,7 +160,16 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
 
     if is_moe:
         E = cfg.num_experts
-        layers["moe.router"] = stack("model.layers.{i}.mlp.gate.weight", cfg.dtype)
+        if cfg_d["model_type"] == "qwen3_moe":
+            router_fmt = "model.layers.{i}.mlp.gate.weight"
+            exp_base = "model.layers.{i}.mlp.experts.{e}.{p}"
+            name_of = {"gate_proj": "gate_proj", "up_proj": "up_proj",
+                       "down_proj": "down_proj"}
+        else:  # mixtral naming
+            router_fmt = "model.layers.{i}.block_sparse_moe.gate.weight"
+            exp_base = "model.layers.{i}.block_sparse_moe.experts.{e}.{p}"
+            name_of = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
+        layers["moe.router"] = stack(router_fmt, cfg.dtype)
         if "model.layers.0.self_attn.q_norm.weight" in tensors:
             layers["self_attn.q_norm"] = stack(
                 "model.layers.{i}.self_attn.q_norm.weight", cfg.dtype)
@@ -169,9 +178,9 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
         for ours, hfp in (("moe.gate_proj", "gate_proj"),
                           ("moe.up_proj", "up_proj"),
                           ("moe.down_proj", "down_proj")):
-            def te(i, e, suffix, _hfp=hfp):
+            def te(i, e, suffix, _hfp=name_of[hfp]):
                 return tensors[
-                    f"model.layers.{i}.mlp.experts.{e}.{_hfp}.{suffix}"]
+                    exp_base.format(i=i, e=e, p=_hfp) + "." + suffix]
 
             if base_algo == "NVFP4":
                 packed = np.stack([
@@ -261,14 +270,13 @@ def load_quantized_checkpoint(path: str) -> CompressedModel:
             sub["input"] = ist.replace(amax=amax)
     if is_moe:
         icfg = layout.get("moe.gate_proj.input")
-        key0 = "model.layers.0.mlp.experts.0.gate_proj.input_scale"
-        if icfg.enable and not icfg.dynamic and key0 in tensors:
+        key_fmt = exp_base.format(i="{i}", e=0, p=name_of["gate_proj"])             + ".input_scale"
+        if icfg.enable and not icfg.dynamic and key_fmt.format(i=0) in tensors:
             div = 6.0 * 448.0 if base_algo == "NVFP4" else (
                 448.0 if icfg.is_fp else 127.0)
             amax = jnp.stack([
-                jnp.asarray(
-                    tensors[f"model.layers.{i}.mlp.experts.0.gate_proj.input_scale"]
-                ).reshape(()) * div for i in range(L)])
+                jnp.asarray(tensors[key_fmt.format(i=i)]).reshape(()) * div
+                for i in range(L)])
             qstate.setdefault("moe.gate_proj", {})["input"] = Q.QuantizerState(
                 amax=amax)
     return CompressedModel(cfg, params, kinds, layout, qstate,

@@ -70,7 +70,9 @@ class RunLogger:
             try:  # optional dependency, imported only when enabled
                 import mlflow  # type: ignore
 
-                mlflow.set_tracking_uri(_redact("uri", mlflow_uri))
+                # the LIVE connection needs real credentials; only the
+                # stored record is redacted
+                mlflow.set_tracking_uri(mlflow_uri)
                 mlflow.start_run(run_name=name)
                 self._mlflow = mlflow
             except ImportError:

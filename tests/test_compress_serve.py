@@ -756,3 +756,50 @@ class TestLlama4Serving:
             max_seq_len=48, backend="xla"))
         out = eng.generate(batches[0][:1, :8], max_new_tokens=4)
         assert out.shape == (1, 4)
+
+
+def test_moe_awq_preset_serving_parity(tiny_ptq):
+    """AWQ preset (pre_quant_scale set) through the MoE engine: the shared
+    input scale must apply exactly ONCE (double-application regression)."""
+    from tensorrt_model_optimizer_tpu.models import mixtral
+
+    cfg = mixtral.MixtralConfig.tiny(capacity_factor=4.0)
+    params = mixtral.init_params(cfg, jax.random.PRNGKey(17))
+    rng = np.random.default_rng(17)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    model = ptq.quantize_family("mixtral", cfg, params, "INT4_AWQ_CFG", batches)
+    assert model.qstate["moe.gate_proj"]["input"].pre_quant_scale is not None
+    cm = compress.compress(model)
+    eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+        max_seq_len=32, backend="xla"))
+    prompt = batches[0][:, :8]
+    logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+    ref, _ = model.forward(prompt)
+    corr = np.corrcoef(np.asarray(logits).ravel(),
+                       np.asarray(ref[:, -1]).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_dbrx_style_serving_parity():
+    """LayerNorm blocks + clip_qkv (DBRX) must carry into the engine."""
+    from tensorrt_model_optimizer_tpu.models import mixtral
+
+    cfg = mixtral.MixtralConfig.tiny(
+        capacity_factor=4.0, norm_type="layernorm", clip_qkv=1.0)
+    params = mixtral.init_params(cfg, jax.random.PRNGKey(18))
+    # non-trivial norms so layernorm != rmsnorm numerically
+    layers = dict(params["layers"])
+    layers["input_layernorm"] = layers["input_layernorm"] * 1.3
+    params = {**params, "layers": layers}
+    rng = np.random.default_rng(18)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    model = ptq.quantize_family("mixtral", cfg, params, "FP8_DEFAULT_CFG", batches)
+    cm = compress.compress(model)
+    eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+        max_seq_len=32, backend="xla"))
+    prompt = batches[0][:, :8]
+    logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+    ref, _ = model.forward(prompt)
+    corr = np.corrcoef(np.asarray(logits).ravel(),
+                       np.asarray(ref[:, -1]).ravel())[0, 1]
+    assert corr > 0.99, corr

@@ -283,3 +283,49 @@ def test_gpt_oss_native_mxfp4_export_roundtrip(tmp_path):
         np.asarray(lparams["layers"]["self_attn.sinks"]),
         np.asarray(params["layers"]["self_attn.sinks"], np.float16).astype(np.float32),
         rtol=1e-3)
+
+
+def test_gpt_oss_export_streams_sharded(tmp_path):
+    """GPT-OSS export honors max_shard_bytes (layer-at-a-time shards)."""
+    from tensorrt_model_optimizer_tpu.models import gpt_oss, hf_loader
+    from tensorrt_model_optimizer_tpu.quant import ptq as ptq_mod
+
+    cfg = gpt_oss.GptOssConfig.tiny()
+    params = gpt_oss.init_params(cfg, jax.random.PRNGKey(6))
+    model = ptq_mod.quantize_family("gpt_oss", cfg, params,
+                                    "MXFP4_WEIGHT_ONLY_CFG",
+                                    [jnp.zeros((1, 8), jnp.int32)])
+    hf_export.export_hf_checkpoint(model, str(tmp_path / "oss"),
+                                   max_shard_bytes=64 * 1024)
+    import glob as _glob
+    shards = _glob.glob(str(tmp_path / "oss" / "model-*.safetensors"))
+    assert len(shards) > 1 and os.path.exists(
+        str(tmp_path / "oss" / "model.safetensors.index.json"))
+    lcfg, lparams = hf_loader.load_hf_moe_checkpoint(
+        str(tmp_path / "oss"), dtype=jnp.float32)
+    assert lparams["layers"]["moe.gate_proj"].shape[:2] == (
+        cfg.num_hidden_layers, cfg.num_experts)
+
+
+def test_mixtral_naming_export_roundtrip(tmp_path):
+    """Non-qk_norm MoE exports declare model_type=mixtral AND use mixtral
+    tensor naming (block_sparse_moe.experts.{e}.w1/w3/w2) — the directory
+    must be self-consistent and loadable."""
+    import json as _json
+
+    from tensorrt_model_optimizer_tpu.models import mixtral
+    from tensorrt_model_optimizer_tpu.quant import ptq as ptq_mod
+    from tensorrt_model_optimizer_tpu.serve.loader import load_quantized_checkpoint
+
+    cfg = mixtral.MixtralConfig.tiny()  # qk_norm False -> mixtral naming
+    params = mixtral.init_params(cfg, jax.random.PRNGKey(12))
+    rng = np.random.default_rng(19)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    model = ptq_mod.quantize_family("mixtral", cfg, params, "FP8_DEFAULT_CFG", batches)
+    hf_export.export_hf_checkpoint(model, str(tmp_path / "mx"))
+    with open(tmp_path / "mx" / "config.json") as f:
+        assert _json.load(f)["model_type"] == "mixtral"
+    t = _load(tmp_path / "mx")
+    assert "model.layers.0.block_sparse_moe.experts.1.w1.weight" in t
+    cm = load_quantized_checkpoint(str(tmp_path / "mx"))
+    assert cm.kinds["moe.gate_proj"] == "fp8"
