@@ -214,3 +214,25 @@ def test_engine_speculative_accepts_with_trained_draft(eng):
     out, rate = eng.generate_speculative(prompt, med, max_new_tokens=10)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref[0]))
     assert rate >= 0.0  # rate depends on draft quality; parity is the law
+
+
+def test_paged_moe_matches_dense():
+    """Routed-MoE model through paged serving == its dense-cache decode."""
+    from tensorrt_model_optimizer_tpu.models import mixtral
+    from tensorrt_model_optimizer_tpu.quant import compress, ptq
+    from tensorrt_model_optimizer_tpu.serve import engine as serve_engine
+    from tensorrt_model_optimizer_tpu.serve.scheduler import Request
+
+    cfg = mixtral.MixtralConfig.tiny(capacity_factor=4.0)
+    params = mixtral.init_params(cfg, jax.random.PRNGKey(19))
+    rng = np.random.default_rng(20)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    model = ptq.quantize_family("mixtral", cfg, params, "INT8_DEFAULT_CFG", batches)
+    cm = compress.compress(model)
+    eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+        max_seq_len=64, backend="xla"))
+    prompt = rng.integers(0, 256, size=(8,)).astype(np.int32)
+    dense = eng.generate(jnp.asarray(prompt[None, :]), max_new_tokens=5)
+    outs = eng.serve([Request(rid=0, prompt=prompt, max_new_tokens=5)],
+                     n_pages=32, page_size=8, max_slots=2, max_pages_per_seq=8)
+    np.testing.assert_array_equal(np.asarray(dense[0]), np.asarray(outs[0]))
