@@ -60,3 +60,70 @@ def test_pruned_quantizes(tiny):
     model = ptq.quantize(new_cfg, new_params, "FP8_DEFAULT_CFG", batches)
     logits, _, _ = model.forward(batches[0])
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestMinitronExpertPruning:
+    """Minitron `num_moe_experts` pruning (mcore_minitron.py:110 analog)."""
+
+    def _setup(self):
+        from tensorrt_model_optimizer_tpu.models import mixtral
+
+        cfg = mixtral.MixtralConfig.tiny(num_experts=4, top_k=2,
+                                         capacity_factor=4.0)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(50))
+        rng = np.random.default_rng(50)
+        batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+        return cfg, params, batches
+
+    def test_dead_expert_is_pruned_first(self):
+        from tensorrt_model_optimizer_tpu.models import mixtral
+        from tensorrt_model_optimizer_tpu.prune import minitron_moe
+
+        import dataclasses as _dc
+
+        cfg, params, batches = self._setup()
+        # make expert 2 unroutable via a large negative router bias
+        cfg = _dc.replace(cfg, router_bias=True)
+        layers = dict(params["layers"])
+        bias = np.zeros((cfg.num_hidden_layers, cfg.num_experts), np.float32)
+        bias[:, 2] = -1e4
+        layers["moe.router__bias"] = jnp.asarray(bias)
+        params = {**params, "layers": layers}
+        scores = minitron_moe.expert_importance(cfg, params, batches)
+        assert scores.shape == (cfg.num_hidden_layers, cfg.num_experts)
+        assert np.all(np.argmin(np.asarray(scores), axis=1) == 2)
+        new_cfg, new_params = minitron_moe.prune_experts(cfg, params, 3, scores)
+        assert new_cfg.num_experts == 3
+        assert new_params["layers"]["moe.gate_proj"].shape[1] == 3
+        logits, _ = mixtral.forward(new_cfg, new_params, batches[0])
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_keep_all_is_identity(self):
+        from tensorrt_model_optimizer_tpu.models import mixtral
+        from tensorrt_model_optimizer_tpu.prune import minitron_moe
+
+        cfg, params, batches = self._setup()
+        ref, _ = mixtral.forward(cfg, params, batches[0])
+        new_cfg, new_params = minitron_moe.prune_moe(
+            cfg, params, batches, keep=cfg.num_experts)
+        out, _ = mixtral.forward(new_cfg, new_params, batches[0])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pruned_model_tracks_full_better_than_worst(self):
+        """Keeping the top experts tracks the full model better than
+        keeping the bottom experts."""
+        from tensorrt_model_optimizer_tpu.models import mixtral
+        from tensorrt_model_optimizer_tpu.prune import minitron_moe
+
+        cfg, params, batches = self._setup()
+        ref, _ = mixtral.forward(cfg, params, batches[0])
+        scores = minitron_moe.expert_importance(cfg, params, batches)
+        best_cfg, best_p = minitron_moe.prune_experts(cfg, params, 2, scores)
+        worst_cfg, worst_p = minitron_moe.prune_experts(cfg, params, 2, -scores)
+        lb, _ = mixtral.forward(best_cfg, best_p, batches[0])
+        lw, _ = mixtral.forward(worst_cfg, worst_p, batches[0])
+        r = np.asarray(ref).ravel()
+        cb = np.corrcoef(np.asarray(lb).ravel(), r)[0, 1]
+        cw = np.corrcoef(np.asarray(lw).ravel(), r)[0, 1]
+        assert cb > cw, (cb, cw)
