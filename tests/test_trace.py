@@ -211,3 +211,26 @@ class TestNewFamiliesUnmodified:
         assert ("layers/moe.down_proj", 1) in eg.sites
         assert ("layers/moe.up_proj", 1) in eg.sites
         assert eg.size == cfg.num_experts
+
+
+def test_convert_traced_new_families_yield_width_hparams():
+    """The trace->SearchSpace pipeline covers the session-3 families: a
+    width hparam exists for GPT-OSS's expert ffn and Llama4's shared
+    expert without any family-specific wiring."""
+    from tensorrt_model_optimizer_tpu.models import gpt_oss, llama4
+    from tensorrt_model_optimizer_tpu.nas.autonas import convert_traced
+
+    cfg = gpt_oss.GptOssConfig.tiny()
+    params = gpt_oss.init_params(cfg, jax.random.PRNGKey(0))
+    ss = convert_traced(
+        lambda p, t: gpt_oss.forward(cfg, p, t)[0], params, cfg)
+    widths = {k: v for k, v in ss.hparams.items() if k.startswith("width.")}
+    assert any(max(v.choices) == cfg.intermediate_size for v in widths.values())
+
+    cfg4 = llama4.Llama4Config.tiny()
+    params4 = llama4.init_params(cfg4, jax.random.PRNGKey(1))
+    ss4 = convert_traced(
+        lambda p, t: llama4.forward(cfg4, p, t)[0], params4, cfg4)
+    assert any(k.startswith("depth.") for k in ss4.hparams)
+    assert any(max(v.choices) == cfg4.intermediate_size
+               for k, v in ss4.hparams.items() if k.startswith("width."))
