@@ -31,7 +31,7 @@ PRESETS = os.environ.get(
     "FP8_DEFAULT_CFG,NVFP4_DEFAULT_CFG,NVFP4_KV_CFG,INT8_DEFAULT_CFG,"
     "INT8_SMOOTHQUANT_CFG,INT4_AWQ_CFG,INT4_GPTQ_CFG,"
     "INT4_BLOCKWISE_WEIGHT_ONLY_CFG,MXFP4_DEFAULT_CFG,MXFP8_DEFAULT_CFG,"
-    "W4A8_AWQ_BETA_CFG,NF4_DOUBLE_QUANT_CFG",
+    "W4A8_AWQ_BETA_CFG,NF4_WEIGHT_ONLY_CFG,NVFP4_AWQ_LITE_CFG",
 ).split(",")
 
 
