@@ -71,3 +71,29 @@ def test_quantized_ppl_delta_gate(anchor, preset, bound):
         f"{preset}: ppl {base:.4f} -> {qppl:.4f} "
         f"(+{qppl - base:.4f} > pinned {bound})"
     )
+
+
+@pytest.mark.slow
+def test_moe_anchor_nvfp4_gate():
+    """CI gate on the trained MoE anchor: NVFP4 dppl stays within 2x its
+    recorded value (0.0267 @ 2026-08-18) and the baseline ppl reproduces."""
+    import jax.numpy as jnp
+
+    from tensorrt_model_optimizer_tpu.models import hf_loader, mixtral
+    from tensorrt_model_optimizer_tpu.quant import ptq
+    from tensorrt_model_optimizer_tpu.utils import synthlang
+    from tensorrt_model_optimizer_tpu.utils.evaluate import perplexity
+
+    if not os.path.exists("artifacts/anchor-moe"):
+        pytest.skip("MoE anchor not present")
+    cfg, params = hf_loader.load_hf_moe_checkpoint(
+        "artifacts/anchor-moe", dtype=jnp.float32)
+    lang = synthlang.SynthLang(0)
+    ev = list(lang.eval_batches(4, 8, 128, seed=999))
+    base = perplexity(cfg, params, ev, forward_fn=mixtral.forward)
+    assert abs(base - 2.9410) < 0.05, base
+    calib = [jnp.asarray(b) for b in lang.eval_batches(2, 8, 128, seed=555)]
+    model = ptq.quantize_family("mixtral", cfg, params, "NVFP4_DEFAULT_CFG", calib)
+    ppl = perplexity(cfg, model.params, ev, layout=model.layout,
+                     qstate=model.qstate, forward_fn=mixtral.forward)
+    assert ppl - base < 2 * 0.0267 + 0.005, (ppl, base)
