@@ -200,3 +200,23 @@ class TestMoEExpertParallel:
         got, _ = _generate(cm, serve_engine.EngineConfig(
             max_seq_len=48, backend="xla", mesh=tp_mesh(2)), prompt)
         np.testing.assert_array_equal(got, ref)
+
+
+def test_llama4_tp2_token_parity():
+    """Llama4 (interleaved rope/nope flags + shared expert + EP) under
+    TP=2: token-identical to single device."""
+    from tensorrt_model_optimizer_tpu.models import llama4
+
+    cfg = llama4.Llama4Config.tiny(
+        capacity_factor=4.0, attention_chunk_size=4, floor_scale=4.0)
+    params = llama4.init_params(cfg, jax.random.PRNGKey(27))
+    rng = np.random.default_rng(27)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    model = ptq.quantize_family("llama4", cfg, params, "INT8_DEFAULT_CFG", batches)
+    cm = compress.compress(model)
+    prompt = batches[0][:, :8]
+    ref, _ = _generate(cm, serve_engine.EngineConfig(
+        max_seq_len=48, backend="xla"), prompt, n=5)
+    got, _ = _generate(cm, serve_engine.EngineConfig(
+        max_seq_len=48, backend="xla", mesh=tp_mesh(2)), prompt, n=5)
+    np.testing.assert_array_equal(got, ref)
