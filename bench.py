@@ -258,10 +258,14 @@ def build_engine(fmt, n_layers):
     else:
         # weight-only serving: act quantizers off for the throughput benchmark
         cm = CompressedModel(cfg, params, kinds, llama.QuantLayout(sites=()), {})
-    eng = serve_engine.Engine(
-        cm, serve_engine.EngineConfig(max_seq_len=MAXLEN, backend="pallas")
-    )
-    # return the ENGINE's cm: Engine converts nvfp4 to the perm layout, and
+    ecfg = serve_engine.EngineConfig(max_seq_len=MAXLEN, backend="pallas")
+    layout = os.environ.get("BENCH_LAYOUT")
+    if layout:  # A/B the serving layouts (perm/word/blockdot) from the CLI
+        import dataclasses as _dc
+
+        ecfg = _dc.replace(ecfg, nvfp4_layout=layout, int4_layout=layout)
+    eng = serve_engine.Engine(cm, ecfg)
+    # return the ENGINE's cm: Engine converts nvfp4 to the serving layout, and
     # holding the pre-conversion packed weights too doubles HBM (OOMed)
     return cfg, eng.cm, eng
 
@@ -460,6 +464,8 @@ def main():
            and anchor.median_ms1() is not None else {}),
         "compile_s": round(compile_s, 1),
         "format": FORMAT, "bs": BATCH, "prefill": PREFILL, "steps": STEPS,
+        **({"layout": os.environ["BENCH_LAYOUT"]}
+           if os.environ.get("BENCH_LAYOUT") else {}),
         "hw": jax.devices()[0].device_kind,
         **({"barrier_unreliable": BARRIER_FLAGS["readback_timeouts"]}
            if BARRIER_FLAGS["readback_timeouts"] else {}),

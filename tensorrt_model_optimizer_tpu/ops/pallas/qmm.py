@@ -563,14 +563,17 @@ def _nvfp4_word_kernel(rep, x_ref, w_ref, s_ref, gs_ref, o_ref, acc):
 
     p = w_ref[:].astype(jnp.int32)  # [TO/2, TK] one byte = two output rows
     # SWAR: position the two nibbles in the two 16-bit halves, then every
-    # op below decodes both elements at once (compare-free throughout)
-    spread = (p & 0xF) | ((p & 0xF0) << 12)
+    # op below decodes both elements at once (compare-free throughout).
+    # 17 int32 ops per byte-pair: p<<12 puts the high nibble at bits 16-19
+    # in one shift; idx>=2 becomes bit 3 of (idx+6) with no carry across
+    # halves (max 13); *0x1FF8 expands that bit to a 0xFFC0 half-mask,
+    # exactly covering bits 6-15 where norm/sub live; xor-select combines.
+    spread = (p | (p << 12)) & 0x000F000F
     idx = spread & 0x00070007
     norm = (idx + 0x00FC00FC) << 6          # (idx + 252) << 6, both halves
-    sub = (idx & 0x00010001) * 0x3F00       # 0 / 0.5 for idx < 2
-    ge2 = ((idx >> 1) | (idx >> 2)) & 0x00010001
-    mask = ge2 * 0xFFFF                     # all-ones half where idx >= 2
-    bits = (norm & mask) | (sub & (mask ^ -1))
+    sub = (spread & 0x00010001) * 0x3F00    # 0 / 0.5 for idx < 2
+    mask = ((idx + 0x00060006) & 0x00080008) * 0x1FF8  # 0xFFC0 iff idx >= 2
+    bits = sub ^ ((norm ^ sub) & mask)
     bits = bits | ((spread & 0x00080008) << 12)   # sign -> bf16 bit 15
     w = pltpu.bitcast(bits, jnp.bfloat16)   # [TO, TK]
     s_full = pltpu.repeat(s_ref[:], rep, axis=1)  # [TO, TK] (perm layout)
@@ -672,7 +675,7 @@ def _int4_word_kernel(rep, x_ref, w_ref, s_ref, o_ref, acc):
         acc[:] = jnp.zeros_like(acc)
 
     p = w_ref[:].astype(jnp.int32)  # [TO/2, TK]
-    spread = (p & 0xF) | ((p & 0xF0) << 12)
+    spread = (p | (p << 12)) & 0x000F000F
     # two's-complement nibble -> biased: u = code ^ 8 (so u - 8 = value)
     bits = (spread ^ 0x00080008) + 0x43004300  # bf16(128 + u) in both halves
     w = pltpu.bitcast(bits, jnp.bfloat16)   # [TO, TK]
@@ -756,16 +759,24 @@ def qmm_int4_word(
 def quantized_matmul(x: jax.Array, kind: str, arrays: dict) -> jax.Array:
     """y = x @ dequant(W)^T for a packed weight dict (see quant/compress.py).
 
-    Per-format backend choice is empirical (same-run A/B on the target):
-    int8 goes through XLA's own dequant+dot fusion (7.6 us vs 9.8 us for the
-    hand-written kernel at llama-8B shapes); fp8/int4/nvfp4 use the Pallas
-    kernels (XLA can't consume the packed layouts).
+    Per-format backend choice is empirical (slope-timed same-process A/B at
+    llama-8B gate shape, tools/probe_qmm_scan.py 2026-08-18): the BYTE
+    formats (int8/fp8) go through XLA's native convert-fused dot with the
+    scale applied to the [N, O] OUTPUT — XLA folds the i8/e4m3->bf16 convert
+    into the MXU operand read at full HBM bandwidth (79/86 us vs 165/973 us
+    for the hand-written Pallas kernels, whose Mosaic byte->bf16 converts
+    are VPU-bound). Scaling the WEIGHT before the dot instead forces XLA to
+    materialize the bf16 weight and loses the fusion. The sub-byte formats
+    (int4/nvfp4/mxfp4) keep Pallas word kernels: XLA cannot consume packed
+    nibble layouts (s4-via-bitcast measured 829 us).
     """
-    if kind == "int8":
-        w = (arrays["q"].astype(jnp.bfloat16) * arrays["scale"].astype(jnp.bfloat16))
-        return x @ w.T.astype(x.dtype)
-    if kind == "fp8":
-        return qmm_fp8(x, arrays["q"], arrays["scale"])
+    if kind in ("int8", "fp8"):
+        y = jax.lax.dot_general(
+            x, arrays["q"].astype(x.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # per-channel [O, 1] or per-tensor scalar scale, output-side
+        return (y * arrays["scale"].reshape(1, -1)).astype(x.dtype)
     if kind == "int4":
         return qmm_int4(x, arrays["packed"], arrays["scale_lo"], arrays["scale_hi"])
     if kind == "nvfp4":

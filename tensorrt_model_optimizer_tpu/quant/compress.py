@@ -163,6 +163,27 @@ def compress_weight(
     return "bf16", {"w": w.astype(jnp.bfloat16)}
 
 
+def _map_leading(fn, *arrays):
+    """Apply `fn` over all leading (stacked layer/expert) axes SEQUENTIALLY.
+
+    vmap here batches the conversion's [O, K]-sized intermediates across all
+    L layers at once — for an 8B model that is >12 GB of transients and
+    OOMed the 16 GB chip at engine init (2026-08-18). lax.map keeps one
+    layer's intermediates live at a time; conversion is one-time setup so
+    the serialization is free."""
+    from ..ops.pallas import qmm as qmm_mod
+
+    qmm_mod._bitcast_order()  # probe kernel reads concrete values — must
+    # run (and cache) EAGERLY before fn is traced under lax.map
+    extra = arrays[0].ndim - 2
+    if extra == 0:
+        return fn(*arrays)
+    lead = arrays[0].shape[:extra]
+    flat = [a.reshape((-1,) + a.shape[extra:]) for a in arrays]
+    out = jax.lax.map(lambda xs: fn(*xs), tuple(flat))
+    return tuple(o.reshape(lead + o.shape[1:]) for o in out)
+
+
 def convert_nvfp4_perm(cm: "CompressedModel") -> "CompressedModel":
     """One-time layout conversion: nvfp4 -> nvfp4p (K-permuted packed lanes
     + bf16 scales) for the faster full-depth-dot serving kernel
@@ -200,10 +221,10 @@ def convert_nvfp4_word(cm: "CompressedModel") -> "CompressedModel":
         if kind != "nvfp4":
             continue
         arr = new_layers[name]
-        pack = qmm_mod.nvfp4_word_pack
-        for _ in range(arr["packed"].ndim - 2):  # stacked [L(, E), ...]
-            pack = jax.vmap(pack)
-        packed, scales = pack(arr["packed"], arr["scale_lo"], arr["scale_hi"])
+        packed, scales = _map_leading(
+            qmm_mod.nvfp4_word_pack,
+            arr["packed"], arr["scale_lo"], arr["scale_hi"],
+        )
         new_layers[name] = {
             "packed": packed, "scales": scales,
             "global_scale": arr["global_scale"],
@@ -236,9 +257,8 @@ def convert_mxfp4_word(cm: "CompressedModel") -> "CompressedModel":
         import functools
 
         pack = functools.partial(qmm_mod.nvfp4_word_pack, block_size=bsz)
-        for _ in range(arr["packed"].ndim - 2):
-            pack = jax.vmap(pack)
-        packed, _ = pack(
+        packed, _ = _map_leading(
+            pack,
             arr["packed"],
             jnp.zeros_like(arr["exp_lo"], jnp.float32),
             jnp.zeros_like(arr["exp_hi"], jnp.float32),
@@ -265,10 +285,10 @@ def convert_int4_word(cm: "CompressedModel") -> "CompressedModel":
         if kind != "int4":
             continue
         arr = new_layers[name]
-        pack = qmm_mod.int4_word_pack
-        for _ in range(arr["packed"].ndim - 2):
-            pack = jax.vmap(pack)
-        packed, scales = pack(arr["packed"], arr["scale_lo"], arr["scale_hi"])
+        packed, scales = _map_leading(
+            qmm_mod.int4_word_pack,
+            arr["packed"], arr["scale_lo"], arr["scale_hi"],
+        )
         new_layers[name] = {"packed": packed, "scales": scales}
         kinds[name] = "int4w"
     params = dict(cm.params)

@@ -39,9 +39,12 @@ class EngineConfig:
     # paged decode attention via the Pallas kernel (scalar-prefetched block
     # tables); False = jnp gather path
     paged_attention_kernel: bool = False
-    # NVFP4 serving layout: "perm" converts to the K-permuted kernel layout
-    # at engine init (full-depth MXU dots; measured >= blockdot on-chip)
-    nvfp4_layout: str = "perm"  # "perm" | "word" | "blockdot"
+    # NVFP4 serving layout: "word" converts to the row-pair SWAR kernel
+    # layout at engine init — slope-timed on-chip at 204 us/gate-proj vs
+    # 875 (blockdot) / 1243 (perm) / 955 (XLA decompress), 2026-08-18
+    # (tools/probe_qmm_scan.py; earlier fori_loop microbenches were invalid,
+    # see BENCH_RESULTS.md round-2 timing notes)
+    nvfp4_layout: str = "word"  # "word" | "perm" | "blockdot"
     # INT4 serving layout: "word" converts to the row-pair magic-number
     # kernel layout (one full-depth dot; scales round to bf16)
     int4_layout: str = "blockdot"  # "blockdot" | "word"
@@ -336,17 +339,25 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
         k_all = _kv_load(ck, cfg.dtype, kv_dtype, k_amax_l)
         v_all = _kv_load(cv, cfg.dtype, kv_dtype, v_amax_l)
 
+        # Grouped GQA: K/V stay at nKV heads through both einsums. The old
+        # jnp.repeat path materialized [B, S, nH, hd] K AND V every step —
+        # ~6 ms/step of pure HBM traffic for llama3-8b at BS8/512ctx (decode
+        # ablation 2026-08-18: engine fused 23.7 ms vs grouped-local 17.1).
+        # Head order matches repeat(k, rep, axis=2): head n <-> (g, r) with
+        # n = g * rep + r, so the [B, g, r, T, S] <-> [B, nH, T, S] reshapes
+        # are views, and sink-softmax sees the standard per-head layout.
         rep = nH // nKV
-        k_all = jnp.repeat(k_all, rep, axis=2)
-        v_all = jnp.repeat(v_all, rep, axis=2)
-        scores = jnp.einsum("bqnd,bknd->bnqk", q, k_all, preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(hd) + mask
+        qg = q.reshape(B, T, nKV, rep, hd)
+        scores = jnp.einsum("btgrd,bsgd->bgrts", qg, k_all,
+                            preferred_element_type=jnp.float32)
+        scores = scores.reshape(B, nH, T, -1) / math.sqrt(hd) + mask
         sinks = lp.get("self_attn.sinks")
         if sinks is not None:
             probs = llama.sink_softmax(scores, sinks, x.dtype)
         else:
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B * T, nH * hd)
+        probs = probs.reshape(B, nKV, rep, T, -1)
+        ctx = jnp.einsum("bgrts,bsgd->btgrd", probs, v_all).reshape(B * T, nH * hd)
 
     attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True)
     if "self_attn.o_proj__bias" in lp:  # GPT-OSS biases all four projections
@@ -541,13 +552,15 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
         jnp.arange(S)[None, None, :] <= tok_pos[:, :, None], 0.0, -1e9
     )[:, None, :, :].astype(jnp.float32)
 
+    # grouped GQA (no K/V materialization at nH heads; see _layer_forward)
     rep = nH // nKV
-    k_all = jnp.repeat(k_all, rep, axis=2)
-    v_all = jnp.repeat(v_all, rep, axis=2)
-    scores = jnp.einsum("bqnd,bknd->bnqk", x_q, k_all, preferred_element_type=jnp.float32)
-    scores = scores / _math.sqrt(hd) + mask
+    qg = x_q.reshape(B, T, nKV, rep, hd)
+    scores = jnp.einsum("btgrd,bsgd->bgrts", qg, k_all,
+                        preferred_element_type=jnp.float32)
+    scores = scores.reshape(B, nH, T, -1) / _math.sqrt(hd) + mask
     probs = jax.nn.softmax(scores, axis=-1).astype(x_q.dtype)
-    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v_all).reshape(B, T, nH * hd)
+    probs = probs.reshape(B, nKV, rep, T, -1)
+    ctx = jnp.einsum("bgrts,bsgd->btgrd", probs, v_all).reshape(B, T, nH * hd)
     return ctx, layer_kp, layer_vp
 
 

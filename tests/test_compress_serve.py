@@ -439,8 +439,14 @@ class TestMoreFormats:
         d0 = compress.decompress_weight("nvfp4", {k: v[0] for k, v in cm.params["layers"]["mlp.down_proj"].items()}, out_dtype=jnp.float32)
         d1 = compress.decompress_weight("nvfp4p", {k: v[0] for k, v in cmp_.params["layers"]["mlp.down_proj"].items()}, out_dtype=jnp.float32)
         np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
-        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(max_seq_len=32, backend="pallas"))
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+            max_seq_len=32, backend="pallas", nvfp4_layout="perm"))
         assert eng.cm.kinds["mlp.down_proj"] == "nvfp4p"
+        # default engine layout is the word kernel (fastest on-chip,
+        # tools/probe_qmm_scan.py 2026-08-18)
+        eng_def = serve_engine.Engine(cm, serve_engine.EngineConfig(
+            max_seq_len=32, backend="pallas"))
+        assert eng_def.cm.kinds["mlp.down_proj"] == "nvfp4w"
         prompt = batches[0][:, :8]
         logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
         ref, _, _ = model.forward(prompt)

@@ -183,19 +183,23 @@ def make_step(cfg, ecfg, cm, backend, variant):
 
 
 def time_variant(runner, eng, cm, steps):
-    """One timed pass: N chained decode steps from a fresh cache."""
-    import jax
+    """One timed pass: N chained decode steps from a fresh cache.
+
+    Ends with a VALUE readback (np.asarray) of the final token:
+    block_until_ready returns at dispatch time for donated buffers on this
+    relay (BENCH_RESULTS.md round-2 timing notes), so a barrier-timed loop
+    over donated steps measures dispatch, not compute."""
     import jax.numpy as jnp
 
     cache = eng.init_cache(BATCH, MAXLEN)
     cache["pos"] = jnp.asarray(PREFILL, jnp.int32)
     tok = jnp.zeros((BATCH, 1), jnp.int32)
     tok, cache = runner(cm.params, cm.qstate, tok, cache)  # warm/compile
-    jax.block_until_ready(tok)
+    np.asarray(tok)  # drain the async chain before the timed block
     t0 = time.time()
     for _ in range(steps):
         tok, cache = runner(cm.params, cm.qstate, tok, cache)
-    jax.block_until_ready(tok)
+    np.asarray(tok)  # value readback pays the real compute time
     return (time.time() - t0) / steps * 1e3  # ms/step
 
 
