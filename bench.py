@@ -31,7 +31,11 @@ import time
 
 import numpy as np
 
-FORMAT = os.environ.get("BENCH_FORMAT", "nvfp4")
+# Default = fp8: the best measured format of the BASELINE trio
+# (NVFP4/FP8/INT4-AWQ) on this chip — same-session 2026-08-18: fp8 1.665x,
+# int4-word 1.266x, nvfp4-word 0.974x, int8 1.794x vs chip-normalized bf16
+# (artifacts/bench_r02/*.json). Override with BENCH_FORMAT.
+FORMAT = os.environ.get("BENCH_FORMAT", "fp8")
 BATCH = int(os.environ.get("BENCH_BS", "8"))
 PREFILL = int(os.environ.get("BENCH_PREFILL", "128"))
 STEPS = int(os.environ.get("BENCH_STEPS", "64"))
@@ -425,19 +429,26 @@ def main():
     # uses 2048-in; set BENCH_PREFILL=2048 for the full number)
     ttft_ms = None
     if os.environ.get("BENCH_TTFT", "1") == "1" and not past_deadline():
-        rng = np.random.default_rng(2)
-        prompt = jnp.asarray(
-            rng.integers(0, cfg.vocab_size, size=(BATCH, PREFILL), dtype=np.int32)
-        )
-        pc = eng.init_cache(BATCH, MAXLEN)
-        logits, _ = eng.prefill(prompt, pc)
-        jax.block_until_ready(logits)  # compile
-        pc = eng.init_cache(BATCH, MAXLEN)
-        t0 = time.time()
-        logits, _ = eng.prefill(prompt, pc)
-        jax.block_until_ready(logits)
-        ttft_ms = (time.time() - t0) * 1e3
-        log(f"prefill({PREFILL}) TTFT: {ttft_ms:.1f} ms")
+        # Non-fatal: with the bf16 anchor still resident, the 8-bit-format
+        # prefill graph can RESOURCE_EXHAUSTED the chip (observed for fp8,
+        # 2026-08-18). The decode numbers above are the headline — never
+        # lose them to a TTFT OOM.
+        try:
+            rng = np.random.default_rng(2)
+            prompt = jnp.asarray(
+                rng.integers(0, cfg.vocab_size, size=(BATCH, PREFILL), dtype=np.int32)
+            )
+            pc = eng.init_cache(BATCH, MAXLEN)
+            logits, _ = eng.prefill(prompt, pc)
+            jax.block_until_ready(logits)  # compile
+            pc = eng.init_cache(BATCH, MAXLEN)
+            t0 = time.time()
+            logits, _ = eng.prefill(prompt, pc)
+            jax.block_until_ready(logits)
+            ttft_ms = (time.time() - t0) * 1e3
+            log(f"prefill({PREFILL}) TTFT: {ttft_ms:.1f} ms")
+        except Exception as e:  # pragma: no cover - chip-memory dependent
+            log(f"TTFT skipped: {type(e).__name__}: {str(e)[:120]}")
 
     if FORMAT == "bf16":
         vs = 0.5  # itself, normalized by the 2 chips bf16 8B requires

@@ -526,6 +526,23 @@ def _word_tile_o(O: int) -> int:
     return to
 
 
+def _word_tile_n(N: int) -> int:
+    """N (row) tile for the word kernels. Decode (N<=256) runs one tile;
+    prefill rows are tiled so the fp32 accumulator + out tile stay inside
+    the 16 MB scoped-vmem budget (int4's 128-wide scale blocks force a
+    whole-K tile, and an untiled N=1024 prefill hit a 33.4 MB vmem stack
+    OOM on-chip, 2026-08-18). Tiles must keep the sublane dim Mosaic-legal
+    (multiple of 8) — fall back to one whole-N tile if N doesn't split."""
+    if N <= 256:
+        return N
+    tn = 256
+    while N % tn or tn % 8:
+        tn //= 2
+        if tn < 8:
+            return N
+    return tn
+
+
 @functools.cache
 def _bitcast_order() -> str:
     """How pltpu.bitcast(i32 -> bf16) orders the doubled sublanes.
@@ -555,7 +572,7 @@ def _bitcast_order() -> str:
 
 
 def _nvfp4_word_kernel(rep, x_ref, w_ref, s_ref, gs_ref, o_ref, acc):
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
@@ -582,7 +599,7 @@ def _nvfp4_word_kernel(rep, x_ref, w_ref, s_ref, gs_ref, o_ref, acc):
         x_ref[:], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
 
-    @pl.when(j == pl.num_programs(1) - 1)
+    @pl.when(j == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = (acc[:] * gs_ref[0, 0]).astype(o_ref.dtype)
 
@@ -636,21 +653,23 @@ def qmm_nvfp4_word(
     nblk = tk // block_size
     to = _word_tile_o(O)
     go = O // to
+    tn = _word_tile_n(N)
+    gn = N // tn
     xp = permute_k(x, 1, tk, bsz=block_size)
     gs2 = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
     kern = functools.partial(_nvfp4_word_kernel, block_size)
     return pl.pallas_call(
         kern,
-        grid=(go, gk),
+        grid=(gn, go, gk),
         in_specs=[
-            pl.BlockSpec((N, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((to // 2, tk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((to, nblk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tn, tk), lambda n, i, j: (n, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to // 2, tk), lambda n, i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, nblk), lambda n, i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda n, i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((N, to), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tn, to), lambda n, i, j: (n, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, O), x.dtype),
-        scratch_shapes=[pltpu.VMEM((N, to), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tn, to), jnp.float32)],
         interpret=_interpret(),
     )(xp, packed_word, scales, gs2)
 
@@ -668,7 +687,7 @@ def qmm_nvfp4_word(
 
 
 def _int4_word_kernel(rep, x_ref, w_ref, s_ref, o_ref, acc):
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
@@ -686,7 +705,7 @@ def _int4_word_kernel(rep, x_ref, w_ref, s_ref, o_ref, acc):
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(j == pl.num_programs(1) - 1)
+    @pl.when(j == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = acc[:].astype(o_ref.dtype)
 
@@ -734,19 +753,21 @@ def qmm_int4_word(
     nblk = tk // bsz
     to = _word_tile_o(O)
     go = O // to
+    tn = _word_tile_n(N)
+    gn = N // tn
     xp = permute_k(x, 1, tk, bsz=bsz)
     kern = functools.partial(_int4_word_kernel, bsz)
     return pl.pallas_call(
         kern,
-        grid=(go, gk),
+        grid=(gn, go, gk),
         in_specs=[
-            pl.BlockSpec((N, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((to // 2, tk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((to, nblk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tk), lambda n, i, j: (n, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to // 2, tk), lambda n, i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, nblk), lambda n, i, j: (i, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N, to), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tn, to), lambda n, i, j: (n, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, O), x.dtype),
-        scratch_shapes=[pltpu.VMEM((N, to), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tn, to), jnp.float32)],
         interpret=_interpret(),
     )(xp, packed_word, scales)
 

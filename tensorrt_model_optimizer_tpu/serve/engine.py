@@ -46,8 +46,10 @@ class EngineConfig:
     # see BENCH_RESULTS.md round-2 timing notes)
     nvfp4_layout: str = "word"  # "word" | "perm" | "blockdot"
     # INT4 serving layout: "word" converts to the row-pair magic-number
-    # kernel layout (one full-depth dot; scales round to bf16)
-    int4_layout: str = "blockdot"  # "blockdot" | "word"
+    # kernel layout (one full-depth dot; scales round to bf16) — on-chip
+    # same-session A/B 2026-08-18 (bench_kernels BS8 gate-proj): word
+    # 1927.7 us vs blockdot 2032.1 us, and word beats fp8 (2506.6 us)
+    int4_layout: str = "word"  # "word" | "blockdot"
     # Tensor parallelism: a jax.sharding.Mesh with a `tp_axis` axis shards
     # the packed weights megatron-style (serve/tp.py) and runs every step
     # under shard_map (Pallas kernels see local shards; two psums/layer).

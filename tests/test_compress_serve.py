@@ -385,6 +385,27 @@ class TestMoreFormats:
             rel = np.abs(a - b).max() / np.abs(b).max()
             assert rel < 1e-2, rel
 
+    def test_word_kernels_prefill_rows(self):
+        """Word kernels at prefill-sized M (N > 256 row tiles). Regression:
+        the untiled-N word kernels hit a 33.4 MB scoped-vmem stack OOM
+        on-chip at N=1024 (bench int4w leg, 2026-08-18) — N is now a grid
+        dimension (`qmm._word_tile_n`)."""
+        rng = np.random.default_rng(5)
+        O, K, N = 512, 1024, 1024
+        x = jnp.asarray(rng.normal(size=(N, K)), jnp.bfloat16)
+        Wp = jnp.asarray(rng.integers(0, 256, size=(O // 2, K), dtype=np.uint8))
+        slf = jnp.asarray(rng.uniform(0.5, 2.0, size=(O // 2, K // 16)), jnp.float32)
+        gs = jnp.asarray(1e-3, jnp.float32)
+        ref = np.asarray(qmm.qmm_nvfp4(x, Wp, slf, slf, gs), np.float32)
+        Ww, sw = qmm.nvfp4_word_pack(Wp, slf, slf)
+        out = np.asarray(qmm.qmm_nvfp4_word(x, Ww, sw, gs), np.float32)
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-2
+        sl = jnp.asarray(rng.uniform(0.5, 2.0, size=(O // 2, K // 128)), jnp.float32)
+        ref = np.asarray(qmm.qmm_int4(x, Wp, sl, sl), np.float32)
+        Wi, si = qmm.int4_word_pack(Wp, sl, sl)
+        out = np.asarray(qmm.qmm_int4_word(x, Wi, si), np.float32)
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-2
+
     def test_int4w_layout_roundtrip_and_engine(self, tiny_ptq):
         cfg, params, batches = tiny_ptq
         model = ptq.quantize(cfg, params, "INT4_AWQ_CFG", batches)
