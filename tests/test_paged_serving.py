@@ -236,3 +236,41 @@ def test_paged_moe_matches_dense():
     outs = eng.serve([Request(rid=0, prompt=prompt, max_new_tokens=5)],
                      n_pages=32, page_size=8, max_slots=2, max_pages_per_seq=8)
     np.testing.assert_array_equal(np.asarray(dense[0]), np.asarray(outs[0]))
+
+
+def test_paged_decode_step_unroll_matches_stepwise(eng):
+    """paged_decode_step(unroll=k) must be token-identical to k host-stepped
+    paged_step calls (same fused-dispatch contract as the dense
+    decode_step(unroll=k); the measured dense-vs-paged decode gap is the
+    stepping regime — BENCH_RESULTS.md 2026-08-18)."""
+    import dataclasses as dc
+
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, 256, size=(8,)).astype(np.int32)
+
+    def fresh_cache():
+        cache = eng.init_paged_cache(n_pages=32, page_size=8, max_slots=2,
+                                     max_pages_per_seq=8)
+        bt = np.full((2, 8), -1, np.int32)
+        bt[0] = np.arange(1, 9)
+        cache = dc.replace(cache, block_table=jnp.asarray(bt))
+        logits, cache = eng.prefill_into_slot(
+            cache, 0, jnp.asarray(prompt[None, :]))
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(1, 1), cache
+
+    active = jnp.zeros((2,), bool).at[0].set(True)
+    k = 4
+    # stepwise reference
+    tok, cache = fresh_cache()
+    tok = jnp.concatenate([tok, jnp.zeros((1, 1), jnp.int32)], axis=0)
+    ref = []
+    for _ in range(k):
+        logits, cache = eng.paged_step(tok, cache, active)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(-1, 1)
+        ref.append(int(tok[0, 0]))
+    # fused block
+    tok0, cache2 = fresh_cache()
+    tok0 = jnp.concatenate([tok0, jnp.zeros((1, 1), jnp.int32)], axis=0)
+    last, cache2 = eng.paged_decode_step(tok0, cache2, active, unroll=k)
+    assert int(last[0, 0]) == ref[-1]
+    assert int(cache2.seq_lens[0]) == int(cache.seq_lens[0])
