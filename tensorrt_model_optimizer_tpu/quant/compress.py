@@ -209,53 +209,32 @@ def convert_nvfp4_perm(cm: "CompressedModel") -> "CompressedModel":
     return dataclasses.replace(cm, params=params, kinds=kinds)
 
 
-def convert_nvfp4_word(cm: "CompressedModel") -> "CompressedModel":
-    """One-time layout conversion: nvfp4 -> nvfp4w (row-pair bytes + SWAR
-    word-decode serving kernel, `ops/pallas/qmm.qmm_nvfp4_word`). Stacked
-    [L, O/2, K] arrays convert per-layer via vmap; everything else passes."""
+def word_convert_site(kind: str, arr: dict) -> tuple[str, dict]:
+    """Convert ONE packed site (stacked leading axes ok) to its word layout.
+
+    int4 -> int4w, nvfp4 -> nvfp4w, mxfp4 -> mxfp4w; other kinds pass
+    through unchanged. Shared by the whole-model convert_* helpers below
+    and by `serve/tp.py` (which word-packs each TP shard chunk and each
+    EP expert slice independently)."""
+    import functools
+
     from ..ops.pallas import qmm as qmm_mod
 
-    new_layers = dict(cm.params["layers"])
-    kinds = dict(cm.kinds)
-    for name, kind in cm.kinds.items():
-        if kind != "nvfp4":
-            continue
-        arr = new_layers[name]
+    if kind == "nvfp4":
         packed, scales = _map_leading(
-            qmm_mod.nvfp4_word_pack,
-            arr["packed"], arr["scale_lo"], arr["scale_hi"],
+            qmm_mod.nvfp4_word_pack, arr["packed"], arr["scale_lo"], arr["scale_hi"]
         )
-        new_layers[name] = {
+        return "nvfp4w", {
             "packed": packed, "scales": scales,
             "global_scale": arr["global_scale"],
         }
-        kinds[name] = "nvfp4w"
-    params = dict(cm.params)
-    params["layers"] = new_layers
-    return dataclasses.replace(cm, params=params, kinds=kinds)
-
-
-def convert_mxfp4_word(cm: "CompressedModel") -> "CompressedModel":
-    """mxfp4 -> mxfp4w: the E2M1 planes repack exactly like nvfp4w and the
-    E8M0 exponents become bf16 scale BITS with one shift — bf16(2^e) has
-    bit pattern (e + 127) << 7, so the scale conversion is free and exact
-    (exponents clamp to the normal range [-126, 127])."""
-    from ..ops.pallas import qmm as qmm_mod
-
-    def exp_to_bf16(e):
-        bits = (jnp.clip(e.astype(jnp.int32), -126, 127) + 127) << 7
-        return jax.lax.bitcast_convert_type(
-            bits.astype(jnp.uint16), jnp.bfloat16)
-
-    new_layers = dict(cm.params["layers"])
-    kinds = dict(cm.kinds)
-    for name, kind in cm.kinds.items():
-        if kind != "mxfp4":
-            continue
-        arr = new_layers[name]
+    if kind == "int4":
+        packed, scales = _map_leading(
+            qmm_mod.int4_word_pack, arr["packed"], arr["scale_lo"], arr["scale_hi"]
+        )
+        return "int4w", {"packed": packed, "scales": scales}
+    if kind == "mxfp4":
         bsz = arr["packed"].shape[-1] // arr["exp_lo"].shape[-1]
-        import functools
-
         pack = functools.partial(qmm_mod.nvfp4_word_pack, block_size=bsz)
         packed, _ = _map_leading(
             pack,
@@ -263,10 +242,44 @@ def convert_mxfp4_word(cm: "CompressedModel") -> "CompressedModel":
             jnp.zeros_like(arr["exp_lo"], jnp.float32),
             jnp.zeros_like(arr["exp_hi"], jnp.float32),
         )
-        scales = exp_to_bf16(
+        scales = _exp_to_bf16(
             jnp.concatenate([arr["exp_lo"], arr["exp_hi"]], axis=-2))
-        new_layers[name] = {"packed": packed, "scales": scales}
-        kinds[name] = "mxfp4w"
+        return "mxfp4w", {"packed": packed, "scales": scales}
+    return kind, arr
+
+
+def _exp_to_bf16(e):
+    """E8M0 exponent -> the exact bf16 power of two 2^e: bf16(2^e) has bit
+    pattern (e + 127) << 7 (exponents clamp to the normal range)."""
+    bits = (jnp.clip(e.astype(jnp.int32), -126, 127) + 127) << 7
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
+
+
+def convert_nvfp4_word(cm: "CompressedModel") -> "CompressedModel":
+    """One-time layout conversion: nvfp4 -> nvfp4w (row-pair bytes + SWAR
+    word-decode serving kernel, `ops/pallas/qmm.qmm_nvfp4_word`). Stacked
+    [L, O/2, K] arrays convert per-layer via vmap; everything else passes."""
+    new_layers = dict(cm.params["layers"])
+    kinds = dict(cm.kinds)
+    for name, kind in cm.kinds.items():
+        if kind != "nvfp4":
+            continue
+        kinds[name], new_layers[name] = word_convert_site(kind, new_layers[name])
+    params = dict(cm.params)
+    params["layers"] = new_layers
+    return dataclasses.replace(cm, params=params, kinds=kinds)
+
+
+def convert_mxfp4_word(cm: "CompressedModel") -> "CompressedModel":
+    """mxfp4 -> mxfp4w: the E2M1 planes repack exactly like nvfp4w and the
+    E8M0 exponents become bf16 scale BITS with one shift (`_exp_to_bf16`),
+    so the scale conversion is free and exact."""
+    new_layers = dict(cm.params["layers"])
+    kinds = dict(cm.kinds)
+    for name, kind in cm.kinds.items():
+        if kind != "mxfp4":
+            continue
+        kinds[name], new_layers[name] = word_convert_site(kind, new_layers[name])
     params = dict(cm.params)
     params["layers"] = new_layers
     return dataclasses.replace(cm, params=params, kinds=kinds)
@@ -277,20 +290,12 @@ def convert_int4_word(cm: "CompressedModel") -> "CompressedModel":
     magic-number word-decode kernel, `ops/pallas/qmm.qmm_int4_word`).
     Block scales round to bf16 (they multiply bf16 weights pre-dot), a
     <=0.4% relative perturbation bounded by the serving parity tests."""
-    from ..ops.pallas import qmm as qmm_mod
-
     new_layers = dict(cm.params["layers"])
     kinds = dict(cm.kinds)
     for name, kind in cm.kinds.items():
         if kind != "int4":
             continue
-        arr = new_layers[name]
-        packed, scales = _map_leading(
-            qmm_mod.int4_word_pack,
-            arr["packed"], arr["scale_lo"], arr["scale_hi"],
-        )
-        new_layers[name] = {"packed": packed, "scales": scales}
-        kinds[name] = "int4w"
+        kinds[name], new_layers[name] = word_convert_site(kind, new_layers[name])
     params = dict(cm.params)
     params["layers"] = new_layers
     return dataclasses.replace(cm, params=params, kinds=kinds)

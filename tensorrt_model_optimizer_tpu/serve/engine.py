@@ -699,7 +699,8 @@ class Engine:
             d = int(config.mesh.shape[config.tp_axis])
             cm2, specs = tp_mod.shard_compressed(
                 self.cm, d, config.tp_axis,
-                nvfp4_perm=(config.nvfp4_layout == "perm"),
+                nvfp4_layout=config.nvfp4_layout,
+                int4_layout=config.int4_layout,
             )
             self.cm = tp_mod.device_put_sharded(cm2, config.mesh, specs)
             self._tp_specs = specs

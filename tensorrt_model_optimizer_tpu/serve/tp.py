@@ -156,6 +156,94 @@ def _relayout_site(kind: str, arrays: dict, col: bool, d: int, axis: str):
     return arrays, specs
 
 
+def _word_pack_sharded(kind: str, arrays: dict, col: bool, d: int, axis: str):
+    """Plane layout (TP-major for col sites) -> word layout, packed PER
+    SHARD CHUNK so a plain slice along the sharded axis hands every device
+    a self-contained word layout (`qmm.qmm_int4_word`/`qmm_nvfp4_word`).
+
+    Word packing derives its row pairing from the local O tile and its K
+    permutation from the local K, so a global pack would interleave data
+    across shard boundaries — each chunk must be packed independently:
+
+     - col (shard O): the plane arrays are already TP-major (block s =
+       rows [s*Os, (s+1)*Os)); pack each block. Output scales are
+       [L, O, nblk] with shard s's rows contiguous -> shard along O.
+     - row (shard K): split K into d chunks, pack each with the tile the
+       kernel will derive from its LOCAL K; block scales slice along the
+       K-block axis (or replicate when there is a single whole-K block).
+
+    Returns (arrays, specs) with kinds' word names handled by the caller.
+    """
+    import functools
+
+    from ..ops.pallas import qmm as qmm_mod
+    from ..quant.compress import _map_leading
+
+    packed = arrays["packed"]
+    L = packed.shape[0]
+    O2, K = packed.shape[-2:]
+    if kind == "mxfp4":
+        # E8M0 exponents -> exact f32 powers of two; the pack's f32->bf16
+        # scale cast is exact for powers of two in the normal range
+        slo = jnp.ldexp(jnp.float32(1.0), arrays["exp_lo"].astype(jnp.int32))
+        shi = jnp.ldexp(jnp.float32(1.0), arrays["exp_hi"].astype(jnp.int32))
+        bsz = K // slo.shape[-1]
+        pack = functools.partial(qmm_mod.nvfp4_word_pack, block_size=bsz)
+    elif kind == "nvfp4":
+        slo, shi = arrays["scale_lo"], arrays["scale_hi"]
+        pack = qmm_mod.nvfp4_word_pack
+    else:  # int4
+        slo, shi = arrays["scale_lo"], arrays["scale_hi"]
+        pack = qmm_mod.int4_word_pack
+    nblk = slo.shape[-1]
+    out = {}
+    specs: dict[str, P] = {}
+    if col:
+        Os2 = O2 // d  # local O/2 per shard
+        p = packed.reshape(L * d, Os2, K)
+        sl = slo.reshape(L * d, Os2, nblk)
+        sh = shi.reshape(L * d, Os2, nblk)
+        pw, sw = _map_leading(pack, p, sl, sh)
+        out["packed"] = pw.reshape(L, O2, K)
+        out["scales"] = sw.reshape(L, 2 * O2, sw.shape[-1])
+        specs["packed"] = P(None, axis, None)
+        specs["scales"] = P(None, axis, None)
+    else:
+        Kl = K // d
+        p = packed.reshape(L, O2, d, Kl).transpose(0, 2, 1, 3).reshape(L * d, O2, Kl)
+        if nblk % d == 0:
+            nbl = nblk // d
+            sl = slo.reshape(L, O2, d, nbl).transpose(0, 2, 1, 3).reshape(L * d, O2, nbl)
+            sh = shi.reshape(L, O2, d, nbl).transpose(0, 2, 1, 3).reshape(L * d, O2, nbl)
+            scale_spec = P(None, None, axis)
+        elif nblk == 1:
+            # one whole-K block (per-channel amax): every chunk reuses the
+            # same scale; each shard's kernel infers a local K-sized block
+            sl = jnp.broadcast_to(slo[:, None], (L, d, O2, 1)).reshape(L * d, O2, 1)
+            sh = jnp.broadcast_to(shi[:, None], (L, d, O2, 1)).reshape(L * d, O2, 1)
+            scale_spec = P()
+        else:
+            raise ValueError(f"K block count {nblk} not divisible by tp={d}")
+        pw, sw = _map_leading(pack, p, sl, sh)
+        out["packed"] = (
+            pw.reshape(L, d, O2, Kl).transpose(0, 2, 1, 3).reshape(L, O2, K)
+        )
+        sw = sw.reshape(L, d, 2 * O2, -1)
+        if nblk == 1:
+            out["scales"] = sw[:, 0]  # chunks identical -> replicate
+        else:
+            out["scales"] = sw.transpose(0, 2, 1, 3).reshape(L, 2 * O2, nblk)
+        specs["packed"] = P(None, None, axis)
+        specs["scales"] = scale_spec
+    if kind == "nvfp4":
+        out["global_scale"] = arrays["global_scale"]
+        specs["global_scale"] = P()
+    return out, specs
+
+
+WORD_KINDS = {"int4": "int4w", "nvfp4": "nvfp4w", "mxfp4": "mxfp4w"}
+
+
 def _perm_after_shard(kind: str, arrays: dict, col: bool, d: int):
     """Apply the K-permuted nvfp4 serving layout per LOCAL K chunk.
 
@@ -184,13 +272,21 @@ def _perm_after_shard(kind: str, arrays: dict, col: bool, d: int):
 
 
 def shard_compressed(
-    cm: CompressedModel, n_shards: int, axis: str = "tp", nvfp4_perm: bool = True
+    cm: CompressedModel,
+    n_shards: int,
+    axis: str = "tp",
+    nvfp4_layout: str = "word",
+    int4_layout: str = "word",
 ) -> tuple[CompressedModel, TPSpecs]:
     """Re-layout a CompressedModel for n_shards-way tensor parallelism.
 
-    Returns the re-laid-out model (global arrays, TP-major packed layout;
-    kinds "nvfp4" become "nvfp4p" when nvfp4_perm) plus spec pytrees.
-    Validates divisibility of heads/ffn by n_shards.
+    Returns the re-laid-out model (global arrays, TP-major packed layout)
+    plus spec pytrees. The serving layouts match the single-device engine's
+    (`EngineConfig.{nvfp4,int4}_layout`): "word" word-packs each shard
+    chunk (`_word_pack_sharded`) so TP serves the same fast kernels with
+    the same numerics as one device; "perm" K-permutes per local chunk;
+    "blockdot" keeps the plane layout. mxfp4 always converts to word (its
+    only fused kernel). Validates divisibility of heads/ffn by n_shards.
     """
     cfg = cm.model_cfg
     d = n_shards
@@ -205,13 +301,26 @@ def shard_compressed(
     if any(n.startswith("moe.") for n in cm.kinds):
         assert cfg.num_experts % d == 0, "experts not divisible by tp"
 
+    def _want_word(kind: str) -> bool:
+        return (
+            (kind == "int4" and int4_layout == "word")
+            or (kind == "nvfp4" and nvfp4_layout == "word")
+            or kind == "mxfp4"  # word is mxfp4's only fused kernel
+        )
+
     for name, kind in cm.kinds.items():
         if name.startswith("moe."):
             # expert parallelism: stacked [L, E, ...] leaves shard the E
             # axis; each device runs its local experts on the replicated
             # activations and the combine partial psums (serve/engine
-            # _moe_ffn slices dispatch/combine by axis_index)
+            # _moe_ffn slices dispatch/combine by axis_index). Word
+            # layouts slice trivially along E — each [O/2, K] expert
+            # plane is self-contained, so convert before sharding.
             arrays = dict(new_layers[name])
+            if _want_word(kind):
+                from ..quant.compress import word_convert_site
+
+                kinds[name], arrays = word_convert_site(kind, arrays)
             layer_specs[name] = {
                 k: P(None, axis, *([None] * (v.ndim - 2)))
                 for k, v in arrays.items()
@@ -220,7 +329,10 @@ def shard_compressed(
             continue
         col = name in COL_SITES
         arrays, specs = _relayout_site(kind, new_layers[name], col, d, axis)
-        if kind == "nvfp4" and nvfp4_perm:
+        if _want_word(kind):
+            arrays, specs = _word_pack_sharded(kind, arrays, col, d, axis)
+            kinds[name] = WORD_KINDS[kind]
+        elif kind == "nvfp4" and nvfp4_layout == "perm":
             arrays = _perm_after_shard(kind, arrays, col, d)
             kinds[name] = "nvfp4p"
         new_layers[name] = arrays

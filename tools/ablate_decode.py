@@ -224,8 +224,17 @@ def main():
             cfg = dataclasses.replace(llama.LlamaConfig.llama3_8b(), num_hidden_layers=L)
             cm = build_cm(cfg, fmt)
             eng = serve_engine.Engine(
-                cm, serve_engine.EngineConfig(max_seq_len=MAXLEN, backend="pallas")
+                cm,
+                serve_engine.EngineConfig(
+                    max_seq_len=MAXLEN, backend="pallas",
+                    nvfp4_layout=os.environ.get("ABLATE_NVFP4_LAYOUT", "word"),
+                    int4_layout=os.environ.get("ABLATE_INT4_LAYOUT", "word"),
+                ),
             )
+            # eng.cm, NOT cm: the engine's init converts packed layouts
+            # (word/perm) — using the raw plane cm here once silently timed
+            # the blockdot kernels for every 4-bit format (round-3 find)
+            cm = eng.cm
             runners = {v: make_step(cfg, eng.ecfg, cm, eng.backend, v) for v in VARIANTS}
             # compile all first (round-robin timing must not include compiles)
             for v, r in runners.items():

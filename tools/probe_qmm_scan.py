@@ -168,6 +168,46 @@ def main():
 
         return (q, s), f
 
+    @reg("int4_xla_bitcast", O * K // 2)
+    def build_int4_xla_bitcast():
+        # s4 storage workaround for the axon relay (native s4 arrays crash
+        # on transfer): store packed uint8 [O, K/2], bitcast to s4 INSIDE
+        # the step, let XLA convert-fuse into the dot like int8_xla.
+        p = stacked_u8(key, (L, O, K // 2))
+        s = jnp.full((L, 1, O), 1e-3, jnp.float32)
+
+        def f(x, p, s):
+            w4 = jax.lax.bitcast_convert_type(p, jnp.int4)  # [O, K/2, 2]
+            w = w4.reshape(O, K).astype(jnp.bfloat16)
+            y = jax.lax.dot_general(
+                x, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (y * s).astype(x.dtype)
+
+        return (p, s), f
+
+    @reg("int4_xla_u8swar", O * K // 2)
+    def build_int4_xla_u8swar():
+        # no-s4 control: unpack nibbles with u8 shifts in plain XLA (the
+        # round-2 "XLA decompress" regime) — isolates whether s4 bitcast
+        # buys anything over hand-unpacking.
+        p = stacked_u8(key, (L, O, K // 2))
+        s = jnp.full((L, 1, O), 1e-3, jnp.float32)
+
+        def f(x, p, s):
+            p32 = p.astype(jnp.int32)
+            lo = ((p32 & 0xF) ^ 8) - 8
+            hi = (((p32 >> 4) & 0xF) ^ 8) - 8
+            w = jnp.stack([lo, hi], axis=-1).reshape(O, K).astype(jnp.bfloat16)
+            y = jax.lax.dot_general(
+                x, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (y * s).astype(x.dtype)
+
+        return (p, s), f
+
     @reg("int4", O * K // 2)
     def build_int4():
         p = stacked_u8(key, (L, O // 2, K))
