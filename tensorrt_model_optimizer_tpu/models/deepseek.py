@@ -24,10 +24,11 @@ as a native functional model:
    every `lax.scan` stays shape-uniform.
 
 RoPE here is the repo's llama-style half-split rotation applied to the rope
-branches only — self-consistent across prefill/decode/export. Importing real
-DeepSeek checkpoints requires the standard interleave permutation of the
-rope-branch weights (not implemented; weights in this repo are trained or
-synthetic).
+branches only — self-consistent across prefill/decode/export. Real
+transformers-convention checkpoints (`config.rope_interleave=True`) store
+the rope rows interleaved; `hf_loader.load_hf_deepseek_checkpoint` applies
+the half-split permutation at load time (parity-tested against an
+interleaved synthetic checkpoint in `test_deepseek.py`).
 
 Quant sites follow the reference wildcard naming so presets apply unchanged:
 `self_attn.{q_a_proj,q_b_proj,kv_a_proj,kv_b_proj,o_proj}`, per-expert

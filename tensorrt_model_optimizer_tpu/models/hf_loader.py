@@ -587,6 +587,8 @@ def load_hf_moe_checkpoint(path: str, dtype=jnp.bfloat16):
     mt = d.get("model_type")
     if mt == "gpt_oss":
         return _load_gpt_oss(path, d, dtype)
+    if mt in ("deepseek_v3", "deepseek_v2"):
+        return load_hf_deepseek_checkpoint(path, dtype)
     if mt == "dbrx":
         return _load_dbrx(path, d, dtype)
     if mt in ("llama4", "llama4_text"):
@@ -645,4 +647,149 @@ def load_hf_moe_checkpoint(path: str, dtype=jnp.bfloat16):
     if not cfg.tie_word_embeddings:
         params["lm_head"] = (get("lm_head.weight") if "lm_head.weight" in raw
                              else params["embed_tokens"])
+    return cfg, params
+
+
+def _deinterleave_rope_rows(w, dr: int, head_dim: int = 0):
+    """Permute rope-branch OUTPUT rows from interleaved to half-split order.
+
+    Real DeepSeek checkpoints (`config.rope_interleave=True`) store the
+    rope dims interleaved (x0, y0, x1, y1, ...): transformers'
+    `apply_rotary_pos_emb_interleave` (modeling_deepseek_v3.py:283)
+    view(d/2, 2).transpose's the ACTIVATIONS to half-split before the
+    standard rotate_half. This framework rotates half-split directly
+    (`llama.rope`), so the same permutation moves into the WEIGHT rows at
+    load time: new[j] = old[2j], new[dr/2 + j] = old[2j + 1].
+
+    `head_dim=0`: the last `dr` rows of `w` are the rope branch
+    (kv_a_proj_with_mqa). `head_dim>0`: every head's last `dr` rows within
+    each `head_dim` block are (q_proj / q_b_proj).
+    Reference analog: `examples/deepseek/deepseek_v3/ptq.py:129` quantizes
+    through DeepSeek's own modeling, inheriting its interleaved convention.
+    """
+    import numpy as np
+
+    perm = np.concatenate([np.arange(0, dr, 2), np.arange(1, dr, 2)])
+    if head_dim == 0:
+        nope = w.shape[0] - dr
+        return jnp.concatenate([w[:nope], w[nope:][perm]], axis=0)
+    O = w.shape[0]
+    heads = w.reshape(O // head_dim, head_dim, *w.shape[1:])
+    nope = head_dim - dr
+    fixed = jnp.concatenate(
+        [heads[:, :nope], heads[:, nope:][:, perm]], axis=1)
+    return fixed.reshape(w.shape)
+
+
+def load_hf_deepseek_checkpoint(path: str, dtype=jnp.bfloat16):
+    """Load a transformers-convention DeepSeek-V3/V2 checkpoint into
+    DeepseekConfig params (split dense/MoE layer stacks, stacked [L, E]
+    experts, rope branches de-interleaved to this repo's half-split rope).
+
+    Name table: modeling_deepseek_v3 (q_a/q_b or q, kv_a_proj_with_mqa,
+    kv_b, mlp.gate + e_score_correction_bias, mlp.experts.{e}.*,
+    mlp.shared_experts.*). Reference analog:
+    `examples/deepseek/deepseek_v3/ptq.py` + export plugin
+    `mcore_deepseek.py`.
+    """
+    import jax
+
+    from .deepseek import DeepseekConfig, _attn_shapes
+
+    with open(os.path.join(path, "config.json")) as f:
+        d = json.load(f)
+    base = config_from_hf(d)
+    cfg = DeepseekConfig(**{
+        **base.__dict__, "dtype": dtype,
+        "q_lora_rank": d.get("q_lora_rank") or 0,
+        "kv_lora_rank": d["kv_lora_rank"],
+        "qk_nope_head_dim": d["qk_nope_head_dim"],
+        "qk_rope_head_dim": d["qk_rope_head_dim"],
+        "v_head_dim": d["v_head_dim"],
+        "n_routed_experts": d["n_routed_experts"],
+        "num_experts_per_tok": d["num_experts_per_tok"],
+        "n_shared_experts": d.get("n_shared_experts", 1),
+        "moe_intermediate_size": d["moe_intermediate_size"],
+        "first_k_dense_replace": d.get("first_k_dense_replace", 0),
+        "n_group": d.get("n_group", 1),
+        "topk_group": d.get("topk_group", 1),
+        "routed_scaling_factor": d.get("routed_scaling_factor", 1.0),
+        "norm_topk_prob": d.get("norm_topk_prob", True),
+    })
+    raw = _load_all_tensors(path)
+    get = lambda name: jnp.asarray(raw[name]).astype(dtype)
+    interleaved = d.get("rope_interleave", True)
+    dr = cfg.qk_rope_head_dim
+    Ld = cfg.first_k_dense_replace
+    L = cfg.num_hidden_layers
+
+    def attn_block(lo: int, hi: int) -> dict:
+        rng = range(lo, hi)
+        stk = lambda fmt: jnp.stack([get(fmt.format(i=i)) for i in rng])
+        blk = {
+            "input_layernorm": stk("model.layers.{i}.input_layernorm.weight"),
+            "post_attention_layernorm": stk(
+                "model.layers.{i}.post_attention_layernorm.weight"),
+            "self_attn.kv_a_norm": stk(
+                "model.layers.{i}.self_attn.kv_a_layernorm.weight"),
+            "self_attn.kv_b_proj": stk(
+                "model.layers.{i}.self_attn.kv_b_proj.weight"),
+            "self_attn.o_proj": stk("model.layers.{i}.self_attn.o_proj.weight"),
+        }
+        kva = stk("model.layers.{i}.self_attn.kv_a_proj_with_mqa.weight")
+        if interleaved:
+            kva = jax.vmap(lambda w: _deinterleave_rope_rows(w, dr))(kva)
+        blk["self_attn.kv_a_proj"] = kva
+        fix_q = lambda w: (
+            _deinterleave_rope_rows(w, dr, head_dim=cfg.qk_head_dim)
+            if interleaved else w)
+        if cfg.q_lora_rank:
+            blk["self_attn.q_a_proj"] = stk(
+                "model.layers.{i}.self_attn.q_a_proj.weight")
+            blk["self_attn.q_a_norm"] = stk(
+                "model.layers.{i}.self_attn.q_a_layernorm.weight")
+            blk["self_attn.q_b_proj"] = jax.vmap(fix_q)(stk(
+                "model.layers.{i}.self_attn.q_b_proj.weight"))
+        else:
+            blk["self_attn.q_proj"] = jax.vmap(fix_q)(stk(
+                "model.layers.{i}.self_attn.q_proj.weight"))
+        assert set(blk) >= set(
+            f"self_attn.{k.split('.')[-1]}" for k in _attn_shapes(cfg))
+        return blk
+
+    params = {
+        "embed_tokens": get("model.embed_tokens.weight"),
+        "norm": get("model.norm.weight"),
+        "lm_head": (get("lm_head.weight") if "lm_head.weight" in raw
+                    else get("model.embed_tokens.weight")),
+    }
+    if Ld:
+        dense = attn_block(0, Ld)
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            dense[f"mlp.{proj}"] = jnp.stack([
+                get(f"model.layers.{i}.mlp.{proj}.weight") for i in range(Ld)])
+        params["layers_dense"] = dense
+
+    moe = attn_block(Ld, L)
+    rng = range(Ld, L)
+    moe["moe.router"] = jnp.stack(
+        [get(f"model.layers.{i}.mlp.gate.weight") for i in rng])
+    moe["moe.e_bias"] = jnp.stack([
+        jnp.asarray(
+            raw[f"model.layers.{i}.mlp.gate.e_score_correction_bias"]
+        ).astype(jnp.float32)
+        for i in rng
+    ])
+    E = cfg.n_routed_experts
+    for proj in ("gate_proj", "up_proj", "down_proj"):
+        moe[f"moe.{proj}"] = jnp.stack([
+            jnp.stack([get(f"model.layers.{i}.mlp.experts.{e}.{proj}.weight")
+                       for e in range(E)])
+            for i in rng
+        ])
+        moe[f"shared.{proj}"] = jnp.stack([
+            get(f"model.layers.{i}.mlp.shared_experts.{proj}.weight")
+            for i in rng
+        ])
+    params["layers_moe"] = moe
     return cfg, params

@@ -773,6 +773,404 @@ def qmm_int4_word(
 
 
 # --------------------------------------------------------------------------
+# INT4, word2 layout: FOUR bytes (8 elements) per i32 lane
+# --------------------------------------------------------------------------
+#
+# The word kernel widens each packed byte to its own i32 lane, so every
+# SWAR op touches only 2 elements. word2 keeps 4 bytes resident per i32
+# lane: one mask positions TWO bytes' nibbles in the two 16-bit halves, so
+# each (mask, add) pair decodes 2 elements and the spread/widen cost is
+# amortized over 8. Codes are pre-XORed with 8 at pack time, collapsing
+# decode to `(nibbles & 0x000F000F) + 0x43004300` — bf16(128 + u) in both
+# halves (the int4 magic-number construction, see qmm_int4_word above).
+#
+# The four nibble positions decode into four ROW GROUPS of the weight tile;
+# each group gets its own dot into a column slice of the accumulator, so no
+# in-kernel interleave is needed — the pack function places each logical
+# row at the byte/nibble/sublane the decode maps to its group slot.
+#
+# Net: ~13 int ops + 4 bitcasts per 8 elements (vs ~6 ops + 1 bitcast per
+# 2 in qmm_int4_word).
+
+
+def _int4_word2_kernel(rep, x_ref, w_ref, s_ref, o_ref, acc):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    p = w_ref[:]  # [TO/8, TK] int32: 4 bytes = 8 output rows
+    to4 = s_ref.shape[0] // 4
+    x = x_ref[:]
+    # each group extracts its nibble pair straight from p (one shift + one
+    # mask + one or each; nib | 0x4300 == nib + 0x4300 since the fields
+    # don't overlap) — 11 int ops per 8 elements
+    groups = (
+        (p & 0x000F000F) | 0x43004300,
+        ((p >> 4) & 0x000F000F) | 0x43004300,
+        ((p >> 8) & 0x000F000F) | 0x43004300,
+        ((p >> 12) & 0x000F000F) | 0x43004300,
+    )
+    for g, bits in enumerate(groups):
+        w = pltpu.bitcast(bits, jnp.bfloat16)  # [TO/4, TK]
+        s_full = pltpu.repeat(s_ref[g * to4 : (g + 1) * to4, :], rep, axis=1)
+        w = (w - jnp.bfloat16(136.0)) * s_full
+        acc[:, g * to4 : (g + 1) * to4] += jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def _word2_tile_o(O: int) -> int:
+    """O-tile for word2 (pack and matmul must agree; 8 rows per i32 lane)."""
+    to = min(WORD_TILE_O, O)
+    while O % to or to % 8:
+        to //= 2
+        if to < 8:
+            raise ValueError(f"word2 layout needs O divisible by 8, got {O}")
+    return to
+
+
+def int4_word2_pack(
+    packed: jax.Array,     # [O/2, K] plane-packed uint8
+    scale_lo: jax.Array,   # [O/2, K/bsz] f32
+    scale_hi: jax.Array,
+):
+    """Plane layout -> word2 layout: 8 rows per i32 lane, K-lane tile
+    permutation, row-ordered bf16 scales. Codes store XOR 8 (offset-binary)
+    so the kernel's decode is mask+add only.
+
+    Returns (packed_w2 [O/8, K] int32, scales [O, K/bsz] bf16)."""
+    O2, K = packed.shape[-2:]
+    O = 2 * O2
+    bsz = K // scale_lo.shape[-1]
+    tk = _word_tile_k(K, bsz)
+    to = _word2_tile_o(O)
+    codes = jnp.concatenate([packed & 0xF, packed >> 4], axis=-2).astype(jnp.int32)
+    codes = codes ^ 8
+    scales = jnp.concatenate(
+        [scale_lo, scale_hi], axis=-2
+    ).astype(jnp.float32).astype(jnp.bfloat16)
+    word = _word2_byte_pack(codes, to)
+    return permute_k(word, -1, tk, bsz=bsz), scales
+
+
+def qmm_int4_word2(
+    x: jax.Array,
+    packed_w2: jax.Array,   # [O/8, K] int32, K-permuted
+    scales: jax.Array,      # [O, K/bsz] bf16, natural row order
+) -> jax.Array:
+    N, K = x.shape
+    O = scales.shape[-2]
+    nblk_total = scales.shape[-1]
+    bsz = K // nblk_total
+    tk = _word_tile_k(K, bsz)
+    gk = K // tk
+    nblk = tk // bsz
+    to = _word2_tile_o(O)
+    go = O // to
+    tn = _word_tile_n(N)
+    gn = N // tn
+    xp = permute_k(x, 1, tk, bsz=bsz)
+    kern = functools.partial(_int4_word2_kernel, bsz)
+    return pl.pallas_call(
+        kern,
+        grid=(gn, go, gk),
+        in_specs=[
+            pl.BlockSpec((tn, tk), lambda n, i, j: (n, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to // 8, tk), lambda n, i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, nblk), lambda n, i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, to), lambda n, i, j: (n, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tn, to), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, packed_w2, scales)
+
+
+# --------------------------------------------------------------------------
+# NVFP4, word2 layout: four bytes per i32 lane + remapped E2M1 decode
+# --------------------------------------------------------------------------
+#
+# Same 4-bytes-per-lane group structure as qmm_int4_word2. The E2M1 decode
+# exploits that bf16 bit patterns are affine in the magnitude index ABOVE
+# the denormal boundary: bits(m') = (m' + 252) << 6 yields exactly
+# {0.5, 0.75, 1, 1.5, 2, 3, 4, 6} for m' = 0..7. Packing REMAPS the code
+# (swap m 0 <-> 1) so that value 0.5 sits at the affine slot m'=0 and the
+# only non-affine value (zero) sits at m'=1, handled by one compare-free
+# mask that zeroes the exponent/mantissa field (bits 6-14) and leaves the
+# sign bit -> +-0.0, which multiplies to zero. This deletes the old
+# kernel's denormal sub-path and xor-select (~4 ops/pair).
+
+
+def _nvfp4_word2_kernel(rep, x_ref, w_ref, s_ref, gs_ref, o_ref, acc):
+    j = pl.program_id(2)
+    to4 = s_ref.shape[0] // 4
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    p = w_ref[:]  # [TO/8, TK] i32: 4 bytes = 8 output rows
+    x = x_ref[:]
+    for g in range(4):
+        n = (p >> (4 * g) if g else p) & 0x000F000F
+        m = n & 0x00070007
+        bits = (m + 0x00FC00FC) << 6               # affine E2M1 field
+        zm = ((m ^ 0x00010001) + 0x00070007) & 0x00080008  # 8 iff m != 1
+        bits = bits & (zm * 0x0FF8)                # zero slot -> field 0
+        bits = bits | ((n & 0x00080008) << 12)     # sign -> bf16 bit 15
+        w = pltpu.bitcast(bits, jnp.bfloat16)      # [TO/4, TK]
+        s_full = pltpu.repeat(s_ref[g * to4 : (g + 1) * to4, :], rep, axis=1)
+        acc[:, g * to4 : (g + 1) * to4] += jax.lax.dot_general(
+            x, w * s_full, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc[:] * gs_ref[0, 0]).astype(o_ref.dtype)
+
+
+def _word2_byte_pack(codes: jax.Array, to: int):
+    """[..., O, K] 4-bit codes -> word2 i32 array [..., O/8, K] (bitcast-
+    order-aware row placement shared by the int4/nvfp4/bd2 packs)."""
+    lead = codes.shape[:-2]
+    O, K = codes.shape[-2:]
+    ct = codes.reshape(lead + (O // to, 4, to // 4, K))
+    if _bitcast_order() == "interleaved":
+        half0 = ct[..., 0::2, :]
+        half1 = ct[..., 1::2, :]
+    else:
+        half0 = ct[..., : to // 8, :]
+        half1 = ct[..., to // 8 :, :]
+
+    def byte(h, ga, gb):
+        return h[..., ga, :, :] | (h[..., gb, :, :] << 4)
+
+    word = (
+        byte(half0, 0, 1)
+        | (byte(half0, 2, 3) << 8)
+        | (byte(half1, 0, 1) << 16)
+        | (byte(half1, 2, 3) << 24)
+    )
+    return word.reshape(lead + (O // 8, K)).astype(jnp.int32)
+
+
+def nvfp4_word2_pack(
+    packed: jax.Array,     # [O/2, K] plane-packed uint8 (E2M1 codes)
+    scale_lo: jax.Array,   # [O/2, K/bsz]
+    scale_hi: jax.Array,
+    block_size: int = 16,
+):
+    """Plane layout -> nvfp4 word2: remapped codes (m 0<->1), 8 rows per
+    i32 lane, K-lane tile permutation, row-ordered bf16 scales.
+
+    Returns (packed_w2 [O/8, K] int32, scales [O, K/bsz] bf16)."""
+    O2, K = packed.shape[-2:]
+    O = 2 * O2
+    tk = _word_tile_k(K, block_size)
+    to = _word2_tile_o(O)
+    codes = jnp.concatenate([packed & 0xF, packed >> 4], axis=-2).astype(jnp.int32)
+    m = codes & 7
+    codes = (codes & 8) | (m ^ (m < 2).astype(jnp.int32))  # swap slots 0<->1
+    scales = jnp.concatenate(
+        [scale_lo, scale_hi], axis=-2
+    ).astype(jnp.float32).astype(jnp.bfloat16)
+    word = _word2_byte_pack(codes, to)
+    return permute_k(word, -1, tk, bsz=block_size), scales
+
+
+def qmm_nvfp4_word2(
+    x: jax.Array,
+    packed_w2: jax.Array,   # [O/8, K] int32, K-permuted, remapped codes
+    scales: jax.Array,      # [O, K/bsz] bf16, natural row order
+    global_scale: jax.Array,
+    block_size: int = 16,
+) -> jax.Array:
+    N, K = x.shape
+    O = scales.shape[-2]
+    bsz = K // scales.shape[-1]
+    tk = _word_tile_k(K, block_size)
+    gk = K // tk
+    nblk = tk // bsz
+    to = _word2_tile_o(O)
+    go = O // to
+    tn = _word_tile_n(N)
+    gn = N // tn
+    xp = permute_k(x, 1, tk, bsz=block_size)
+    gs2 = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+    kern = functools.partial(_nvfp4_word2_kernel, bsz)
+    return pl.pallas_call(
+        kern,
+        grid=(gn, go, gk),
+        in_specs=[
+            pl.BlockSpec((tn, tk), lambda n, i, j: (n, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to // 8, tk), lambda n, i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, nblk), lambda n, i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda n, i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, to), lambda n, i, j: (n, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tn, to), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, packed_w2, scales, gs2)
+
+
+# --------------------------------------------------------------------------
+# INT4, bd2 layout: word2 decode + post-dot block scales (batched MXU dots)
+# --------------------------------------------------------------------------
+#
+# word2's profile shows the per-element bf16 tail (scale repeat + multiply
+# + offset subtract over the [TO, TK] decoded tile) costs as much VPU as
+# the nibble decode itself. bd2 removes it entirely for int4's 128-wide
+# blocks by restructuring the dot per block:
+#
+#   y[n,o] = sum_b s[o,b] * (sum_{k in b} x[n,k] * u[o,k])  -  136 * sum_b
+#            s[o,b] * xsum[n,b]
+#
+#  - the inner dots run BATCHED over blocks on the MXU (bsz = 128 = one
+#    full lane dim per batch), consuming the DECODED-BUT-UNSCALED bf16
+#    values 128+u straight from the word2 SWAR construction;
+#  - scales apply to the [nblk, TN, TO] dot RESULTS — 16x fewer elements
+#    than the weight tile — and the 128+u offset and the int4 -8 bias fold
+#    into one tiny side-dot against per-block activation sums.
+#
+# HBM layout: packed i32 [K/bsz, O/8, bsz] (block-major), scales
+# TRANSPOSED [K/bsz, O] bf16. No K-lane permutation (the block structure
+# is explicit), so the per-call permute of x disappears too; x reshapes to
+# [K/bsz, N, bsz] + per-block sums outside the kernel (cheap XLA ops on
+# the activation).
+
+
+def _int4_bd2_kernel(x_ref, w_ref, s_ref, xs_ref, o_ref, acc):
+    j = pl.program_id(2)
+    nblk = w_ref.shape[0]
+    to4 = s_ref.shape[1] // 4
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    p = w_ref[:]  # [nblk, TO/8, bsz] i32: 4 bytes = 8 output rows
+    x3 = x_ref[:]  # [nblk, TN, bsz]
+    s = s_ref[:]   # [nblk, TO] bf16
+    groups = (
+        (p & 0x000F000F) | 0x43004300,
+        ((p >> 4) & 0x000F000F) | 0x43004300,
+        ((p >> 8) & 0x000F000F) | 0x43004300,
+        ((p >> 12) & 0x000F000F) | 0x43004300,
+    )
+    for g, bits in enumerate(groups):
+        w = pltpu.bitcast(bits, jnp.bfloat16)  # [nblk, TO/4, bsz] = 128+u
+        r = jax.lax.dot_general(
+            x3, w, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [nblk, TN, TO/4]
+        sg = s[:, g * to4 : (g + 1) * to4].astype(jnp.float32)
+        acc[:, g * to4 : (g + 1) * to4] += jnp.sum(r * sg[:, None, :], axis=0)
+    # fold out the +128 construction offset and the int4 -8 bias:
+    # (128+u)*s summed needs -136 * sum_b s[o,b]*xsum[n,b]
+    side = jax.lax.dot_general(
+        xs_ref[:], s, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, TO]
+    acc[:] -= 136.0 * side
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def _bd2_tile_k(K: int, bsz: int) -> int:
+    """K-tile (in elements) for bd2; nblk per tile is a free leading dim,
+    so the 2048 default never needs widening."""
+    return 2048 if K % 2048 == 0 else K
+
+
+def int4_bd2_pack(
+    packed: jax.Array,     # [O/2, K] plane-packed uint8
+    scale_lo: jax.Array,   # [O/2, K/bsz] f32
+    scale_hi: jax.Array,
+):
+    """Plane layout -> bd2 layout. Codes store XOR 8 (offset-binary).
+
+    Returns (packed_bd2 [K/bsz, O/8, bsz] int32, scalesT [K/bsz, O] bf16).
+    """
+    O2, K = packed.shape[-2:]
+    O = 2 * O2
+    bsz = K // scale_lo.shape[-1]
+    to = _word2_tile_o(O)
+    codes = jnp.concatenate([packed & 0xF, packed >> 4], axis=-2).astype(jnp.int32)
+    codes = codes ^ 8
+    scalesT = jnp.swapaxes(
+        jnp.concatenate([scale_lo, scale_hi], axis=-2)
+        .astype(jnp.float32).astype(jnp.bfloat16),
+        -1, -2,
+    )  # [K/bsz, O]
+    lead = packed.shape[:-2]
+    word = _word2_byte_pack(codes, to).reshape(lead + (O // 8, K // bsz, bsz))
+    nd = word.ndim
+    perm = tuple(range(nd - 3)) + (nd - 2, nd - 3, nd - 1)
+    return word.transpose(perm), scalesT  # [..., K/bsz, O/8, bsz]
+
+
+def bd2_supported(O: int, bsz: int) -> bool:
+    """bd2 needs a Mosaic-legal scale tile ([nblk, TO] lane dim multiple of
+    128 or full) and 128-wide blocks for full-lane batched dots."""
+    if bsz % 128:
+        return False
+    try:
+        to = _word2_tile_o(O)
+    except ValueError:
+        return False
+    return to % 128 == 0 or to == O
+
+
+def qmm_int4_bd2(
+    x: jax.Array,
+    packed_bd2: jax.Array,  # [K/bsz, O/8, bsz] int32
+    scalesT: jax.Array,     # [K/bsz, O] bf16
+) -> jax.Array:
+    N, K = x.shape
+    O = scalesT.shape[-1]
+    nblk_total = scalesT.shape[-2]
+    bsz = K // nblk_total
+    tk = _bd2_tile_k(K, bsz)
+    gk = K // tk
+    nblk = tk // bsz
+    to = _word2_tile_o(O)
+    go = O // to
+    tn = _word_tile_n(N)
+    gn = N // tn
+    x3 = jnp.swapaxes(x.reshape(N, nblk_total, bsz), 0, 1)  # [K/bsz, N, bsz]
+    xs = jnp.sum(x3.astype(jnp.float32), axis=-1)           # [K/bsz, N]
+    return pl.pallas_call(
+        _int4_bd2_kernel,
+        grid=(gn, go, gk),
+        in_specs=[
+            pl.BlockSpec((nblk, tn, bsz), lambda n, i, j: (j, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, to // 8, bsz), lambda n, i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, to), lambda n, i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, tn), lambda n, i, j: (j, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, to), lambda n, i, j: (n, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tn, to), jnp.float32)],
+        interpret=_interpret(),
+    )(x3, packed_bd2, scalesT, xs)
+
+
+# --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
 
@@ -812,6 +1210,18 @@ def quantized_matmul(x: jax.Array, kind: str, arrays: dict) -> jax.Array:
                               arrays["global_scale"])
     if kind == "int4w":  # row-pair word-decode layout (convert_int4_word)
         return qmm_int4_word(x, arrays["packed"], arrays["scales"])
+    if kind == "int4w2":  # 4-bytes-per-lane word2 layout (convert_int4_word2)
+        return qmm_int4_word2(x, arrays["packed"], arrays["scales"])
+    if kind == "int4b2":  # block-major batched-dot layout (convert_int4_bd2)
+        return qmm_int4_bd2(x, arrays["packed"], arrays["scales"])
+    if kind == "nvfp4w2":  # 4-bytes-per-lane remapped-decode layout
+        return qmm_nvfp4_word2(x, arrays["packed"], arrays["scales"],
+                               arrays["global_scale"])
+    if kind == "mxfp4w2":  # MXFP4 on the word2 kernel: 32-wide blocks,
+        # exact power-of-two bf16 scales, no global scale
+        bs = x.shape[-1] // arrays["scales"].shape[-1]
+        return qmm_nvfp4_word2(x, arrays["packed"], arrays["scales"],
+                               jnp.float32(1.0), block_size=bs)
     if kind == "mxfp4w":  # MXFP4 word layout: same kernel, 32-wide blocks,
         # scales pre-converted to exact bf16 powers of two, no global scale
         bs = x.shape[-1] // arrays["scales"].shape[-1]

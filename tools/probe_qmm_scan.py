@@ -221,6 +221,31 @@ def main():
         pw, sw = jax.vmap(qmm.int4_word_pack)(p, s, s)
         return (pw, sw), lambda x, p, s: qmm.qmm_int4_word(x, p, s)
 
+    @reg("int4w2", O * K // 2)
+    def build_int4w2():
+        qmm._bitcast_order()  # cache the probe before vmap tracing
+        p = stacked_u8(key, (L, O // 2, K))
+        s = jnp.full((L, O // 2, K // 128), 1e-3, jnp.float32)
+        pw, sw = jax.vmap(qmm.int4_word2_pack)(p, s, s)
+        return (pw, sw), lambda x, p, s: qmm.qmm_int4_word2(x, p, s)
+
+    @reg("int4b2", O * K // 2)
+    def build_int4b2():
+        qmm._bitcast_order()
+        p = stacked_u8(key, (L, O // 2, K))
+        s = jnp.full((L, O // 2, K // 128), 1e-3, jnp.float32)
+        pw, sw = jax.vmap(qmm.int4_bd2_pack)(p, s, s)
+        return (pw, sw), lambda x, p, s: qmm.qmm_int4_bd2(x, p, s)
+
+    @reg("nvfp4w2", O * K // 2)
+    def build_nvfp4w2():
+        qmm._bitcast_order()
+        p = stacked_u8(key, (L, O // 2, K))
+        s = jnp.full((L, O // 2, K // 16), 1.0, jnp.float8_e4m3fn)
+        g = jnp.full((L,), 1e-2, jnp.float32)
+        pw, sw = jax.vmap(lambda pp, aa, bb: qmm.nvfp4_word2_pack(pp, aa, bb))(p, s, s)
+        return (pw, sw, g), lambda x, p, s, g: qmm.qmm_nvfp4_word2(x, p, s, g)
+
     @reg("nvfp4", O * K // 2)
     def build_nvfp4():
         p = stacked_u8(key, (L, O // 2, K))
