@@ -209,33 +209,54 @@ def convert_nvfp4_perm(cm: "CompressedModel") -> "CompressedModel":
     return dataclasses.replace(cm, params=params, kinds=kinds)
 
 
-def word_convert_site(kind: str, arr: dict) -> tuple[str, dict]:
-    """Convert ONE packed site (stacked leading axes ok) to its word layout.
+def word_convert_site(kind: str, arr: dict, layout: str = "word") -> tuple[str, dict]:
+    """Convert ONE packed site (stacked leading axes ok) to a fused-kernel
+    serving layout.
 
-    int4 -> int4w, nvfp4 -> nvfp4w, mxfp4 -> mxfp4w; other kinds pass
-    through unchanged. Shared by the whole-model convert_* helpers below
-    and by `serve/tp.py` (which word-packs each TP shard chunk and each
-    EP expert slice independently)."""
+    layout "word":  int4 -> int4w, nvfp4 -> nvfp4w, mxfp4 -> mxfp4w
+    layout "word2": int4 -> int4w2, nvfp4 -> nvfp4w2, mxfp4 -> mxfp4w2
+                    (4 bytes per i32 lane, `qmm.qmm_*_word2`)
+    layout "bd2":   int4 -> int4b2 (block-major batched-dot layout,
+                    `qmm.qmm_int4_bd2`); falls back to word2 when the
+                    shape is unsupported (`qmm.bd2_supported`). nvfp4/mxfp4
+                    get word2 (bd2 needs 128-wide blocks).
+    Other kinds pass through unchanged. Shared by the whole-model
+    convert_* helpers below and by `serve/tp.py` (which packs each TP
+    shard chunk and each EP expert slice independently)."""
     import functools
 
     from ..ops.pallas import qmm as qmm_mod
 
     if kind == "nvfp4":
+        pack = (qmm_mod.nvfp4_word2_pack if layout in ("word2", "bd2")
+                else qmm_mod.nvfp4_word_pack)
         packed, scales = _map_leading(
-            qmm_mod.nvfp4_word_pack, arr["packed"], arr["scale_lo"], arr["scale_hi"]
+            pack, arr["packed"], arr["scale_lo"], arr["scale_hi"]
         )
-        return "nvfp4w", {
+        return ("nvfp4w2" if layout in ("word2", "bd2") else "nvfp4w"), {
             "packed": packed, "scales": scales,
             "global_scale": arr["global_scale"],
         }
     if kind == "int4":
+        bsz = arr["packed"].shape[-1] // arr["scale_lo"].shape[-1]
+        O = 2 * arr["packed"].shape[-2]
+        if layout == "bd2" and qmm_mod.bd2_supported(O, bsz):
+            packed, scales = _map_leading(
+                qmm_mod.int4_bd2_pack, arr["packed"],
+                arr["scale_lo"], arr["scale_hi"])
+            return "int4b2", {"packed": packed, "scales": scales}
+        pack = (qmm_mod.int4_word2_pack if layout in ("word2", "bd2")
+                else qmm_mod.int4_word_pack)
         packed, scales = _map_leading(
-            qmm_mod.int4_word_pack, arr["packed"], arr["scale_lo"], arr["scale_hi"]
+            pack, arr["packed"], arr["scale_lo"], arr["scale_hi"]
         )
-        return "int4w", {"packed": packed, "scales": scales}
+        return ("int4w2" if layout in ("word2", "bd2") else "int4w"), {
+            "packed": packed, "scales": scales}
     if kind == "mxfp4":
         bsz = arr["packed"].shape[-1] // arr["exp_lo"].shape[-1]
-        pack = functools.partial(qmm_mod.nvfp4_word_pack, block_size=bsz)
+        base = (qmm_mod.nvfp4_word2_pack if layout in ("word2", "bd2")
+                else qmm_mod.nvfp4_word_pack)
+        pack = functools.partial(base, block_size=bsz)
         packed, _ = _map_leading(
             pack,
             arr["packed"],
@@ -244,7 +265,8 @@ def word_convert_site(kind: str, arr: dict) -> tuple[str, dict]:
         )
         scales = _exp_to_bf16(
             jnp.concatenate([arr["exp_lo"], arr["exp_hi"]], axis=-2))
-        return "mxfp4w", {"packed": packed, "scales": scales}
+        kind2 = "mxfp4w2" if layout in ("word2", "bd2") else "mxfp4w"
+        return kind2, {"packed": packed, "scales": scales}
     return kind, arr
 
 
@@ -253,6 +275,31 @@ def _exp_to_bf16(e):
     pattern (e + 127) << 7 (exponents clamp to the normal range)."""
     bits = (jnp.clip(e.astype(jnp.int32), -126, 127) + 127) << 7
     return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
+
+
+def convert_packed_layouts(
+    cm: "CompressedModel",
+    nvfp4: str = "word",
+    int4: str = "word",
+    mxfp4: str = "word",
+) -> "CompressedModel":
+    """One-time serving-layout conversion for every packed 4-bit site.
+
+    Layout names per format follow `EngineConfig.{nvfp4,int4}_layout`;
+    "blockdot" keeps the plane layout (the blockdot kernels consume it
+    directly)."""
+    want = {"nvfp4": nvfp4, "int4": int4, "mxfp4": mxfp4}
+    new_layers = dict(cm.params["layers"])
+    kinds = dict(cm.kinds)
+    for name, kind in cm.kinds.items():
+        layout = want.get(kind)
+        if layout is None or layout == "blockdot":
+            continue
+        kinds[name], new_layers[name] = word_convert_site(
+            kind, new_layers[name], layout)
+    params = dict(cm.params)
+    params["layers"] = new_layers
+    return dataclasses.replace(cm, params=params, kinds=kinds)
 
 
 def convert_nvfp4_word(cm: "CompressedModel") -> "CompressedModel":
@@ -353,6 +400,56 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
         arrs = dict(arrays)
         arrs["packed"] = qmm_mod.unpermute_k(arrays["packed"], -1, tk)
         return decompress_weight("nvfp4", arrs, out_dtype)
+    if kind in ("nvfp4w2", "int4w2", "mxfp4w2", "int4b2"):
+        from ..ops.pallas import qmm as qmm_mod
+
+        p = arrays["packed"]
+        if kind == "int4b2":
+            # [.., K/bsz, O/8, bsz] block-major -> [.., O/8, K]
+            nd = p.ndim
+            perm = tuple(range(nd - 3)) + (nd - 2, nd - 3, nd - 1)
+            p = p.transpose(perm)
+            p = p.reshape(p.shape[:-2] + (p.shape[-2] * p.shape[-1],))
+        K = p.shape[-1]
+        # bd2 stores scales transposed [.., K/bsz, O]; word2 row order [.., O, K/bsz]
+        nblk = (arrays["scales"].shape[-2] if kind == "int4b2"
+                else arrays["scales"].shape[-1])
+        bsz = K // nblk
+        if kind != "int4b2":  # bd2 has no K permutation
+            wb = 16 if kind == "nvfp4w2" else bsz
+            tk = qmm_mod._word_tile_k(K, wb)
+            p = qmm_mod.unpermute_k(p, -1, tk, bsz=wb)
+        O8 = p.shape[-2]
+        O = O8 * 8
+        to = qmm_mod._word2_tile_o(O)
+        lead = p.shape[:-2]
+        pt = p.reshape(lead + (O // to, to // 8, K))
+        rows = []
+        for g in range(4):
+            gv = (pt >> (4 * g)) & 0x000F000F
+            h0 = gv & 0xF           # low 16-bit half -> one decoded row
+            h1 = (gv >> 16) & 0xF   # high half -> its pair
+            if qmm_mod._bitcast_order() == "interleaved":
+                grp = jnp.stack([h0, h1], axis=-2).reshape(
+                    lead + (O // to, to // 4, K))
+            else:
+                grp = jnp.concatenate([h0, h1], axis=-2)
+            rows.append(grp)
+        codes = jnp.concatenate(rows, axis=-2).reshape(lead + (O, K))
+        if kind in ("int4w2", "int4b2"):
+            vals = codes.astype(jnp.float32) - 8.0  # pack stored u = c^8 = v+8
+        else:
+            m = codes & 7
+            codes = (codes & 8) | (m ^ (m < 2).astype(codes.dtype))  # unswap
+            vals = numerics.codes_to_fp4(codes)
+        sc = arrays["scales"].astype(jnp.float32)
+        if kind == "int4b2":  # scales stored transposed [.., K/bsz, O]
+            sc = jnp.swapaxes(sc, -1, -2)
+        gs = arrays.get("global_scale")
+        if gs is not None:
+            sc = sc * (gs[..., None, None] if gs.ndim else gs)
+        w = vals * numerics.expand_block_scale(sc, vals.shape, ((-1, bsz),))
+        return w.astype(out_dtype)
     if kind in ("nvfp4w", "int4w", "mxfp4w"):
         from ..ops.pallas import qmm as qmm_mod
 

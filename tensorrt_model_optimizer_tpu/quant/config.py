@@ -159,7 +159,12 @@ INT8_DEFAULT_CFG = _preset(INT8_PER_CHANNEL, INT8_PER_TENSOR, "max")
 INT8_SMOOTHQUANT_CFG = _preset(
     INT8_PER_CHANNEL.replace(),  # pre_quant_scale folded into weights
     INT8_PER_TENSOR.replace(pre_quant_scale=True),
-    {"method": "smoothquant", "alpha": 1.0},
+    # "auto" = per-layer alpha by quantized-output MSE on the calibration
+    # capture (calib/smoothquant.smoothquant_auto). The reference default
+    # alpha=1.0 was round 2's worst accuracy row (+0.79 ppl on the anchor):
+    # full migration crushes weight resolution when act outliers are mild.
+    # Pass {"method": "smoothquant", "alpha": 1.0} for reference behavior.
+    {"method": "smoothquant", "alpha": "auto"},
 )
 FP8_DEFAULT_CFG = _preset(FP8_PER_TENSOR, FP8_PER_TENSOR, "max")
 FP8_PER_CHANNEL_PER_TOKEN_CFG = _preset(FP8_PER_CHANNEL, FP8_PER_TOKEN_DYNAMIC, "max")

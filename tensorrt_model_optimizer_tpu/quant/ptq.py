@@ -216,16 +216,18 @@ def _sequential_calibrate_family(fam, model_cfg, params, layout, qstate,
 
         if method == "smoothquant":
             alpha = algo.get("alpha", 1.0) if isinstance(algo, dict) else 1.0
-            folded, pqs = jax.jit(
-                lambda a, w: sq_mod.apply_smoothquant(a, w, alpha)
-            )(amax[cap_key], ws)
+            if alpha == "auto":
+                qfns = _weight_qfns(wcfgs)
+                folded, pqs, _ = jax.jit(
+                    lambda x, a, w: sq_mod.smoothquant_auto(x, a, w, qfns)
+                )(samples[cap_key], amax[cap_key], ws)
+            else:
+                folded, pqs = jax.jit(
+                    lambda a, w: sq_mod.apply_smoothquant(a, w, alpha)
+                )(amax[cap_key], ws)
         else:  # awq_lite / awq_full
             alpha_step = algo.get("alpha_step", 0.1) if isinstance(algo, dict) else 0.1
-            qfns = [
-                (lambda c: (lambda w: Q.quantize(w, _dynamic_like(c), None)))(c)
-                if c.enable else (lambda w: w)
-                for c in wcfgs
-            ]
+            qfns = _weight_qfns(wcfgs)
 
             @jax.jit
             def search(x, w_list, am):
@@ -461,6 +463,15 @@ def _dynamic_like(wcfg: Q.QuantizerConfig) -> Q.QuantizerConfig:
     return wcfg.replace(dynamic=True)
 
 
+def _weight_qfns(wcfgs):
+    """Per-member weight fake-quant closures (identity for disabled sites)."""
+    return [
+        (lambda c: (lambda w: Q.quantize(w, _dynamic_like(c), None)))(c)
+        if c.enable else (lambda w: w)
+        for c in wcfgs
+    ]
+
+
 def _sequential_calibrate(model_cfg, params, layout, qstate, batches, algo, capture_tokens):
     method = _method_of(algo)
     absmean, amax, samples = _capture_stats(
@@ -477,16 +488,18 @@ def _sequential_calibrate(model_cfg, params, layout, qstate, batches, algo, capt
 
         if method == "smoothquant":
             alpha = algo.get("alpha", 1.0) if isinstance(algo, dict) else 1.0
-            folded, pqs = jax.jit(
-                lambda a, w: sq_mod.apply_smoothquant(a, w, alpha)
-            )(amax[cap_key], ws)
+            if alpha == "auto":
+                qfns = _weight_qfns(wcfgs)
+                folded, pqs, _ = jax.jit(
+                    lambda x, a, w: sq_mod.smoothquant_auto(x, a, w, qfns)
+                )(samples[cap_key], amax[cap_key], ws)
+            else:
+                folded, pqs = jax.jit(
+                    lambda a, w: sq_mod.apply_smoothquant(a, w, alpha)
+                )(amax[cap_key], ws)
         elif method in ("awq_lite", "awq_full"):
             alpha_step = algo.get("alpha_step", 0.1) if isinstance(algo, dict) else 0.1
-            qfns = [
-                (lambda c: (lambda w: Q.quantize(w, _dynamic_like(c), None)))(c)
-                if c.enable else (lambda w: w)
-                for c in wcfgs
-            ]
+            qfns = _weight_qfns(wcfgs)
 
             @jax.jit
             def search(x, w_list, am):

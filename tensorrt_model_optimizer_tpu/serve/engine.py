@@ -44,12 +44,19 @@ class EngineConfig:
     # 875 (blockdot) / 1243 (perm) / 955 (XLA decompress), 2026-08-18
     # (tools/probe_qmm_scan.py; earlier fori_loop microbenches were invalid,
     # see BENCH_RESULTS.md round-2 timing notes)
-    nvfp4_layout: str = "word"  # "word" | "perm" | "blockdot"
+    # "word2" adds the 4-bytes-per-lane decode (qmm_nvfp4_word2: remapped
+    # E2M1 affine construction) — on-chip 177 vs 197 us/gate-proj BS8 vs
+    # "word" (2026-08-19 probe)
+    nvfp4_layout: str = "word"  # "word" | "word2" | "perm" | "blockdot"
     # INT4 serving layout: "word" converts to the row-pair magic-number
     # kernel layout (one full-depth dot; scales round to bf16) — on-chip
     # same-session A/B 2026-08-18 (bench_kernels BS8 gate-proj): word
     # 1927.7 us vs blockdot 2032.1 us, and word beats fp8 (2506.6 us)
-    int4_layout: str = "word"  # "word" | "blockdot"
+    # "bd2" = block-major batched-dot layout (qmm_int4_bd2): post-dot block
+    # scales + side-dot offsets — on-chip 113 vs 136 (word) vs 162 (bf16)
+    # us/gate-proj BS8 (2026-08-19 probe); falls back to word2 on shapes
+    # bd2 can't tile (O not a multiple of 128, blocks narrower than 128)
+    int4_layout: str = "word"  # "word" | "word2" | "bd2" | "blockdot"
     # Tensor parallelism: a jax.sharding.Mesh with a `tp_axis` axis shards
     # the packed weights megatron-style (serve/tp.py) and runs every step
     # under shard_map (Pallas kernels see local shards; two psums/layer).
@@ -120,7 +127,8 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
     if icfg.enable or (ist is not None and ist.pre_quant_scale is not None):
         x = Q.quantize(x, icfg, ist, amax_reduce=reduce_amax)
     if backend == "pallas" and kind in (
-            "int8", "int4", "int4w", "nvfp4", "nvfp4p", "nvfp4w", "mxfp4w", "fp8"):
+            "int8", "int4", "int4w", "int4w2", "int4b2", "nvfp4", "nvfp4p",
+            "nvfp4w", "nvfp4w2", "mxfp4w", "mxfp4w2", "fp8"):
         # NOTE "nvfp4p" was missing from this set until round 2's end: the
         # engine's default perm conversion silently routed every projection
         # through the XLA decompress path instead of the Pallas kernel.
@@ -657,24 +665,25 @@ class Engine:
     """Generation engine over a compressed model."""
 
     def __init__(self, cm: CompressedModel, config: EngineConfig = EngineConfig()):
-        if (config.mesh is None and config.nvfp4_layout in ("perm", "word")
-                and "nvfp4" in cm.kinds.values()):
-            # (under TP the perm conversion happens per-shard in serve/tp.py)
-            from ..quant.compress import convert_nvfp4_perm, convert_nvfp4_word
+        if config.mesh is None:
+            # (under TP the layout conversion happens per-shard in
+            # serve/tp.py's shard_compressed)
+            if config.nvfp4_layout == "perm" and "nvfp4" in cm.kinds.values():
+                from ..quant.compress import convert_nvfp4_perm
 
-            cm = (convert_nvfp4_word(cm) if config.nvfp4_layout == "word"
-                  else convert_nvfp4_perm(cm))
-        if (config.mesh is None and config.int4_layout == "word"
-                and "int4" in cm.kinds.values()):
-            from ..quant.compress import convert_int4_word
-
-            cm = convert_int4_word(cm)
-        if config.mesh is None and "mxfp4" in cm.kinds.values():
-            # mxfp4 has no blockdot kernel — the word layout IS the fused
+                cm = convert_nvfp4_perm(cm)
+            # mxfp4 has no blockdot kernel — a word layout IS the fused
             # path (otherwise serving falls back to XLA decompress)
-            from ..quant.compress import convert_mxfp4_word
+            mx_layout = "word2" if config.nvfp4_layout == "word2" else "word"
+            from ..quant.compress import convert_packed_layouts
 
-            cm = convert_mxfp4_word(cm)
+            cm = convert_packed_layouts(
+                cm,
+                nvfp4=(config.nvfp4_layout
+                       if config.nvfp4_layout in ("word", "word2") else "blockdot"),
+                int4=config.int4_layout,
+                mxfp4=mx_layout,
+            )
         # NVFP4 KV presets: emulate the E2M1 block-quantized cache when the
         # user didn't pick an explicit storage dtype
         kcfg = cm.layout.get("self_attn.k_bmm")

@@ -156,23 +156,24 @@ def _relayout_site(kind: str, arrays: dict, col: bool, d: int, axis: str):
     return arrays, specs
 
 
-def _word_pack_sharded(kind: str, arrays: dict, col: bool, d: int, axis: str):
-    """Plane layout (TP-major for col sites) -> word layout, packed PER
-    SHARD CHUNK so a plain slice along the sharded axis hands every device
-    a self-contained word layout (`qmm.qmm_int4_word`/`qmm_nvfp4_word`).
+def _word_pack_sharded(kind: str, layout: str, arrays: dict, col: bool,
+                       d: int, axis: str):
+    """Plane layout (TP-major for col sites) -> fused serving layout,
+    packed PER SHARD CHUNK so a plain slice along the sharded axis hands
+    every device a self-contained local layout.
 
-    Word packing derives its row pairing from the local O tile and its K
-    permutation from the local K, so a global pack would interleave data
-    across shard boundaries — each chunk must be packed independently:
+    Packing derives its row grouping from the local O tile and its K
+    structure from the local K, so a global pack would interleave data
+    across shard boundaries — each chunk packs independently:
 
      - col (shard O): the plane arrays are already TP-major (block s =
-       rows [s*Os, (s+1)*Os)); pack each block. Output scales are
-       [L, O, nblk] with shard s's rows contiguous -> shard along O.
+       rows [s*Os, (s+1)*Os)); pack each block. Output scales keep shard
+       s's rows contiguous -> shard along O.
      - row (shard K): split K into d chunks, pack each with the tile the
        kernel will derive from its LOCAL K; block scales slice along the
        K-block axis (or replicate when there is a single whole-K block).
 
-    Returns (arrays, specs) with kinds' word names handled by the caller.
+    Returns (new_kind, arrays, specs).
     """
     import functools
 
@@ -182,19 +183,36 @@ def _word_pack_sharded(kind: str, arrays: dict, col: bool, d: int, axis: str):
     packed = arrays["packed"]
     L = packed.shape[0]
     O2, K = packed.shape[-2:]
+    bsz = None
     if kind == "mxfp4":
         # E8M0 exponents -> exact f32 powers of two; the pack's f32->bf16
         # scale cast is exact for powers of two in the normal range
         slo = jnp.ldexp(jnp.float32(1.0), arrays["exp_lo"].astype(jnp.int32))
         shi = jnp.ldexp(jnp.float32(1.0), arrays["exp_hi"].astype(jnp.int32))
         bsz = K // slo.shape[-1]
-        pack = functools.partial(qmm_mod.nvfp4_word_pack, block_size=bsz)
+        base = (qmm_mod.nvfp4_word2_pack if layout == "word2"
+                else qmm_mod.nvfp4_word_pack)
+        pack = functools.partial(base, block_size=bsz)
+        new_kind = "mxfp4w2" if layout == "word2" else "mxfp4w"
     elif kind == "nvfp4":
         slo, shi = arrays["scale_lo"], arrays["scale_hi"]
-        pack = qmm_mod.nvfp4_word_pack
+        pack = (qmm_mod.nvfp4_word2_pack if layout in ("word2", "bd2")
+                else qmm_mod.nvfp4_word_pack)
+        new_kind = "nvfp4w2" if layout in ("word2", "bd2") else "nvfp4w"
     else:  # int4
         slo, shi = arrays["scale_lo"], arrays["scale_hi"]
-        pack = qmm_mod.int4_word_pack
+        bsz = K // slo.shape[-1]
+        nblk_t = slo.shape[-1]
+        local_O = (2 * O2) // d if col else 2 * O2
+        bd2_ok = (layout == "bd2" and qmm_mod.bd2_supported(local_O, bsz)
+                  and (col or nblk_t % d == 0))
+        if bd2_ok:
+            pack, new_kind = qmm_mod.int4_bd2_pack, "int4b2"
+        elif layout in ("word2", "bd2"):
+            pack, new_kind = qmm_mod.int4_word2_pack, "int4w2"
+        else:
+            pack, new_kind = qmm_mod.int4_word_pack, "int4w"
+    bd2 = new_kind == "int4b2"
     nblk = slo.shape[-1]
     out = {}
     specs: dict[str, P] = {}
@@ -204,10 +222,25 @@ def _word_pack_sharded(kind: str, arrays: dict, col: bool, d: int, axis: str):
         sl = slo.reshape(L * d, Os2, nblk)
         sh = shi.reshape(L * d, Os2, nblk)
         pw, sw = _map_leading(pack, p, sl, sh)
-        out["packed"] = pw.reshape(L, O2, K)
-        out["scales"] = sw.reshape(L, 2 * O2, sw.shape[-1])
-        specs["packed"] = P(None, axis, None)
-        specs["scales"] = P(None, axis, None)
+        if bd2:
+            # chunk outputs [L*d, K/bsz, Os/8, bsz] -> concat along O/8
+            out["packed"] = (
+                pw.reshape(L, d, *pw.shape[1:])
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(L, pw.shape[1], d * pw.shape[2], pw.shape[3])
+            )
+            out["scales"] = (
+                sw.reshape(L, d, *sw.shape[1:])
+                .transpose(0, 2, 1, 3)
+                .reshape(L, sw.shape[1], d * sw.shape[2])
+            )
+            specs["packed"] = P(None, None, axis, None)
+            specs["scales"] = P(None, None, axis)
+        else:
+            out["packed"] = pw.reshape(L, d * pw.shape[1], K)
+            out["scales"] = sw.reshape(L, 2 * O2, sw.shape[-1])
+            specs["packed"] = P(None, axis, None)
+            specs["scales"] = P(None, axis, None)
     else:
         Kl = K // d
         p = packed.reshape(L, O2, d, Kl).transpose(0, 2, 1, 3).reshape(L * d, O2, Kl)
@@ -225,23 +258,29 @@ def _word_pack_sharded(kind: str, arrays: dict, col: bool, d: int, axis: str):
         else:
             raise ValueError(f"K block count {nblk} not divisible by tp={d}")
         pw, sw = _map_leading(pack, p, sl, sh)
-        out["packed"] = (
-            pw.reshape(L, d, O2, Kl).transpose(0, 2, 1, 3).reshape(L, O2, K)
-        )
-        sw = sw.reshape(L, d, 2 * O2, -1)
-        if nblk == 1:
-            out["scales"] = sw[:, 0]  # chunks identical -> replicate
+        if bd2:
+            # chunk outputs [L*d, Kl/bsz, O/8, bsz]: d-major block order IS
+            # global block order (blocks never cross chunk boundaries)
+            out["packed"] = pw.reshape(L, d * pw.shape[1], *pw.shape[2:])
+            out["scales"] = sw.reshape(L, d * sw.shape[1], sw.shape[2])
+            specs["packed"] = P(None, axis, None, None)
+            specs["scales"] = P(None, axis, None)
         else:
-            out["scales"] = sw.transpose(0, 2, 1, 3).reshape(L, 2 * O2, nblk)
-        specs["packed"] = P(None, None, axis)
-        specs["scales"] = scale_spec
+            R = pw.shape[1]  # packed row count: O/2 (word) or O/8 (word2)
+            out["packed"] = (
+                pw.reshape(L, d, R, Kl).transpose(0, 2, 1, 3).reshape(L, R, K)
+            )
+            sw = sw.reshape(L, d, 2 * O2, -1)
+            if nblk == 1:
+                out["scales"] = sw[:, 0]  # chunks identical -> replicate
+            else:
+                out["scales"] = sw.transpose(0, 2, 1, 3).reshape(L, 2 * O2, nblk)
+            specs["packed"] = P(None, None, axis)
+            specs["scales"] = scale_spec
     if kind == "nvfp4":
         out["global_scale"] = arrays["global_scale"]
         specs["global_scale"] = P()
-    return out, specs
-
-
-WORD_KINDS = {"int4": "int4w", "nvfp4": "nvfp4w", "mxfp4": "mxfp4w"}
+    return new_kind, out, specs
 
 
 def _perm_after_shard(kind: str, arrays: dict, col: bool, d: int):
@@ -301,12 +340,15 @@ def shard_compressed(
     if any(n.startswith("moe.") for n in cm.kinds):
         assert cfg.num_experts % d == 0, "experts not divisible by tp"
 
-    def _want_word(kind: str) -> bool:
-        return (
-            (kind == "int4" and int4_layout == "word")
-            or (kind == "nvfp4" and nvfp4_layout == "word")
-            or kind == "mxfp4"  # word is mxfp4's only fused kernel
-        )
+    def _site_layout(kind: str):
+        """The fused serving layout for this kind, or None for plane."""
+        if kind == "int4" and int4_layout in ("word", "word2", "bd2"):
+            return int4_layout
+        if kind == "nvfp4" and nvfp4_layout in ("word", "word2"):
+            return nvfp4_layout
+        if kind == "mxfp4":  # word layouts are mxfp4's only fused kernels
+            return "word2" if nvfp4_layout == "word2" else "word"
+        return None
 
     for name, kind in cm.kinds.items():
         if name.startswith("moe."):
@@ -317,10 +359,11 @@ def shard_compressed(
             # layouts slice trivially along E — each [O/2, K] expert
             # plane is self-contained, so convert before sharding.
             arrays = dict(new_layers[name])
-            if _want_word(kind):
+            lay = _site_layout(kind)
+            if lay is not None:
                 from ..quant.compress import word_convert_site
 
-                kinds[name], arrays = word_convert_site(kind, arrays)
+                kinds[name], arrays = word_convert_site(kind, arrays, lay)
             layer_specs[name] = {
                 k: P(None, axis, *([None] * (v.ndim - 2)))
                 for k, v in arrays.items()
@@ -329,9 +372,10 @@ def shard_compressed(
             continue
         col = name in COL_SITES
         arrays, specs = _relayout_site(kind, new_layers[name], col, d, axis)
-        if _want_word(kind):
-            arrays, specs = _word_pack_sharded(kind, arrays, col, d, axis)
-            kinds[name] = WORD_KINDS[kind]
+        lay = _site_layout(kind)
+        if lay is not None:
+            kinds[name], arrays, specs = _word_pack_sharded(
+                kind, lay, arrays, col, d, axis)
         elif kind == "nvfp4" and nvfp4_layout == "perm":
             arrays = _perm_after_shard(kind, arrays, col, d)
             kinds[name] = "nvfp4p"

@@ -16,6 +16,22 @@ near-saturated accuracy; quantization formats then show real, reproducible
 accuracy deltas (Δppl / ΔMMLU / logit-KL), giving the per-preset accuracy
 table the judged build requires (VERDICT round-1 missing item #1).
 
+Round-2's verdict found the MMLU axis non-discriminative (bf16 and 24/25
+presets scored exactly 1.000 — the tasks were pure memorization with far
+distractors). Round 3 hardens the eval so bf16 itself lands below
+saturation and formats separate:
+
+ - **hops** subject: 2-hop composition ("what is the capital of the
+   country where personXX lives"). Residence and capital facts each appear
+   in training, and hop *exercises* appear only for TRAIN_PERSONS — the
+   eval asks about held-out persons, so the model must compose two stored
+   facts at inference rather than recall a memorized answer.
+ - **reverse** subject: inverted capital lookup ("cityXX is the capital of
+   what") — the weaker retrieval direction.
+ - **arithmetic** distractors are near-misses (±1/±2/±10 and the
+   digit-swapped sum) instead of random offsets, so small logit
+   perturbations flip the argmax.
+
 Word-level tokenizer: every word and newline is one token; the vocabulary is
 closed over everything `mmlu.build_prompt` can emit.
 """
@@ -32,6 +48,11 @@ N_COUNTRIES = 80
 N_PERSONS = 48
 N_JOBS = 16
 MAX_NUM = 60  # operands in [0, 60); sums < 120
+# persons whose hop EXERCISES may appear in training docs; the rest are
+# eval-only (their residence/job facts still train — composition is what's
+# held out, not the facts)
+N_TRAIN_PERSONS = 40
+SUBJECTS = ("capitals", "jobs", "arithmetic", "hops", "reverse")
 
 _HEADER_WORDS = (
     "The following are multiple choice questions (with answers).".split()
@@ -48,6 +69,7 @@ def _build_vocab() -> list[str]:
     vocab += [
         "the", "capital", "of", "is", "plus", "minus", "equals",
         "works", "as", "a", "what", "who", "does", "do",
+        "lives", "in", "country", "where",
         "A.", "B.", "C.", "D.", "Answer:", "A", "B", "C", "D",
     ]
     vocab += list(_HEADER_WORDS)
@@ -83,10 +105,11 @@ class SynthLang:
         self.rng = np.random.default_rng(seed)
         self.capital = self.rng.permutation(N_COUNTRIES)  # country i -> city
         self.job = self.rng.integers(0, N_JOBS, size=N_PERSONS)
+        self.residence = self.rng.integers(0, N_COUNTRIES, size=N_PERSONS)
 
     # ---- declarative sentences --------------------------------------
     def fact_sentence(self, rng) -> str:
-        kind = rng.integers(0, 5)
+        kind = rng.integers(0, 6)
         if kind == 0:
             c = rng.integers(0, N_COUNTRIES)
             return f"the capital of country{c:02d} is city{self.capital[c]:02d} \n"
@@ -96,15 +119,24 @@ class SynthLang:
         if kind == 2:
             p = rng.integers(0, N_PERSONS)
             return f"person{p:02d} works as a job{self.job[p]:02d} \n"
-        a, b = int(rng.integers(0, MAX_NUM)), int(rng.integers(0, MAX_NUM))
         if kind == 3:
+            # residence facts train for ALL persons (incl. eval-held-out
+            # ones); only the COMPOSED hop exercises are held out
+            p = rng.integers(0, N_PERSONS)
+            return f"person{p:02d} lives in country{self.residence[p]:02d} \n"
+        a, b = int(rng.integers(0, MAX_NUM)), int(rng.integers(0, MAX_NUM))
+        if kind == 4:
             return f"{a} plus {b} equals {a + b} \n"
         lo, hi = min(a, b), max(a, b)
         return f"{hi} minus {lo} equals {hi - lo} \n"
 
     # ---- multiple-choice rows (MMLU CSV schema) ---------------------
-    def mc_row(self, rng, subject: str) -> list[str]:
-        """[question, A, B, C, D, answer_letter] — consumed by utils/mmlu.py."""
+    def mc_row(self, rng, subject: str, heldout: bool = False) -> list[str]:
+        """[question, A, B, C, D, answer_letter] — consumed by utils/mmlu.py.
+
+        `heldout=True` (hops only) draws persons the training corpus never
+        composed, so the model must chain residence -> capital at
+        inference; dev/few-shot rows always use train persons."""
         if subject == "capitals":
             c = rng.integers(0, N_COUNTRIES)
             correct = f"city{self.capital[c]:02d}"
@@ -115,15 +147,54 @@ class SynthLang:
             correct = f"job{self.job[p]:02d}"
             pool = [f"job{i:02d}" for i in self.rng_distract(rng, self.job[p], N_JOBS)]
             q = f"what does person{p:02d} do"
+        elif subject == "hops":
+            # 2-hop composition: person -> country -> capital
+            if heldout:
+                p = int(rng.integers(N_TRAIN_PERSONS, N_PERSONS))
+            else:
+                p = int(rng.integers(0, N_TRAIN_PERSONS))
+            ans = self.capital[self.residence[p]]
+            correct = f"city{ans:02d}"
+            # near distractors: the capital of a NEIGHBORING person's
+            # country plus randoms — confusable under fact-recall noise
+            pool_idx = []
+            q2 = self.capital[self.residence[(p + 1) % N_PERSONS]]
+            if q2 != ans:
+                pool_idx.append(int(q2))
+            for i in self.rng_distract(rng, ans, N_COUNTRIES):
+                if len(pool_idx) >= 3:
+                    break
+                if i not in pool_idx:
+                    pool_idx.append(i)
+            pool = [f"city{i:02d}" for i in pool_idx[:3]]
+            q = f"what is the capital of the country where person{p:02d} lives"
+        elif subject == "reverse":
+            c = rng.integers(0, N_COUNTRIES)
+            city = self.capital[c]
+            correct = f"country{c:02d}"
+            pool = [f"country{i:02d}" for i in self.rng_distract(rng, c, N_COUNTRIES)]
+            q = f"city{city:02d} is the capital of what country"
         elif subject == "arithmetic":
             a, b = int(rng.integers(0, MAX_NUM)), int(rng.integers(0, MAX_NUM))
-            correct = str(a + b)
-            wrongs = set()
-            while len(wrongs) < 3:
-                d = int(rng.integers(1, 10)) * (1 if rng.integers(0, 2) else -1)
-                if 0 <= a + b + d < 2 * MAX_NUM and d != 0:
-                    wrongs.add(str(a + b + d))
-            pool = sorted(wrongs)
+            s = a + b
+            correct = str(s)
+            # near-misses: +-1/+-2/+-10 and the digit swap — small logit
+            # perturbations flip these, random offsets don't
+            near = [s + 1, s - 1, s + 10, s - 10, s + 2, s - 2]
+            if 10 <= s < 100:
+                near.insert(0, (s % 10) * 10 + s // 10)  # digit swap
+            wrongs = []
+            for w in near:
+                if 0 <= w < 2 * MAX_NUM and w != s and str(w) not in wrongs:
+                    wrongs.append(str(w))
+                if len(wrongs) == 3:
+                    break
+            while len(wrongs) < 3:  # degenerate edges (s tiny)
+                d = int(rng.integers(1, 10))
+                w = s + d
+                if 0 <= w < 2 * MAX_NUM and str(w) not in wrongs and w != s:
+                    wrongs.append(str(w))
+            pool = wrongs
             q = f"what is {a} plus {b}"
         else:
             raise ValueError(subject)
@@ -144,11 +215,15 @@ class SynthLang:
 
     # ---- corpus -----------------------------------------------------
     def document(self, rng) -> str:
-        """One training document: facts, or an MMLU-formatted exercise."""
+        """One training document: facts, or an MMLU-formatted exercise.
+
+        Hop exercises only ever use TRAIN_PERSONS (`mc_row(heldout=False)`)
+        — the eval's held-out persons appear in training only as isolated
+        residence/job facts."""
         from . import mmlu
 
         if rng.integers(0, 3) == 0:  # 1/3 of docs are k-shot MC exercises
-            subject = ("capitals", "jobs", "arithmetic")[rng.integers(0, 3)]
+            subject = SUBJECTS[rng.integers(0, len(SUBJECTS))]
             dev = [self.mc_row(rng, subject) for _ in range(int(rng.integers(0, 3)))]
             row = self.mc_row(rng, subject)
             return mmlu.build_prompt(dev, row, k_shot=len(dev)) + f" {row[5]} \n \n"
@@ -172,12 +247,16 @@ class SynthLang:
         rng = np.random.default_rng(seed)
         for split, n in (("dev", n_dev), ("test", n_test)):
             os.makedirs(os.path.join(outdir, split), exist_ok=True)
-            for subject in ("capitals", "jobs", "arithmetic"):
+            for subject in SUBJECTS:
                 p = os.path.join(outdir, split, f"{subject}_{split}.csv")
                 with open(p, "w", newline="") as f:
                     w = csv.writer(f)
                     for _ in range(n):
-                        w.writerow(self.mc_row(rng, subject))
+                        # hop TEST rows use held-out persons (the model
+                        # never trained on their composed question); dev
+                        # few-shot rows demonstrate the task on train ones
+                        ho = subject == "hops" and split == "test"
+                        w.writerow(self.mc_row(rng, subject, heldout=ho))
         return outdir
 
 

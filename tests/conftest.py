@@ -16,6 +16,14 @@ import jax  # noqa: E402  (sitecustomize imports jax eagerly; backends are lazy)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Persistent compile cache: the suite is jit-compile bound on the 8-device
+# CPU mesh; repeat runs hit the disk cache and the "not slow" core drops
+# well under the 5-minute iteration budget (VERDICT r2 weak #7).
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 
 import pytest  # noqa: E402
 

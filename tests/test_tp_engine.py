@@ -170,8 +170,10 @@ class TestLayoutMeshBackendMatrix:
     """
 
     @pytest.mark.parametrize("preset,key,layouts", [
-        ("INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "int4_layout", ("blockdot", "word")),
-        ("NVFP4_DEFAULT_CFG", "nvfp4_layout", ("blockdot", "perm", "word")),
+        ("INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "int4_layout",
+         ("blockdot", "word", "word2", "bd2")),
+        ("NVFP4_DEFAULT_CFG", "nvfp4_layout",
+         ("blockdot", "perm", "word", "word2")),
     ])
     def test_token_parity_matrix(self, tiny_ptq, preset, key, layouts):
         cfg, params, batches = tiny_ptq
