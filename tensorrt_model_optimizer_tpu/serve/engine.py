@@ -62,6 +62,22 @@ class EngineConfig:
     # under shard_map (Pallas kernels see local shards; two psums/layer).
     mesh: Any = None
     tp_axis: str = "tp"
+    # Data parallelism: when set (and present in `mesh`), the BATCH dim of
+    # tokens/caches shards over this axis — each replica serves its own
+    # requests with fully local attention; weights replicate across it.
+    # Name the axis for the slowest interconnect it spans (e.g. "dcn" for
+    # a cross-slice/host replica group): per-replica continuous batching is
+    # exactly the multi-host serving topology — no cross-replica collective
+    # ever runs in the decode step, so DCN latency never sits on the token
+    # path (north-star "continuous batching across hosts").
+    dp_axis: Optional[str] = None
+    # Split row-parallel (o/down) projections into two output-column chunks
+    # with independent psums: layer-i chunk-2's matmul is independent of
+    # chunk-1's psum, giving XLA's latency-hiding scheduler a legal
+    # comm/compute overlap inside the sequential decode dependency chain.
+    # Byte/bf16 kinds only (packed 4-bit layouts don't O-slice); token
+    # parity asserted in the dryrun.
+    overlap_collectives: bool = False
     # Prefill skip-softmax attention sparsity (reference
     # `sparsity/attention_sparsity/methods/flash_skip_softmax.py`): score
     # blocks contributing < this relative probability mass are skipped in
@@ -72,8 +88,33 @@ class EngineConfig:
     attn_sparsity_blocks: tuple = (128, 128)
 
 
+def _slice_arrays_O(kind, arrays):
+    """Split a byte/bf16 packed site into two output-column halves (for
+    `EngineConfig.overlap_collectives`). None = kind doesn't O-slice."""
+    if kind == "bf16":
+        O = arrays["w"].shape[-2]
+        h = O // 2
+        if h == 0:
+            return None
+        return [{"w": arrays["w"][..., :h, :]}, {"w": arrays["w"][..., h:, :]}]
+    if kind in ("int8", "fp8"):
+        q = arrays["q"]
+        h = q.shape[-2] // 2
+        if h == 0:
+            return None
+        sc = arrays["scale"]
+        def cut(lo, hi):
+            out = {"q": q[..., lo:hi, :]}
+            # int8: per-channel [O, 1]; fp8: per-tensor scalar
+            out["scale"] = sc[..., lo:hi, :] if sc.ndim >= 2 else sc
+            return out
+        return [cut(0, h), cut(h, q.shape[-2])]
+    return None
+
+
 def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
-             adapter=None, tp_axis=None, row=False, skip_input_quant=False):
+             adapter=None, tp_axis=None, row=False, skip_input_quant=False,
+             overlap=False):
     """Quantized matmul dispatch: y = q_act(x) @ dequant(W)^T.
 
     `x` is [B*T, K] 2-D. Input quantizers stay active on the real-quant path
@@ -86,6 +127,17 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
     per-token act amaxes are `pmax`-reduced for single-device parity and the
     partial output is `psum`-reduced (adapter partials ride the same psum).
     """
+    if overlap and row and tp_axis is not None and adapter is None:
+        # two O-chunks, each with its OWN psum: chunk-2's matmul does not
+        # depend on chunk-1's psum, so the latency-hiding scheduler can run
+        # them concurrently (comm/compute overlap inside the decode chain)
+        parts = _slice_arrays_O(kind, arrays)
+        if parts is not None:
+            return jnp.concatenate([
+                _qlinear(x, name, kind, a, cm, backend, ist, None, tp_axis,
+                         row=True, skip_input_quant=skip_input_quant)
+                for a in parts
+            ], axis=-1)
     reduce_amax = None
     if tp_axis is not None and row:
         reduce_amax = lambda am: jax.lax.pmax(am, tp_axis)
@@ -209,7 +261,8 @@ def _moe_ffn(cfg, cm, backend, h2, lp, lstate, kinds, tp_axis=None):
     return y
 
 
-def _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis=None):
+def _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis=None,
+         overlap=False):
     """Dense or routed FFN on packed weights (dispatch on the layer leaves)."""
     if "moe.gate_proj" in lp:
         y = _moe_ffn(cfg, cm, backend, h2, lp, lstate, kinds, tp_axis)
@@ -217,12 +270,12 @@ def _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis=None):
             g = _qlinear(h2, "shared.gate_proj", kinds["shared.gate_proj"], lp["shared.gate_proj"], cm, backend, ist("shared.gate_proj"), None, tp_axis)
             u = _qlinear(h2, "shared.up_proj", kinds["shared.up_proj"], lp["shared.up_proj"], cm, backend, ist("shared.up_proj"), None, tp_axis)
             ys = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(h2.dtype)
-            y = y + _qlinear(ys, "shared.down_proj", kinds["shared.down_proj"], lp["shared.down_proj"], cm, backend, ist("shared.down_proj"), None, tp_axis, row=True)
+            y = y + _qlinear(ys, "shared.down_proj", kinds["shared.down_proj"], lp["shared.down_proj"], cm, backend, ist("shared.down_proj"), None, tp_axis, row=True, overlap=overlap)
         return y
     g = _qlinear(h2, "mlp.gate_proj", kinds["mlp.gate_proj"], lp["mlp.gate_proj"], cm, backend, ist("mlp.gate_proj"), ad("mlp.gate_proj"), tp_axis)
     u = _qlinear(h2, "mlp.up_proj", kinds["mlp.up_proj"], lp["mlp.up_proj"], cm, backend, ist("mlp.up_proj"), ad("mlp.up_proj"), tp_axis)
     y = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(h2.dtype)
-    return _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"), tp_axis, row=True)
+    return _qlinear(y, "mlp.down_proj", kinds["mlp.down_proj"], lp["mlp.down_proj"], cm, backend, ist("mlp.down_proj"), ad("mlp.down_proj"), tp_axis, row=True, overlap=overlap)
 
 
 def _kv_store(v: jax.Array, dtype, amax: Optional[jax.Array]):
@@ -369,14 +422,15 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
         probs = probs.reshape(B, nKV, rep, T, -1)
         ctx = jnp.einsum("bgrts,bsgd->btgrd", probs, v_all).reshape(B * T, nH * hd)
 
-    attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True)
+    attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True, overlap=ecfg.overlap_collectives)
     if "self_attn.o_proj__bias" in lp:  # GPT-OSS biases all four projections
         attn = attn + lp["self_attn.o_proj__bias"].astype(attn.dtype)
     x = x + attn.reshape(B, T, H)
 
     h = llama.norm(cfg, x, lp["post_attention_layernorm"])
     h2 = h.reshape(B * T, H)
-    d = _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis)
+    d = _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis,
+             overlap=ecfg.overlap_collectives)
     x = x + d.reshape(B, T, H)
     return x, ck, cv, keep_frac
 
@@ -721,6 +775,14 @@ class Engine:
     def _tp_axis(self):
         return self.ecfg.tp_axis if self.ecfg.mesh is not None else None
 
+    @property
+    def _dp(self):
+        """Replica (data-parallel / cross-slice) axis name, if meshed."""
+        e = self.ecfg
+        if e.mesh is not None and e.dp_axis and e.dp_axis in e.mesh.shape:
+            return e.dp_axis
+        return None
+
     def _wrap_step(self, fn, tail_in_specs, out_specs, donate=()):
         """jit, or shard_map+jit under TP (tail specs follow params/qstate).
 
@@ -757,7 +819,7 @@ class Engine:
 
             from . import tp as tp_mod
 
-            cs = tp_mod.cache_specs(self.ecfg.tp_axis)
+            cs = tp_mod.cache_specs(self.ecfg.tp_axis, self._dp)
             cache = {
                 k: jax.device_put(v, NamedSharding(self.ecfg.mesh, cs[k]))
                 for k, v in cache.items()
@@ -781,9 +843,10 @@ class Engine:
             fn = partial(_model_step, self._fwd_cfg, self.ecfg, self.cm,
                          self.backend, tp_axis=self._tp_axis,
                          sparse_prefill=sparse)
-            cs = tp_mod.cache_specs(self.ecfg.tp_axis)
-            out_specs = (P(), cs, P()) if sparse else (P(), cs)
-            self._prefill_fns[sparse] = self._wrap_step(fn, (P(), cs, P()), out_specs)
+            cs = tp_mod.cache_specs(self.ecfg.tp_axis, self._dp)
+            bP = P(self._dp, None)  # [B, ...] sharded over replicas
+            out_specs = (bP, cs, P()) if sparse else (bP, cs)
+            self._prefill_fns[sparse] = self._wrap_step(fn, (bP, cs, bP), out_specs)
         out = self._prefill_fns[sparse](
             self.cm.params, self.cm.qstate, tokens, cache, positions
         )
@@ -822,8 +885,9 @@ class Engine:
 
             from . import tp as tp_mod
 
-            cs = tp_mod.cache_specs(self.ecfg.tp_axis)
-            self._decode_fn = self._wrap_step(run, (P(), cs), (P(), cs))
+            cs = tp_mod.cache_specs(self.ecfg.tp_axis, self._dp)
+            bP = P(self._dp, None)
+            self._decode_fn = self._wrap_step(run, (bP, cs), (bP, cs))
             self._decode_steps = steps
         return self._decode_fn(self.cm.params, self.cm.qstate, first_token, cache)
 
@@ -863,9 +927,10 @@ class Engine:
 
             from . import tp as tp_mod
 
-            cs = tp_mod.cache_specs(self.ecfg.tp_axis)
+            cs = tp_mod.cache_specs(self.ecfg.tp_axis, self._dp)
+            bP = P(self._dp, None)
             self._stepk_fns[unroll] = self._wrap_step(
-                k_steps, (P(), cs), (P(), cs), donate=(3,)
+                k_steps, (bP, cs), (bP, cs), donate=(3,)
             )
         return self._stepk_fns[unroll](self.cm.params, self.cm.qstate, tok, cache)
 
@@ -910,7 +975,7 @@ class Engine:
 
             from . import tp as tp_mod
 
-            spec = tp_mod.paged_cache_specs(cache, self.ecfg.tp_axis)
+            spec = tp_mod.paged_cache_specs(cache, self.ecfg.tp_axis, self._dp)
             cache = jax.tree.map(
                 lambda v, sp: jax.device_put(v, NamedSharding(self.ecfg.mesh, sp)),
                 cache, spec)
@@ -959,9 +1024,10 @@ class Engine:
 
             fn = partial(_paged_model_step, self._fwd_cfg, self.ecfg, self.cm,
                          self.backend, tp_axis=self._tp_axis)
-            ps = tp_mod.paged_cache_specs(cache, self.ecfg.tp_axis)
+            ps = tp_mod.paged_cache_specs(cache, self.ecfg.tp_axis, self._dp)
+            bP, b1 = P(self._dp, None), P(self._dp)
             self._paged_fns[T] = self._wrap_step(
-                fn, (P(), ps, P()), (P(), ps), donate=(3,)
+                fn, (bP, ps, b1), (bP, ps), donate=(3,)
             )
         return self._paged_fns[T](self.cm.params, self.cm.qstate, tokens, cache, active)
 
@@ -995,9 +1061,10 @@ class Engine:
                     tok = tok.reshape(tok.shape[0], 1)
                 return tok, cache
 
-            ps = tp_mod.paged_cache_specs(cache, self.ecfg.tp_axis)
+            ps = tp_mod.paged_cache_specs(cache, self.ecfg.tp_axis, self._dp)
+            bP, b1 = P(self._dp, None), P(self._dp)
             self._paged_stepk_fns[unroll] = self._wrap_step(
-                k_steps, (P(), ps, P()), (P(), ps), donate=(3,)
+                k_steps, (bP, ps, b1), (bP, ps), donate=(3,)
             )
         return self._paged_stepk_fns[unroll](
             self.cm.params, self.cm.qstate, tok, cache, active)

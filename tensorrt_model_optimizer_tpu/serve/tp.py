@@ -475,23 +475,27 @@ def shard_map_fn(fn, mesh, in_specs, out_specs):
         )
 
 
-def cache_specs(axis: str = "tp") -> dict:
-    """Dense KV-cache spec: shard the kv-head axis [L, B, S, n_kv, hd]."""
+def cache_specs(axis: str = "tp", dp: "str | None" = None) -> dict:
+    """Dense KV-cache spec: shard the kv-head axis [L, B, S, n_kv, hd];
+    with `dp` set, the batch dim shards over the replica axis too."""
     return {
-        "k": P(None, None, None, axis, None),
-        "v": P(None, None, None, axis, None),
+        "k": P(None, dp, None, axis, None),
+        "v": P(None, dp, None, axis, None),
         "pos": P(),
     }
 
 
-def paged_cache_specs(cache, axis: str = "tp"):
-    """PagedCache spec: k/v pages shard the kv-head axis [L, P, n_kv, pg, hd]."""
+def paged_cache_specs(cache, axis: str = "tp", dp: "str | None" = None):
+    """PagedCache spec: k/v pages shard the kv-head axis [L, P, n_kv, pg, hd].
+    With `dp`, each replica owns its own page pool, block table rows and
+    slots (per-replica continuous batching — block-table page ids are
+    replica-local)."""
     return dataclasses.replace(
         cache,
-        k_pages=P(None, None, axis, None, None),
-        v_pages=P(None, None, axis, None, None),
-        block_table=P(),
-        seq_lens=P(),
+        k_pages=P(None, dp, axis, None, None),
+        v_pages=P(None, dp, axis, None, None),
+        block_table=P(dp),
+        seq_lens=P(dp),
     )
 
 

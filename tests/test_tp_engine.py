@@ -262,3 +262,37 @@ def test_llama4_tp2_token_parity():
     got, _ = _generate(cm, serve_engine.EngineConfig(
         max_seq_len=48, backend="xla", mesh=tp_mesh(2)), prompt, n=5)
     np.testing.assert_array_equal(got, ref)
+
+
+class TestDPxTP:
+    """DP x TP serving mesh: batch shards over the replica axis (no
+    collective crosses it in the decode step), weights replicate over it,
+    TP psums stay on the inner axis. Token-identical to single device."""
+
+    def test_dense_generate_parity_dp2_tp2(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT8_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        prompt = jnp.asarray(np.random.default_rng(21).integers(0, 256, size=(2, 10)))
+        ref, _ = _generate(cm, serve_engine.EngineConfig(max_seq_len=48), prompt)
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "tp"))
+        got, _ = _generate(
+            cm,
+            serve_engine.EngineConfig(max_seq_len=48, mesh=mesh, dp_axis="dp"),
+            prompt,
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_overlap_collectives_parity(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT8_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        prompt = jnp.asarray(np.random.default_rng(22).integers(0, 256, size=(2, 10)))
+        ref, _ = _generate(cm, serve_engine.EngineConfig(max_seq_len=48), prompt)
+        got, _ = _generate(
+            cm,
+            serve_engine.EngineConfig(
+                max_seq_len=48, mesh=tp_mesh(2), overlap_collectives=True),
+            prompt,
+        )
+        np.testing.assert_array_equal(got, ref)
