@@ -268,6 +268,15 @@ def build_engine(fmt, n_layers):
         import dataclasses as _dc
 
         ecfg = _dc.replace(ecfg, nvfp4_layout=layout, int4_layout=layout)
+    kv = os.environ.get("BENCH_KV")  # int8/fp8 quantized KV cache — the
+    # BS64 grid cells need it (bf16 KV at 64 x 2176 tokens = 17.8 GB > HBM)
+    if kv:
+        import dataclasses as _dc
+
+        ecfg = _dc.replace(
+            ecfg,
+            kv_dtype={"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}[kv],
+        )
     eng = serve_engine.Engine(cm, ecfg)
     # return the ENGINE's cm: Engine converts nvfp4 to the serving layout, and
     # holding the pre-conversion packed weights too doubles HBM (OOMed)
@@ -404,7 +413,13 @@ def main():
     n_layers = 16 if FORMAT == "bf16" else 32
     full = (None if FORMAT == "bf16"
             else TimedEngine(FORMAT, n_layers, f"{FORMAT} L{n_layers}", unroll))
-    anchor = TimedEngine("bf16", 16, "bf16 L16 (TP2 per-chip anchor)", unroll)
+    # BENCH_ANCHOR=0: skip the in-process bf16 anchor — the grid driver
+    # (tools/bench_grid.py) runs one anchor PROCESS per batch size instead,
+    # because at the 2048-token reference scenario the anchor + an 8-bit
+    # format cannot share the chip (fp8 L32 8 GB + KV + anchor 8 GB > HBM).
+    with_anchor = os.environ.get("BENCH_ANCHOR", "1") == "1" or FORMAT == "bf16"
+    anchor = (TimedEngine("bf16", 16, "bf16 L16 (TP2 per-chip anchor)", unroll)
+              if with_anchor else None)
     if full is None:
         full = anchor
     engines = [e for e in (full, anchor) if e is not None]
@@ -417,22 +432,31 @@ def main():
         engines.append(fmt_l16)
 
     interleaved_time(engines, rounds)
-    bf16_ms = anchor.median_ms()
-    bf16_toks = BATCH * 1e3 / bf16_ms
+    bf16_ms = anchor.median_ms() if anchor is not None else None
+    bf16_toks = BATCH * 1e3 / bf16_ms if bf16_ms else None
     fmt_l16_ms = fmt_l16.median_ms() if fmt_l16 else None
     fmt_ms = full.median_ms()
     compile_s = full.compile_s
     cfg, eng = full.cfg, full.eng
     tok_s = BATCH * 1e3 / fmt_ms
 
-    # TTFT: prefill latency for the PREFILL-token prompt (baseline scenario
-    # uses 2048-in; set BENCH_PREFILL=2048 for the full number)
+    # TTFT: p50 prefill latency for the PREFILL-token prompt over >= 5
+    # repeats (baseline scenario uses 2048-in; set BENCH_PREFILL=2048 for
+    # the grid number). All decode medians are already taken, so the bf16
+    # anchor (8 GB) is RELEASED first — the fp8 prefill graph
+    # RESOURCE_EXHAUSTED with it resident (round-2 artifact gap).
     ttft_ms = None
+    ttft_reps = int(os.environ.get("BENCH_TTFT_REPEATS", "5"))
     if os.environ.get("BENCH_TTFT", "1") == "1" and not past_deadline():
-        # Non-fatal: with the bf16 anchor still resident, the 8-bit-format
-        # prefill graph can RESOURCE_EXHAUSTED the chip (observed for fp8,
-        # 2026-08-18). The decode numbers above are the headline — never
-        # lose them to a TTFT OOM.
+        if anchor is not None and anchor is not full:
+            anchor.eng = anchor.cm = anchor.cache = anchor.tok = None
+            engines = [e for e in engines if e is not anchor]
+            if fmt_l16 is not None and fmt_l16 is not full:
+                fmt_l16.eng = fmt_l16.cm = fmt_l16.cache = fmt_l16.tok = None
+            import gc
+
+            gc.collect()
+            log_mem("anchor released (pre-TTFT)")
         try:
             rng = np.random.default_rng(2)
             prompt = jnp.asarray(
@@ -440,19 +464,26 @@ def main():
             )
             pc = eng.init_cache(BATCH, MAXLEN)
             logits, _ = eng.prefill(prompt, pc)
-            jax.block_until_ready(logits)  # compile
-            pc = eng.init_cache(BATCH, MAXLEN)
-            t0 = time.time()
-            logits, _ = eng.prefill(prompt, pc)
-            jax.block_until_ready(logits)
-            ttft_ms = (time.time() - t0) * 1e3
-            log(f"prefill({PREFILL}) TTFT: {ttft_ms:.1f} ms")
+            value_barrier(logits[..., -1, :1])  # compile + first exec
+            ts = []
+            for _ in range(ttft_reps):
+                pc = eng.init_cache(BATCH, MAXLEN)
+                t0 = time.time()
+                logits, _ = eng.prefill(prompt, pc)
+                value_barrier(logits[..., -1, :1])
+                ts.append((time.time() - t0) * 1e3)
+            ttft_ms = sorted(ts)[len(ts) // 2]
+            log(f"prefill({PREFILL}) TTFT p50/{ttft_reps}: {ttft_ms:.1f} ms "
+                f"(all: {[round(t, 1) for t in ts]})")
         except Exception as e:  # pragma: no cover - chip-memory dependent
             log(f"TTFT skipped: {type(e).__name__}: {str(e)[:120]}")
 
     if FORMAT == "bf16":
         vs = 0.5  # itself, normalized by the 2 chips bf16 8B requires
         raw_ratio = 1.0
+    elif bf16_toks is None:
+        vs = None  # anchor skipped (grid mode) — driver pairs processes
+        raw_ratio = None
     else:
         vs = tok_s / (bf16_toks / 2.0)
         raw_ratio = bf16_ms / fmt_l16_ms if fmt_l16_ms else None
@@ -460,18 +491,20 @@ def main():
         "metric": f"llama3.1-8b-{FORMAT}-decode-tok/s/chip-bs{BATCH}",
         "value": round(tok_s, 1),
         "unit": "tok/s",
-        "vs_baseline": round(vs, 3),
+        **({"vs_baseline": round(vs, 3)} if vs is not None else {}),
         "baseline": "own bf16 same-session, chip-normalized (bf16 8B needs 2 "
                     "chips: measured OOM on 1; reference normalizes its 70B "
                     "rows the same way, benchmark.md:11-14,26-28)",
         "step_ms": round(fmt_ms, 3),
-        "bf16_anchor_ms_L16": round(bf16_ms, 3),
+        **({"bf16_anchor_ms_L16": round(bf16_ms, 3)}
+           if bf16_ms is not None else {}),
         **({"raw_same_shape_ratio_L16": round(raw_ratio, 3)}
            if raw_ratio is not None else {}),
         "unroll": unroll,
-        **({"step_ms_unroll1": round(full.median_ms1(), 3),
-            "bf16_anchor_ms_unroll1": round(anchor.median_ms1(), 3)}
-           if unroll > 1 and full.median_ms1() is not None
+        **({"step_ms_unroll1": round(full.median_ms1(), 3)}
+           if unroll > 1 and full.median_ms1() is not None else {}),
+        **({"bf16_anchor_ms_unroll1": round(anchor.median_ms1(), 3)}
+           if unroll > 1 and anchor is not None
            and anchor.median_ms1() is not None else {}),
         "compile_s": round(compile_s, 1),
         "format": FORMAT, "bs": BATCH, "prefill": PREFILL, "steps": STEPS,
@@ -482,7 +515,9 @@ def main():
            if BARRIER_FLAGS["readback_timeouts"] else {}),
         **({"deadline_cut_after_round": BARRIER_FLAGS["deadline_cut"]}
            if BARRIER_FLAGS.get("deadline_cut") else {}),
-        **({"ttft_ms": round(ttft_ms, 1)} if ttft_ms is not None else {}),
+        **({"ttft_ms": round(ttft_ms, 1), "ttft_stat": f"p50/{ttft_reps}"}
+           if ttft_ms is not None else {}),
+        **({"kv": os.environ["BENCH_KV"]} if os.environ.get("BENCH_KV") else {}),
         "h200_context_tok_s": H200_BS8.get(FORMAT),
     }))
 

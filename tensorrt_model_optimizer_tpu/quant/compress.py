@@ -506,6 +506,21 @@ class CompressedModel:
         return total
 
 
+def compress_bf16(cfg, params) -> CompressedModel:
+    """Wrap RAW (unquantized) params as a bf16-kind CompressedModel so the
+    serving engine can run dense models — used by the RULER attention-
+    sparsity calibration (`sparsity/ruler.py`) and dense baselines."""
+    new_layers = dict(params["layers"])
+    kinds = {}
+    for name in llama.PROJ_NAMES:
+        if name in new_layers and not isinstance(new_layers[name], dict):
+            new_layers[name] = {"w": new_layers[name]}
+            kinds[name] = "bf16"
+    p = dict(params)
+    p["layers"] = new_layers
+    return CompressedModel(cfg, p, kinds, llama.QuantLayout(sites=()), {})
+
+
 def compress(model: QuantizedModel) -> CompressedModel:
     """Pack every projection weight per its calibrated quantizer.
 

@@ -130,6 +130,41 @@ class SynthLang:
         lo, hi = min(a, b), max(a, b)
         return f"{hi} minus {lo} equals {hi - lo} \n"
 
+    # ---- in-context override documents (retrieval training) ---------
+    def context_doc(self, rng) -> str:
+        """A document whose answer is IN-CONTEXT, not memorized: a person's
+        residence is (re)stated mid-document — usually to a RANDOM country
+        that contradicts the trained fact table — then queried, and the
+        answer repeats the in-context statement.
+
+        This trains the retrieval behavior the RULER-style attention-
+        sparsity calibration measures (`sparsity/ruler.py`): the model must
+        ATTEND to the needle statement to answer; a model that answers from
+        weights alone scores ~chance on override needles. Filler sentences
+        mentioning the queried person's residence are re-drawn so exactly
+        one in-context statement exists. Reference counterpart:
+        `sparsity/attention_sparsity/calibration/ruler_dataset.py` (niah
+        single-needle tasks)."""
+        p = int(rng.integers(0, N_PERSONS))
+        c = int(rng.integers(0, N_COUNTRIES))  # override; may equal truth
+        needle = f"person{p:02d} lives in country{c:02d} \n"
+        guard = f"person{p:02d} lives"
+
+        def filler(n):
+            out = []
+            while len(out) < n:
+                s = self.fact_sentence(rng)
+                if guard not in s:
+                    out.append(s)
+            return out
+
+        parts = filler(int(rng.integers(2, 9)))
+        parts.append(needle)
+        parts += filler(int(rng.integers(1, 6)))
+        parts.append(f"person{p:02d} lives in what country \n")
+        parts.append(needle)
+        return "".join(parts)
+
     # ---- multiple-choice rows (MMLU CSV schema) ---------------------
     def mc_row(self, rng, subject: str, heldout: bool = False) -> list[str]:
         """[question, A, B, C, D, answer_letter] — consumed by utils/mmlu.py.
@@ -222,11 +257,14 @@ class SynthLang:
         residence/job facts."""
         from . import mmlu
 
-        if rng.integers(0, 3) == 0:  # 1/3 of docs are k-shot MC exercises
+        r = rng.integers(0, 6)
+        if r < 2:  # 1/3 of docs are k-shot MC exercises
             subject = SUBJECTS[rng.integers(0, len(SUBJECTS))]
             dev = [self.mc_row(rng, subject) for _ in range(int(rng.integers(0, 3)))]
             row = self.mc_row(rng, subject)
             return mmlu.build_prompt(dev, row, k_shot=len(dev)) + f" {row[5]} \n \n"
+        if r == 2:  # 1/6 in-context override docs (retrieval training)
+            return self.context_doc(rng)
         return "".join(self.fact_sentence(rng) for _ in range(int(rng.integers(4, 9))))
 
     def token_stream(self, n_tokens: int, seed: int = 1) -> np.ndarray:

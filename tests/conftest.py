@@ -19,8 +19,29 @@ jax.config.update("jax_threefry_partitionable", True)
 # Persistent compile cache: the suite is jit-compile bound on the 8-device
 # CPU mesh; repeat runs hit the disk cache and the "not slow" core drops
 # well under the 5-minute iteration budget (VERDICT r2 weak #7).
+#
+# The cache dir is keyed by a HOST CPU fingerprint: XLA:CPU AOT executables
+# embed ISA feature sets, and loading one compiled on a different machine
+# silently computes garbage (observed 2026-08-19: anchor ppl 882 vs 2.68
+# from a cache written on an avx512-variant host; XLA only warns). Builder
+# hosts rotate between rounds, so the fingerprint — not a fixed path —
+# is what makes the cache safe to commit to a shared location.
 try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import hashlib
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    host = hashlib.sha1(flags.encode()).hexdigest()[:12]
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/root/repo/.jax_cache/{host}"
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass

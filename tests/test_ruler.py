@@ -1,0 +1,107 @@
+"""RULER-style attention-sparsity calibration (sparsity/ruler.py).
+
+Reference counterpart: `modelopt/torch/sparsity/attention_sparsity/
+calibration/ruler_dataset.py` + `calibration/calibrate.py`. Mechanics are
+tested on a tiny random model (accuracy is chance there — the trained
+anchor's task numbers live in tools/ruler_curve.py's artifact)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_model_optimizer_tpu.models import llama
+from tensorrt_model_optimizer_tpu.quant import compress
+from tensorrt_model_optimizer_tpu.serve import engine as serve_engine
+from tensorrt_model_optimizer_tpu.sparsity import ruler
+from tensorrt_model_optimizer_tpu.utils import synthlang
+
+
+@pytest.fixture(scope="module")
+def lang():
+    return synthlang.SynthLang(0)
+
+
+@pytest.fixture(scope="module")
+def tiny_cm(lang):
+    cfg = synthlang.anchor_config()
+    cfg = type(cfg)(**{**cfg.__dict__, "num_hidden_layers": 2,
+                       "hidden_size": 64, "intermediate_size": 128,
+                       "num_attention_heads": 4, "num_key_value_heads": 2})
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, compress.compress_bf16(cfg, params)
+
+
+class TestBatchConstruction:
+    def test_shapes_and_answer_token(self, lang):
+        toks, ans = ruler.make_retrieval_batch(lang, "override", 4, 160, seed=3)
+        assert toks.shape == (4, 160) and ans.shape == (4,)
+        for i in range(4):
+            text = synthlang.decode(toks[i])
+            word = synthlang.VOCAB[int(ans[i])]
+            assert word.startswith("country")
+            # the needle statement appears, and the tail is the query
+            assert f"lives in {word}" in text
+            assert text.rstrip().endswith("lives in")
+
+    def test_override_contradicts_memory_most_of_the_time(self, lang):
+        toks, ans = ruler.make_retrieval_batch(lang, "override", 32, 160, seed=5)
+        # answers drawn uniformly: ~1/80 chance of matching the fact table
+        truth_hits = 0
+        for i in range(32):
+            text = synthlang.decode(toks[i])
+            p = int(text.rstrip().split("person")[-1].split(" ")[0])
+            truth = f"country{lang.residence[p]:02d}"
+            truth_hits += synthlang.VOCAB[int(ans[i])] == truth
+        assert truth_hits <= 8
+
+    def test_memory_kind_has_no_needle(self, lang):
+        toks, ans = ruler.make_retrieval_batch(lang, "memory", 4, 160, seed=7)
+        for i in range(4):
+            text = synthlang.decode(toks[i])
+            word = synthlang.VOCAB[int(ans[i])]
+            # only the trailing answer-free query mentions the person's
+            # residence; the body never states it
+            body = text.rsplit("lives in what country", 1)[0]
+            p = int(text.rstrip().split("person")[-1].split(" ")[0])
+            assert f"person{p:02d} lives" not in body
+
+    def test_depth_pins_needle_position(self, lang):
+        early, _ = ruler.make_retrieval_batch(lang, "override", 2, 200,
+                                              depth=0.1, seed=9)
+        late, _ = ruler.make_retrieval_batch(lang, "override", 2, 200,
+                                             depth=0.9, seed=9)
+        # same seed, same needle (the QUERIED person's) — position differs
+        t_e = synthlang.decode(early[0])
+        t_l = synthlang.decode(late[0])
+        p = int(t_e.rstrip().split("person")[-1].split(" ")[0])
+        needle = f"person{p:02d} lives in country"
+        assert t_e.find(needle) < t_l.find(needle)
+
+
+class TestCurve:
+    def test_threshold_curve_runs_and_keepfrac_monotone(self, tiny_cm, lang):
+        cfg, cm = tiny_cm
+        ecfg = serve_engine.EngineConfig(max_seq_len=160, backend="xla")
+        rows = ruler.threshold_curve(
+            cm, ecfg, lang, thresholds=(1e-6, 0.9), kinds=("override",),
+            n=4, ctx_tokens=128, blocks=(16, 16), seed=1)
+        assert rows[0]["threshold"] is None
+        assert rows[0]["keep_frac"] is None  # dense records no keep-frac
+        # harsher threshold keeps fewer blocks
+        assert rows[2]["keep_frac"] <= rows[1]["keep_frac"] + 1e-6
+        assert 0.0 < rows[1]["keep_frac"] <= 1.0
+
+    def test_calibrate_returns_threshold_or_none(self, tiny_cm, lang):
+        cfg, cm = tiny_cm
+        ecfg = serve_engine.EngineConfig(max_seq_len=160, backend="xla")
+        th, rows = ruler.calibrate_threshold_ruler(
+            cm, ecfg, lang, max_acc_drop=1.0,  # everything passes
+            thresholds=(1e-6, 1e-3), kinds=("override",), n=4,
+            ctx_tokens=128, blocks=(16, 16), seed=1)
+        assert th == 1e-3  # largest rung passes under a 100% allowed drop
+        th2, _ = ruler.calibrate_threshold_ruler(
+            cm, ecfg, lang, max_acc_drop=-1.0,  # nothing can pass
+            thresholds=(1e-6,), kinds=("override",), n=4,
+            ctx_tokens=128, blocks=(16, 16), seed=1)
+        assert th2 is None

@@ -206,7 +206,7 @@ def main():
         "Reference analog: `examples/benchmark.md:37-40` (MMLU loss vs BF16) "
         "and `:58-63` (PTQ->QAT recovery).",
         "",
-        f"| preset | ppl | Δppl | KL | MMLU | ΔMMLU (pts) |",
+        f"| preset | ppl | Δppl | KL | MMLU | MMLU drop (pts; + = worse) |",
         f"|---|---|---|---|---|---|",
         f"| bf16 | {base['ppl']:.4f} | — | — | {base['mmlu']:.3f} | — |",
     ]
