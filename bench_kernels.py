@@ -95,6 +95,18 @@ def main():
     measure("int4_word", lambda x, w, s: qmm.qmm_int4_word(x, w, s),
             O * K // 2, Wi, si)
 
+    # round-3 layouts (serving options): 4-bytes-per-lane word2 decode and
+    # the block-major batched-dot bd2 with post-dot scales
+    Wi2, si2 = qmm.int4_word2_pack(Wp, sl, sl)
+    measure("int4_word2", lambda x, w, s: qmm.qmm_int4_word2(x, w, s),
+            O * K // 2, Wi2, si2)
+    Wb2, sb2 = qmm.int4_bd2_pack(Wp, sl, sl)
+    measure("int4_bd2", lambda x, w, s: qmm.qmm_int4_bd2(x, w, s),
+            O * K // 2, Wb2, sb2)
+    W42, s42 = qmm.nvfp4_word2_pack(Wp, slf4, slf4)
+    measure("nvfp4_word2", lambda x, w, s, g: qmm.qmm_nvfp4_word2(x, w, s, g),
+            O * K // 2, W42, s42, gs)
+
     Wf8 = jnp.asarray((rng.normal(size=(O, K)) * 0.1).astype(np.float32)).astype(jnp.float8_e4m3fn)
     measure("fp8_pallas", lambda x, w, s: qmm.qmm_fp8(x, w, s), O * K, Wf8, s8)
 

@@ -111,7 +111,7 @@ def qmm_nvfp4_w2_x(x, packed_w2, scales, global_scale, mode, tile_o,
         scratch.append(pltpu.VMEM((to, tk), jnp.bfloat16))
     params = {}
     if semantics:
-        params["compiler_params"] = pltpu.TPUCompilerParams(
+        params["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=semantics)
     return pl.pallas_call(
         kern,
