@@ -1,11 +1,12 @@
 """Accuracy CI gate on the trained anchor (VERDICT round-1 missing item #1).
 
 The committed `artifacts/anchor-llama` checkpoint is a genuinely trained
-model (synthetic language, held-out ppl ~2.68, MMLU 1.0 — see its
-metrics.json). This gate quantizes it with the flagship preset and pins the
-perplexity delta: a quantization-quality regression (bad amax plumbing,
-broken packing, calibration running on the wrong branch...) shows up here
-as an accuracy loss, not just a numerics-parity break.
+model (synthetic language, held-out ppl ~2.48, MMLU 0.831 on the hardened
+round-3 eval — see its metrics.json). This gate quantizes it with the
+flagship preset and pins the perplexity delta: a quantization-quality
+regression (bad amax plumbing, broken packing, calibration running on the
+wrong branch...) shows up here as an accuracy loss, not just a
+numerics-parity break.
 
 Reference analog: `examples/benchmark.md:37-40` (NVFP4 within ~1% of BF16)
 and the llm_eval accuracy gates (`lm_eval_hf.py:296`).
@@ -76,7 +77,9 @@ def test_quantized_ppl_delta_gate(anchor, preset, bound):
 @pytest.mark.slow
 def test_moe_anchor_nvfp4_gate():
     """CI gate on the trained MoE anchor: NVFP4 dppl stays within 2x its
-    recorded value (0.0267 @ 2026-08-18) and the baseline ppl reproduces."""
+    recorded value (0.0287 @ 2026-08-20, round-3 anchor retrained on the
+    hardened synthlang w/ hops + in-context override docs) and the baseline
+    ppl reproduces."""
     import jax.numpy as jnp
 
     from tensorrt_model_optimizer_tpu.models import hf_loader, mixtral
@@ -91,9 +94,9 @@ def test_moe_anchor_nvfp4_gate():
     lang = synthlang.SynthLang(0)
     ev = list(lang.eval_batches(4, 8, 128, seed=999))
     base = perplexity(cfg, params, ev, forward_fn=mixtral.forward)
-    assert abs(base - 2.9410) < 0.05, base
+    assert abs(base - 2.7949) < 0.05, base
     calib = [jnp.asarray(b) for b in lang.eval_batches(2, 8, 128, seed=555)]
     model = ptq.quantize_family("mixtral", cfg, params, "NVFP4_DEFAULT_CFG", calib)
     ppl = perplexity(cfg, model.params, ev, layout=model.layout,
                      qstate=model.qstate, forward_fn=mixtral.forward)
-    assert ppl - base < 2 * 0.0267 + 0.005, (ppl, base)
+    assert ppl - base < 2 * 0.0287 + 0.005, (ppl, base)
