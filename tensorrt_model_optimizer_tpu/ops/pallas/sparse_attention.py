@@ -92,6 +92,49 @@ def _kernel(scale, log_thresh, nq, nk, bq, bk, causal, q_ref, k_ref, v_ref,
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
+def _skip_softmax_ref(q, k, v, scale, log_thresh, bq, bk, causal):
+    """jnp emulation of the kernel, used when no TPU is present.
+
+    Interpret-mode Pallas iterates every grid cell in Python — at RULER
+    calibration sizes (BH 512 x 7 x 7 tiles x 6 layers x 27 sweep points)
+    that is millions of interpreted cells and effectively hangs (observed
+    2026-08-20). This path reproduces the kernel's EXACT keep semantics
+    (tile max vs the q-tile's running max over previously KEPT tiles, in
+    k-tile visit order, causal structural skip) with one scan over k tiles,
+    so CPU-calibrated thresholds transfer to the hardware kernel."""
+    BH, S, d = q.shape
+    nq, nk = S // bq, S // bk
+    s = jax.lax.dot_general(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    ) * scale  # [BH, S, S]
+    if causal:
+        rows = jnp.arange(S)[:, None]
+        s = jnp.where(jnp.arange(S)[None, :] <= rows, s, -1e30)
+    blk_max = s.reshape(BH, nq, bq, nk, bk).max(axis=(2, 4))  # [BH, nq, nk]
+
+    def visit(run, j):
+        bm = blk_max[:, :, j]
+        keep = bm >= run + log_thresh
+        if causal:
+            # tiles fully above the diagonal are structurally skipped
+            qi = jnp.arange(nq)
+            keep = keep & (j * bk <= qi[None, :] * bq + bq - 1)
+        run = jnp.where(keep, jnp.maximum(run, bm), run)
+        return run, keep
+
+    _, keep_t = jax.lax.scan(visit, jnp.full((BH, nq), -1e30), jnp.arange(nk))
+    keep = jnp.moveaxis(keep_t, 0, -1)  # [BH, nq, nk]
+    keep_full = jnp.broadcast_to(
+        keep[:, :, None, :, None], (BH, nq, bq, nk, bk)
+    ).reshape(BH, S, S)
+    s = jnp.where(keep_full, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(s > -1e29, p, 0.0)
+    out = jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype), keep.astype(jnp.int32)
+
+
 def skip_softmax_flash(
     q: jax.Array,  # [BH, S, d] (fold batch*heads outside)
     k: jax.Array,
@@ -122,6 +165,10 @@ def skip_softmax_flash(
         from .qmm import _interpret
 
         interpret = _interpret()
+    if interpret:
+        return _skip_softmax_ref(
+            q, k, v, 1.0 / math.sqrt(d), math.log(max(threshold, 1e-30)),
+            bq, bk, causal)
     kern = functools.partial(_kernel, 1.0 / math.sqrt(d),
                              math.log(max(threshold, 1e-30)), nq, nk, bq, bk,
                              causal)

@@ -59,6 +59,7 @@ def smoothquant_auto(
     wq_fns: Sequence,           # per-member weight fake-quant fn (or identity)
     alphas: Sequence[float] = AUTO_ALPHAS,
     act_levels: float = 127.0,
+    include_identity: bool = True,
 ) -> tuple[list[jax.Array], jax.Array, jax.Array]:
     """Per-LAYER auto-alpha SmoothQuant (`alpha: "auto"` in the preset).
 
@@ -77,8 +78,15 @@ def smoothquant_auto(
     wfs = [w.astype(jnp.float32) for w in weights]
     y_refs = [jnp.einsum("lnk,lok->lno", xf, wf) for wf in wfs]
     errs, scales = [], []
-    for alpha in alphas:
-        s = smoothquant_scales(act_amax, weights, alpha)  # [L, d_in]
+    # identity (s = 1, no migration) is always a candidate: when the act
+    # outliers are mild, ANY migration trades weight resolution for nothing
+    # and the layer should degrade to plain INT8_DEFAULT behavior (round-3:
+    # best-alpha-only still cost +0.11 ppl vs INT8_DEFAULT's +0.006)
+    for alpha in ((None, *alphas) if include_identity else alphas):
+        if alpha is None:
+            s = jnp.ones_like(act_amax.astype(jnp.float32))
+        else:
+            s = smoothquant_scales(act_amax, weights, alpha)  # [L, d_in]
         xs_ = xf * (1.0 / s)[:, None, :]
         a_amax = jnp.max(jnp.abs(xs_), axis=(1, 2), keepdims=True)  # [L,1,1]
         a_sc = jnp.where(a_amax == 0, 1.0, a_amax / act_levels)

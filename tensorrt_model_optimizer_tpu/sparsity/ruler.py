@@ -164,6 +164,9 @@ def threshold_curve(
             if keep is not None:
                 row["keep_frac"] = keep
         rows.append(row)
+        import sys
+
+        print(f"[ruler] {row}", file=sys.stderr, flush=True)
     return rows
 
 

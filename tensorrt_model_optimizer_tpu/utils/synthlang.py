@@ -146,9 +146,13 @@ class SynthLang:
         `sparsity/attention_sparsity/calibration/ruler_dataset.py` (niah
         single-needle tasks)."""
         p = int(rng.integers(0, N_PERSONS))
-        c = int(rng.integers(0, N_COUNTRIES))  # override; may equal truth
-        needle = f"person{p:02d} lives in country{c:02d} \n"
         guard = f"person{p:02d} lives"
+        # 1/4 of context docs have NO needle: the query falls back to the
+        # trained fact table (the RULER "memory" control behavior)
+        has_needle = rng.integers(0, 4) > 0
+        c = (int(rng.integers(0, N_COUNTRIES)) if has_needle
+             else int(self.residence[p]))
+        answer = f"person{p:02d} lives in country{c:02d} \n"
 
         def filler(n):
             out = []
@@ -158,11 +162,18 @@ class SynthLang:
                     out.append(s)
             return out
 
-        parts = filler(int(rng.integers(2, 9)))
-        parts.append(needle)
-        parts += filler(int(rng.integers(1, 6)))
+        # LONG-RANGE retrieval training: needle-to-query distances up to
+        # ~350 tokens (post fillers 0..44 sentences), so RULER calibration
+        # contexts (~448 tokens) are in-distribution. Round-3 first cut
+        # used 1..5 post fillers and the trained model retrieved only
+        # within ~60 tokens — dense RULER accuracy was ~0 and the sparsity
+        # curve unmeasurable.
+        parts = filler(int(rng.integers(1, 8)))
+        if has_needle:
+            parts.append(answer)
+        parts += filler(int(rng.integers(0, 45)))
         parts.append(f"person{p:02d} lives in what country \n")
-        parts.append(needle)
+        parts.append(answer)
         return "".join(parts)
 
     # ---- multiple-choice rows (MMLU CSV schema) ---------------------

@@ -7,7 +7,7 @@ cd /root/repo
 A=artifacts/bench_r03
 mkdir -p $A
 log() { date -u +"%FT%TZ $*" >> $A/chain.log; }
-log "chain2 start"
+log "chain2b start (final corpus: long-range context docs)"
 
 # liveness gate (relay answers small work in bounded time)
 until timeout 120 python -c "
@@ -19,7 +19,7 @@ done
 log "liveness ok"
 
 log "train llama anchor start"
-ANCHOR_STEPS=20000 timeout 4000 python -u tools/train_anchor.py \
+ANCHOR_SEQ=448 ANCHOR_STEPS=20000 timeout 4000 python -u tools/train_anchor.py \
   > $A/train_llama.log 2>&1
 log "train llama anchor done rc=$?"
 
