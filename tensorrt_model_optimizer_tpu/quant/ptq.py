@@ -106,9 +106,14 @@ def _smoothquant_auto_global(model_cfg, params, qcfg, batches, capture_tokens):
     `quantize` for why layer-local MSE is not trustworthy here."""
     import dataclasses as _dc
 
-    candidates = [{"method": "max"}]  # identity: no migration at all
-    candidates += [{"method": "smoothquant", "alpha": a}
-                   for a in (0.3, 0.5, 0.7, 0.85, 1.0)]
+    # Candidates are smoothquant-family ONLY: a user selecting the SQ preset
+    # is owed actual migration (the export algo tag and downstream engines
+    # key on pre_quant_scale being present). An identity candidate won the
+    # KL search on tiny calib models and silently shipped non-SQ checkpoints
+    # under the SQ preset (round-3 red test test_int8_sq_export); alpha=0.3
+    # is the mild-migration end of the family and covers that regime.
+    candidates = [{"method": "smoothquant", "alpha": a}
+                  for a in (0.3, 0.5, 0.7, 0.85, 1.0)]
     candidates += [{"method": "smoothquant", "alpha": "auto_layer"}]
     best = None
     for algo in candidates:
