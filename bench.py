@@ -170,6 +170,14 @@ def log_mem(tag):
         log(f"mem[{tag}]: unavailable ({type(e).__name__})")
 
 
+def _cache_entries(cache_dir):
+    """Entry count of the persistent compile cache (0 if unset/missing)."""
+    try:
+        return len(os.listdir(cache_dir)) if cache_dir else 0
+    except OSError:
+        return 0
+
+
 BARRIER_FLAGS = {"readback_timeouts": 0}
 
 
@@ -275,7 +283,8 @@ def build_engine(fmt, n_layers):
 
         ecfg = _dc.replace(
             ecfg,
-            kv_dtype={"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}[kv],
+            kv_dtype={"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
+                      "nvfp4": "nvfp4", "nvfp4_fake": "nvfp4_fake"}[kv],
         )
     eng = serve_engine.Engine(cm, ecfg)
     # return the ENGINE's cm: Engine converts nvfp4 to the serving layout, and
@@ -304,14 +313,27 @@ class TimedEngine:
             rng.integers(0, self.cfg.vocab_size, size=(BATCH, 1), dtype=np.int32)
         )
         self.also_unroll1 = os.environ.get("BENCH_UNROLL1", "0") == "1"
+        # Split trace+compile (synchronous, inside the first decode_step
+        # call) from first execution + relay drain (the barrier), and count
+        # persistent-cache entries to tell a cache miss from a slow relay
+        # window — r03's unexplained 415 s "compile" was indistinguishable
+        # from a degraded relay without this split (VERDICT r3 item #9).
+        cache_dir = jax.config.jax_compilation_cache_dir
+        n_before = _cache_entries(cache_dir)
         t0 = time.time()
         self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, unroll)
         if unroll > 1 and self.also_unroll1:
             self.tok, self.cache = self.eng.decode_step(self.tok, self.cache, 1)
+        t1 = time.time()
         value_barrier(self.tok)  # drain compile + first exec
         self.compile_s = time.time() - t0
+        self.trace_compile_s = t1 - t0
+        self.first_exec_s = time.time() - t1
+        self.cache_misses = _cache_entries(cache_dir) - n_before
         log(f"{label}: built ({cm_bytes(self.cm)/1e9:.2f} GB), "
-            f"decode-step compile+first {self.compile_s:.1f}s")
+            f"decode-step compile+first {self.compile_s:.1f}s "
+            f"(trace+compile {self.trace_compile_s:.1f}s, first exec+drain "
+            f"{self.first_exec_s:.1f}s, new cache entries {self.cache_misses})")
         log_mem(label)
         self.times: list = []
         self.times1: list = []
@@ -507,6 +529,9 @@ def main():
            if unroll > 1 and anchor is not None
            and anchor.median_ms1() is not None else {}),
         "compile_s": round(compile_s, 1),
+        "trace_compile_s": round(full.trace_compile_s, 1),
+        "first_exec_s": round(full.first_exec_s, 1),
+        "cache_misses": full.cache_misses,
         "format": FORMAT, "bs": BATCH, "prefill": PREFILL, "steps": STEPS,
         **({"layout": os.environ["BENCH_LAYOUT"]}
            if os.environ.get("BENCH_LAYOUT") else {}),

@@ -830,3 +830,77 @@ def test_dbrx_style_serving_parity():
     corr = np.corrcoef(np.asarray(logits).ravel(),
                        np.asarray(ref[:, -1]).ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+class TestPackedNvfp4KV:
+    """Real packed NVFP4 KV cache (VERDICT r3 item #7): E2M1 nibbles + E4M3
+    block-16 scales byte-concatenated along head_dim (9*hd/16 uint8/token,
+    3.55x smaller than bf16). Reference contract: the kv_nvfp4 preset units
+    (modelopt_recipes/configs/ptq/units/kv_nvfp4*.yaml) store dynamic-block
+    E2M1; numerics here are bit-identical to fake_quant_nvfp4."""
+
+    def test_store_load_matches_fake_quant(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 5, 2, 32)).astype(np.float32))
+        for amax in (jnp.asarray(3.0), jnp.asarray(0.0)):
+            stored = serve_engine._kv_store(x, "nvfp4", amax)
+            assert stored.dtype == jnp.uint8
+            assert stored.shape == (2, 5, 2, 32 * 9 // 16)
+            back = serve_engine._kv_load(stored, jnp.float32, "nvfp4", amax)
+            ref = serve_engine._kv_store(x, "nvfp4_fake", amax)
+            np.testing.assert_array_equal(np.asarray(back), np.asarray(ref))
+
+    def test_engine_defaults_to_packed_and_matches_fake(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "NVFP4_KV_CFG", batches)
+        cm = compress.compress(model)
+        eng_p = serve_engine.Engine(
+            cm, serve_engine.EngineConfig(max_seq_len=64, backend="xla"))
+        assert eng_p.ecfg.kv_dtype == "nvfp4"  # preset selects real storage
+        eng_f = serve_engine.Engine(
+            cm, serve_engine.EngineConfig(
+                max_seq_len=64, backend="xla", kv_dtype="nvfp4_fake"))
+        prompt = batches[0][:, :8]
+        cache_p = eng_p.init_cache(2, 64)
+        cache_f = eng_f.init_cache(2, 64)
+        # packed cache is uint8 at 9*hd/16 bytes vs bf16/f32 grid values
+        assert cache_p["k"].dtype == jnp.uint8
+        assert cache_p["k"].shape[-1] == cfg.hd * 9 // 16
+        lp_, _ = eng_p.prefill(prompt, cache_p)
+        lf_, _ = eng_f.prefill(prompt, cache_f)
+        np.testing.assert_allclose(np.asarray(lp_), np.asarray(lf_),
+                                   rtol=1e-5, atol=1e-5)
+        out_p = eng_p.generate(prompt, max_new_tokens=6)
+        out_f = eng_f.generate(prompt, max_new_tokens=6)
+        np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_f))
+
+    def test_footprint_vs_bf16(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "NVFP4_KV_CFG", batches)
+        cm = compress.compress(model)
+        eng = serve_engine.Engine(
+            cm, serve_engine.EngineConfig(max_seq_len=64, backend="xla"))
+        eng_b = serve_engine.Engine(
+            cm, serve_engine.EngineConfig(  # explicit dtype: the NVFP4-KV
+                max_seq_len=64, backend="xla", kv_dtype=cfg.dtype))
+        packed = eng.init_cache(2, 64)["k"].nbytes
+        full = eng_b.init_cache(2, 64)["k"].nbytes
+        itemsize = jnp.dtype(cfg.dtype).itemsize
+        # 9*hd/16 bytes/token vs hd*itemsize: 9/32 of a bf16 cache (3.55x)
+        assert packed == full * 9 // (16 * itemsize)
+
+    def test_paged_path_runs_with_nvfp4(self, tiny_ptq):
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "NVFP4_KV_CFG", batches)
+        cm = compress.compress(model)
+        eng = serve_engine.Engine(
+            cm, serve_engine.EngineConfig(
+                max_seq_len=64, backend="xla", paged_attention_kernel=False))
+        cache = eng.init_paged_cache(n_pages=10, page_size=8, max_slots=2,
+                                     max_pages_per_seq=4)
+        logits, cache = eng.prefill_into_slot(cache, 0, batches[0][:1, :8])
+        assert np.all(np.isfinite(np.asarray(logits)))
+        tok = jnp.zeros((2, 1), jnp.int32)
+        active = jnp.asarray([True, False])
+        tok2, cache = eng.paged_step(tok, cache, active)
+        assert np.all(np.isfinite(np.asarray(tok2)))

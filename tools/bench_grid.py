@@ -82,14 +82,26 @@ def run_cell(fmt, bs, anchor, extra=None):
     return cell
 
 
+def _flush_partial(anchors, cells):
+    """Write grid_partial.json after every cell: a chain kill mid-grid must
+    still leave every measured cell on disk (VERDICT r3 weak #6)."""
+    path = os.path.join(OUT_DIR, "grid_partial.json")
+    with open(path, "w") as f:
+        json.dump({"anchors": {str(k): v for k, v in anchors.items()},
+                   "cells": {f"{fmt}-bs{bs}": c
+                             for (fmt, bs), c in cells.items()}}, f, indent=1)
+
+
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     cells = {}
     anchors = {}
     for bs in BATCHES:
         anchors[bs] = run_cell("bf16", bs, anchor=False)
+        _flush_partial(anchors, cells)
         for fmt in FORMATS:
             cells[(fmt, bs)] = run_cell(fmt, bs, anchor=False)
+            _flush_partial(anchors, cells)
     # drift sentinel: re-run the first non-anchor cell
     sent_fmt, sent_bs = FORMATS[0], BATCHES[min(1, len(BATCHES) - 1)]
     sentinel = run_cell(sent_fmt, sent_bs, anchor=False,
