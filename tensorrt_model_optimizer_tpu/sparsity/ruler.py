@@ -129,6 +129,38 @@ def eval_retrieval(engine, tokens: np.ndarray, answers: np.ndarray):
     return acc, keep
 
 
+def engine_prefill_ppl(eng, batches) -> float:
+    """Full next-token ppl through the engine's PREFILL path (the sparse-
+    attention path when attn_sparsity is set): every position teacher-
+    force-scored in one `_model_step(full_logits=True)` per batch."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..serve import engine as E
+
+    step = jax.jit(functools.partial(
+        E._model_step, eng._fwd_cfg, eng.ecfg, eng.cm, eng.backend,
+        full_logits=True,
+        sparse_prefill=eng.ecfg.attn_sparsity is not None,
+    ))
+    tot, cnt = 0.0, 0
+    for batch in batches:
+        toks = jnp.asarray(batch)
+        B, T = toks.shape
+        cache = eng.init_cache(B, T + 8)
+        positions = jnp.broadcast_to(
+            jnp.arange(T)[None, :], (B, T)).astype(jnp.int32)
+        out = step(eng.cm.params, eng.cm.qstate, toks, cache, positions)
+        logp = jax.nn.log_softmax(out[0][:, :-1].astype(jnp.float32), axis=-1)
+        tgt = toks[:, 1:]
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)
+        tot += float(jnp.sum(nll))
+        cnt += int(tgt.size)
+    return float(np.exp(tot / max(cnt, 1)))
+
+
 def threshold_curve(
     cm,
     base_ecfg,
@@ -139,11 +171,15 @@ def threshold_curve(
     ctx_tokens: int = 448,
     blocks=(64, 64),
     seed: int = 11,
+    ppl_batches=None,
 ):
     """Sweep skip-softmax thresholds over the RULER tasks.
 
     Returns a list of rows: {threshold, keep_frac, acc per kind}, with the
-    dense row first (threshold None)."""
+    dense row first (threshold None). With `ppl_batches` (token arrays),
+    each row also gets long-context ppl/dppl through the sparse prefill —
+    the second gate the calibration needs (an aggressive threshold can keep
+    retrieval intact while corrupting the general token distribution)."""
     from ..serve.engine import Engine
 
     batches = {
@@ -163,6 +199,9 @@ def threshold_curve(
             row[f"acc_{k}"] = acc
             if keep is not None:
                 row["keep_frac"] = keep
+        if ppl_batches is not None:
+            row["ppl"] = engine_prefill_ppl(eng, ppl_batches)
+            row["dppl"] = round(row["ppl"] - rows[0]["ppl"], 4) if rows else 0.0
         rows.append(row)
         import sys
 
@@ -175,22 +214,42 @@ def calibrate_threshold_ruler(
     base_ecfg,
     lang: synthlang.SynthLang,
     max_acc_drop: float = 0.02,
+    min_dense_acc: float = 0.8,
+    max_dppl: float = 0.05,
     **kw,
 ):
-    """Largest threshold whose retrieval accuracy (min over override/
-    multikey) stays within `max_acc_drop` of dense.
+    """Largest threshold that keeps retrieval accuracy (min over override/
+    multikey) within `max_acc_drop` of dense AND long-context ppl within
+    `max_dppl` of dense (when `ppl_batches` is passed through to the curve).
 
-    Returns (threshold or None, curve rows). None = even the smallest
-    ladder threshold failed; serve dense."""
+    The accuracy gate is only meaningful if the DENSE model can do the task
+    at all: with `min_dense_acc` unmet the whole ladder trivially "passes"
+    at chance accuracy and the calibration would bless the most aggressive
+    threshold (exactly the r03 vacuous-artifact failure, VERDICT r3 weak
+    #3: dense acc 0.0 -> threshold 0.3 at +0.45 ppl shipped as the
+    operating point). Reference counterpart gates the same way on task
+    score (`attention_sparsity/calibration/calibrate.py:395`).
+
+    Returns (threshold or None, curve rows). None = serve dense (either the
+    smallest rung failed, or the dense baseline is not competent enough to
+    calibrate against)."""
     rows = threshold_curve(cm, base_ecfg, lang, **kw)
     dense = rows[0]
     ret_kinds = [k for k in ("override", "multikey")
                  if f"acc_{k}" in dense]
-    floor = min(dense[f"acc_{k}"] for k in ret_kinds) - max_acc_drop
+    dense_acc = min(dense[f"acc_{k}"] for k in ret_kinds)
+    if dense_acc < min_dense_acc:
+        dense["calibration_invalid"] = (
+            f"dense retrieval acc {dense_acc:.3f} < required "
+            f"{min_dense_acc}: anchor cannot ground the threshold search")
+        return None, rows
+    floor = dense_acc - max_acc_drop
     best = None
     for row in rows[1:]:  # ladder is ascending; stop at the FIRST failure
         # (a larger threshold passing after a failure is noise, not signal)
         if min(row[f"acc_{k}"] for k in ret_kinds) < floor:
+            break
+        if row.get("dppl") is not None and row["dppl"] > max_dppl:
             break
         best = row["threshold"]
     return best, rows

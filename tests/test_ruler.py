@@ -95,13 +95,42 @@ class TestCurve:
     def test_calibrate_returns_threshold_or_none(self, tiny_cm, lang):
         cfg, cm = tiny_cm
         ecfg = serve_engine.EngineConfig(max_seq_len=160, backend="xla")
+        # min_dense_acc=0 disables the competence gate: this random model
+        # scores chance, and only the ladder mechanics are under test here
         th, rows = ruler.calibrate_threshold_ruler(
-            cm, ecfg, lang, max_acc_drop=1.0,  # everything passes
+            cm, ecfg, lang, max_acc_drop=1.0, min_dense_acc=0.0,
             thresholds=(1e-6, 1e-3), kinds=("override",), n=4,
             ctx_tokens=128, blocks=(16, 16), seed=1)
         assert th == 1e-3  # largest rung passes under a 100% allowed drop
         th2, _ = ruler.calibrate_threshold_ruler(
-            cm, ecfg, lang, max_acc_drop=-1.0,  # nothing can pass
+            cm, ecfg, lang, max_acc_drop=-1.0, min_dense_acc=0.0,
             thresholds=(1e-6,), kinds=("override",), n=4,
             ctx_tokens=128, blocks=(16, 16), seed=1)
         assert th2 is None
+
+    def test_incompetent_dense_baseline_refuses_to_calibrate(self, tiny_cm, lang):
+        """The r03 failure mode (VERDICT r3 weak #3): a dense anchor at
+        chance accuracy must yield NO operating point, not the most
+        aggressive rung."""
+        cfg, cm = tiny_cm  # random weights: dense retrieval acc ~ chance
+        ecfg = serve_engine.EngineConfig(max_seq_len=160, backend="xla")
+        th, rows = ruler.calibrate_threshold_ruler(
+            cm, ecfg, lang, max_acc_drop=1.0, min_dense_acc=0.8,
+            thresholds=(1e-6, 0.3), kinds=("override",), n=4,
+            ctx_tokens=128, blocks=(16, 16), seed=1)
+        assert th is None
+        assert "calibration_invalid" in rows[0]
+
+    def test_dppl_gate_stops_the_ladder(self, tiny_cm, lang):
+        """A rung whose long-context dppl exceeds max_dppl must fail even
+        when retrieval accuracy passes."""
+        cfg, cm = tiny_cm
+        ecfg = serve_engine.EngineConfig(max_seq_len=160, backend="xla")
+        ev = [np.asarray(b) for b in lang.eval_batches(1, 2, 128, seed=5)]
+        th, rows = ruler.calibrate_threshold_ruler(
+            cm, ecfg, lang, max_acc_drop=1.0, min_dense_acc=0.0,
+            max_dppl=-1.0,  # any ppl change fails -> no rung passes
+            thresholds=(1e-6, 1e-3), kinds=("override",), n=4,
+            ctx_tokens=128, blocks=(16, 16), seed=1, ppl_batches=ev)
+        assert th is None
+        assert all("ppl" in r for r in rows[:2])

@@ -34,7 +34,10 @@ if os.environ.get("ACC_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
 ANCHOR = os.environ.get("ANCHOR_OUT", "artifacts/anchor-llama")
-MMLU_N = int(os.environ.get("ACC_MMLU_N", "24"))
+MMLU_N = int(os.environ.get("ACC_MMLU_N", "120"))  # 5 subjects x 120 = 600
+# questions: binomial CI ~ +/-2.9 pts at p=0.85 — the r03 table's 24/subject
+# (120 q, 1 question = 0.83 pts) could not separate noise from signal
+# (VERDICT r3 weak #4).
 QAT = os.environ.get("ACC_QAT", "1") == "1"
 
 
@@ -84,11 +87,16 @@ def evaluate(tag, fwd_fn, eval_batches, data_dir, encode, ans_ids, ref_logits=No
         padded_logits_fn(fwd_fn), encode, ans_ids, data_dir,
         k_shot=3, max_questions_per_subject=MMLU_N,
     )
-    out = {"ppl": ppl, "mmlu": res["accuracy"],
+    import math
+
+    p_acc, n_q = res["accuracy"], res["n"]
+    ci95 = 1.96 * math.sqrt(max(p_acc * (1.0 - p_acc), 1e-9) / max(n_q, 1))
+    out = {"ppl": ppl, "mmlu": p_acc, "mmlu_n": n_q,
+           "mmlu_ci95": round(ci95, 4),
            "mmlu_subjects": res["per_subject"]}
     if kls:
         out["kl"] = float(np.mean(kls))
-    log(f"{tag}: ppl {ppl:.4f} mmlu {res['accuracy']:.3f}"
+    log(f"{tag}: ppl {ppl:.4f} mmlu {p_acc:.3f} +/-{ci95:.3f} (n={n_q})"
         + (f" kl {out['kl']:.5f}" if kls else ""))
     return out
 
@@ -206,18 +214,26 @@ def main():
         "Reference analog: `examples/benchmark.md:37-40` (MMLU loss vs BF16) "
         "and `:58-63` (PTQ->QAT recovery).",
         "",
-        f"| preset | ppl | Δppl | KL | MMLU | MMLU drop (pts; + = worse) |",
+        f"MMLU: {base.get('mmlu_n', '?')} questions; ±95% binomial CI shown. "
+        "A drop is flagged `*` only when it exceeds the sum of the two CIs "
+        "(conservative two-proportion test) — unflagged deltas are noise.",
+        "",
+        f"| preset | ppl | Δppl | KL | MMLU ±CI | MMLU drop (pts; + = worse) |",
         f"|---|---|---|---|---|---|",
-        f"| bf16 | {base['ppl']:.4f} | — | — | {base['mmlu']:.3f} | — |",
+        f"| bf16 | {base['ppl']:.4f} | — | — | "
+        f"{base['mmlu']:.3f} ±{base.get('mmlu_ci95', 0):.3f} | — |",
     ]
     for name, r in sorted(rows.items(), key=lambda kv: kv[1].get("d_ppl", 1e9)):
         if "error" in r:
             lines.append(f"| {name} | FAILED | | | | |")
             continue
+        sig = (abs(r["d_mmlu_pct"]) / 100.0
+               > r.get("mmlu_ci95", 0) + base.get("mmlu_ci95", 0))
         lines.append(
             f"| {name} | {r['ppl']:.4f} | {r['d_ppl']:+.4f} | "
-            f"{r.get('kl', float('nan')):.5f} | {r['mmlu']:.3f} | "
-            f"{r['d_mmlu_pct']:+.2f} |"
+            f"{r.get('kl', float('nan')):.5f} | "
+            f"{r['mmlu']:.3f} ±{r.get('mmlu_ci95', 0):.3f} | "
+            f"{r['d_mmlu_pct']:+.2f}{'*' if sig else ''} |"
         )
     if qat_row:
         lines += [

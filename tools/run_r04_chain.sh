@@ -79,6 +79,21 @@ health_gate
 run_step "probe_int4_native" "$A/probe_native_bs8.json" 1800 \
   python -u tools/probe_int4_native.py 8
 
+# --- step 2.5: anchor retrain (long-range corpus, seq 448) -----------------
+# The shipped anchor (seq=256, trained before the long-range context-doc
+# corpus landed) retrieves needles only within ~60 tokens, which made the
+# r03 RULER dense baseline ~0 and its calibration vacuous (VERDICT r3 weak
+# #3). ~8 min on-chip in r03. RULER curve + accuracy tables re-run on CPU
+# against the new checkpoint afterwards.
+log "train llama anchor (seq448 long-range) start"
+ANCHOR_SEQ=448 ANCHOR_STEPS=20000 timeout 4000 python -u tools/train_anchor.py \
+  > $A/train_llama.log 2>&1
+log "train llama anchor done rc=$?"
+log "train moe anchor start"
+MOE_STEPS=1500 MOE_TPU=1 timeout 2400 python -u tools/train_moe_anchor.py \
+  > $A/train_moe.log 2>&1
+log "train moe anchor done rc=$?"
+
 # --- step 3: the grid ------------------------------------------------------
 health_gate
 GRID_OUT=$A run_step "grid" "$A/grid_run.json" 14400 python -u tools/bench_grid.py
