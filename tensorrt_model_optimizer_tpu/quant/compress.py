@@ -237,6 +237,20 @@ def word_convert_site(kind: str, arr: dict, layout: str = "word") -> tuple[str, 
             "packed": packed, "scales": scales,
             "global_scale": arr["global_scale"],
         }
+    if kind == "int4" and layout == "xla":
+        # XLA-native s4 storage (qmm.qmm_int4_xla): plane nibbles -> a
+        # jnp.int4 [O, K] array + merged [O, G] f32 block scales. Created
+        # on device (s4 host transfers crash on axon); conversion commutes
+        # with TP sharding since every (o, k) element is independent.
+        def to_xla(packed, s_lo, s_hi):
+            lo, hi = plane_unpack_int4(packed)
+            q = jnp.concatenate([lo, hi], axis=-2)
+            return q.astype(jnp.int4), jnp.concatenate(
+                [s_lo, s_hi], axis=-2).astype(jnp.float32)
+
+        q4, scale = _map_leading(
+            to_xla, arr["packed"], arr["scale_lo"], arr["scale_hi"])
+        return "int4x", {"q4": q4, "scale": scale}
     if kind == "int4":
         bsz = arr["packed"].shape[-1] // arr["scale_lo"].shape[-1]
         O = 2 * arr["packed"].shape[-2]
@@ -368,6 +382,12 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
             arrays["scale_hi"], hi.shape, ((-1, bsz),)
         )
         return jnp.concatenate([lo_f, hi_f], axis=-2).astype(out_dtype)
+    if kind == "int4x":
+        q4, sc = arrays["q4"], arrays["scale"]
+        bsz = q4.shape[-1] // sc.shape[-1]
+        w = q4.astype(jnp.float32) * numerics.expand_block_scale(
+            sc.astype(jnp.float32), q4.shape, ((-1, bsz),))
+        return w.astype(out_dtype)
     if kind == "nvfp4":
         p = arrays["packed"]
         lo = numerics.codes_to_fp4(p & 0xF)

@@ -56,7 +56,9 @@ class EngineConfig:
     # scales + side-dot offsets — on-chip 113 vs 136 (word) vs 162 (bf16)
     # us/gate-proj BS8 (2026-08-19 probe); falls back to word2 on shapes
     # bd2 can't tile (O not a multiple of 128, blocks narrower than 128)
-    int4_layout: str = "word"  # "word" | "word2" | "bd2" | "blockdot"
+    # "xla" = XLA-native s4 array + grouped convert-dot (qmm.qmm_int4_xla):
+    # no hand decode at all; candidate escalation route for >=1.7x bf16
+    int4_layout: str = "word"  # "word" | "word2" | "bd2" | "blockdot" | "xla"
     # Tensor parallelism: a jax.sharding.Mesh with a `tp_axis` axis shards
     # the packed weights megatron-style (serve/tp.py) and runs every step
     # under shard_map (Pallas kernels see local shards; two psums/layer).
@@ -178,9 +180,10 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
         return y
     if icfg.enable or (ist is not None and ist.pre_quant_scale is not None):
         x = Q.quantize(x, icfg, ist, amax_reduce=reduce_amax)
-    if backend == "pallas" and kind in (
+    if kind == "int4x" or (backend == "pallas" and kind in (
             "int8", "int4", "int4w", "int4w2", "int4b2", "nvfp4", "nvfp4p",
-            "nvfp4w", "nvfp4w2", "mxfp4w", "mxfp4w2", "fp8"):
+            "nvfp4w", "nvfp4w2", "mxfp4w", "mxfp4w2", "fp8")):
+        # int4x (XLA-native s4 grouped dot) is backend-independent
         # NOTE "nvfp4p" was missing from this set until round 2's end: the
         # engine's default perm conversion silently routed every projection
         # through the XLA decompress path instead of the Pallas kernel.

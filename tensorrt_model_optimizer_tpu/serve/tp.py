@@ -132,6 +132,30 @@ def _relayout_site(kind: str, arrays: dict, col: bool, d: int, axis: str):
                 )
         if kind == "nvfp4":
             specs["global_scale"] = P()  # [L]
+    elif kind == "int4x":
+        # XLA-native s4 [L, O, K] + merged [L, O, G] scales: every element
+        # is independent, so sharding is a plain slice (no TP-major pack)
+        specs["q4"] = shard_O if col else shard_K
+        if col:
+            specs["scale"] = P(None, axis, None)
+        else:
+            nblk = arrays["scale"].shape[-1]
+            K = arrays["q4"].shape[-1]
+            bsz = K // nblk
+            k_local = K // d
+            if k_local % bsz != 0:
+                # shard narrower than a scale block: re-block scales to the
+                # shard width (repeat columns) so each chunk is self-
+                # contained — the int4x analog of _word_pack_sharded's
+                # local re-blocking. Real models (G=32/112 at 8B) shard
+                # without this; it only triggers on tiny test shapes.
+                if bsz % k_local != 0:
+                    raise ValueError(
+                        f"K block size {bsz} incompatible with tp={d} "
+                        f"(local K {k_local})")
+                arrays["scale"] = jnp.repeat(
+                    arrays["scale"], bsz // k_local, axis=-1)
+            specs["scale"] = shard_K
     elif kind == "mxfp4":
         # same plane machinery as int4/nvfp4; E8M0 exponents are the
         # per-plane "scales" (int8 round-trips the f32 cast losslessly)
@@ -342,7 +366,7 @@ def shard_compressed(
 
     def _site_layout(kind: str):
         """The fused serving layout for this kind, or None for plane."""
-        if kind == "int4" and int4_layout in ("word", "word2", "bd2"):
+        if kind == "int4" and int4_layout in ("word", "word2", "bd2", "xla"):
             return int4_layout
         if kind == "nvfp4" and nvfp4_layout in ("word", "word2"):
             return nvfp4_layout
@@ -371,8 +395,16 @@ def shard_compressed(
             new_layers[name] = arrays
             continue
         col = name in COL_SITES
-        arrays, specs = _relayout_site(kind, new_layers[name], col, d, axis)
         lay = _site_layout(kind)
+        if lay == "xla":
+            from ..quant.compress import word_convert_site
+
+            kind, arrays0 = word_convert_site(kind, dict(new_layers[name]), "xla")
+            kinds[name] = kind
+            arrays, specs = _relayout_site(kind, arrays0, col, d, axis)
+            lay = None
+        else:
+            arrays, specs = _relayout_site(kind, new_layers[name], col, d, axis)
         if lay is not None:
             kinds[name], arrays, specs = _word_pack_sharded(
                 kind, lay, arrays, col, d, axis)

@@ -425,6 +425,36 @@ class TestMoreFormats:
         corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref[:, -1]).ravel())[0, 1]
         assert corr > 0.99, corr
 
+    def test_int4x_xla_native_roundtrip_and_engine(self, tiny_ptq):
+        """int4 "xla" layout: jnp.int4 (s4) array + merged f32 block scales,
+        served by qmm.qmm_int4_xla's grouped convert-dot (no Pallas decode).
+        Dequant is bit-exact vs the plane layout (scales stay f32)."""
+        from tensorrt_model_optimizer_tpu.quant.compress import word_convert_site
+
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT4_AWQ_CFG", batches)
+        cm = compress.compress(model)
+        name = "mlp.down_proj"
+        kind2, arr2 = word_convert_site("int4", cm.params["layers"][name], "xla")
+        assert kind2 == "int4x" and arr2["q4"].dtype == jnp.int4
+        d0 = compress.decompress_weight(
+            "int4", {k: v[0] for k, v in cm.params["layers"][name].items()},
+            out_dtype=jnp.float32)
+        d1 = compress.decompress_weight(
+            "int4x", {k: v[0] for k, v in arr2.items()}, out_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+        # engine end to end on both backends (dispatch is backend-independent)
+        for backend in ("pallas", "xla"):
+            eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+                max_seq_len=32, backend=backend, int4_layout="xla"))
+            assert eng.cm.kinds[name] == "int4x"
+            prompt = batches[0][:, :8]
+            logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+            ref, _, _ = model.forward(prompt)
+            corr = np.corrcoef(np.asarray(logits).ravel(),
+                               np.asarray(ref[:, -1]).ravel())[0, 1]
+            assert corr > 0.99, (backend, corr)
+
     def test_engine_pallas_backend_uses_fused_kernels(self, tiny_ptq, monkeypatch):
         """The pallas backend must route converted layouts (nvfp4p/nvfp4w/
         int4w) through qmm.quantized_matmul — the perm-default engine

@@ -171,7 +171,7 @@ class TestLayoutMeshBackendMatrix:
 
     @pytest.mark.parametrize("preset,key,layouts", [
         ("INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "int4_layout",
-         ("blockdot", "word", "word2", "bd2")),
+         ("blockdot", "word", "word2", "bd2", "xla")),
         ("NVFP4_DEFAULT_CFG", "nvfp4_layout",
          ("blockdot", "perm", "word", "word2")),
     ])
