@@ -1,16 +1,40 @@
 #!/usr/bin/env python
-"""Kernel microbenchmarks: fused dequant-matmul GB/s at llama-8B shapes.
+"""Kernel microbenchmarks: fused dequant-matmul at llama-8B gate-proj shape.
 
-Timing methodology for the remote-relay TPU: N iterations chained inside ONE
-jit via lax.fori_loop with a data dependency (output perturbs input), so
-neither dispatch overhead nor any relay-side caching pollutes the number.
+THE canonical methodology (VERDICT r3 weak #7 asked for exactly one):
+SLOPE timing over STREAMED weights — a jit'd lax.scan chains the matmul
+over N distinct stacked weights (accumulating into the carry), timed at two
+N values; slope = (T(N2) - T(N1)) / (N2 - N1) is the marginal cost of one
+weight-streaming matmul, free of dispatch overhead and of the
+single-cached-weight artifact the old fori-chain had (one weight re-used 16
+times can sit in CMEM/VMEM — decode streams every layer's weights from HBM
+exactly once per step, which is what the slope measures). The engine A/B
+(bench.py) remains the arbiter; this ranks kernels under the same regime.
+
+Value readbacks (np.asarray of a small bf16 slice) are the only honest
+barrier on the relay. Weights are synthesized ON DEVICE inside jit (a host
+upload of [N, O, K] through the relay stalls for minutes in slow windows).
+
+Usage: python bench_kernels.py [BS] > kernels.json
+Env: KB_N1/KB_N2 (default 4/12), KB_REPEATS (5), KB_VARIANTS=csv filter.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+N1 = int(os.environ.get("KB_N1", "4"))
+N2 = int(os.environ.get("KB_N2", "12"))
+REPEATS = int(os.environ.get("KB_REPEATS", "5"))
+O = int(os.environ.get("KB_O", "14336"))  # overridable for CPU smoke tests
+K = int(os.environ.get("KB_K", "4096"))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
 
 
 def main():
@@ -19,98 +43,142 @@ def main():
 
     from tensorrt_model_optimizer_tpu.ops.pallas import qmm
 
-    O, K = 14336, 4096
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    ITERS = 16
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(size=(B, K)), jnp.bfloat16)
+    key = jax.random.PRNGKey(7)
 
-    def chain(fn_one):
-        """Run fn_one ITERS times with a forced dependency chain, in one jit.
+    # --- on-device stacked-weight builders --------------------------------
+    def u8(n, shape):
+        return jax.jit(lambda k: jax.random.randint(
+            k, (n, *shape), 0, 256, jnp.int32).astype(jnp.uint8))(key)
 
-        Weights are explicit jit ARGUMENTS — captured constants get embedded
-        in the program and are not guaranteed device-resident on this
-        backend (observed 60 GB/s vs 3 TB/s for the same matmul).
-        """
+    def bf16w(n):
+        return jax.jit(lambda k: (jax.random.normal(
+            k, (n, O, K), jnp.float32) * 0.02).astype(jnp.bfloat16))(key)
 
-        def run(x, *ws):
-            def body(i, x):
-                y = fn_one(x, *ws)  # [B, O]
-                # fold output back into x (tiny VPU work, forces ordering)
-                delta = (y[:, :1] * 1e-6).astype(x.dtype)
-                return x + delta
-            return jax.lax.fori_loop(0, ITERS, body, x)
+    def i8w(n):
+        return jax.jit(lambda k: jax.random.randint(
+            k, (n, O, K), -127, 127, jnp.int32).astype(jnp.int8))(key)
 
-        return jax.jit(run)
+    def f8w(n):
+        return jax.jit(lambda k: jax.lax.bitcast_convert_type(
+            jax.random.randint(k, (n, O, K), 0, 127, jnp.int32)
+            .astype(jnp.uint8), jnp.float8_e4m3fn))(key)
 
-    results = {}
+    def i4xw(n):  # int4x storage: uint8 [O, K/2], s4 view made inside jit
+        return u8(n, (O, K // 2))
 
-    def measure(name, fn_one, weight_bytes, *ws):
-        try:
-            f = chain(fn_one)
-            r = f(x0, *ws)
-            _ = np.asarray(r)  # VALUE readback: compile + first (the relay's
-            # block_until_ready can return at dispatch time — memory notes)
-            t0 = time.time()
-            r = f(x0, *ws)
-            _ = np.asarray(r)
-            dt = (time.time() - t0) / ITERS
-            gbs = weight_bytes / dt / 1e9
-            results[name] = {"us": round(dt * 1e6, 1), "GBps": round(gbs, 1)}
-            print(f"{name:16s} {dt*1e6:9.1f} us  {gbs:8.1f} GB/s", file=sys.stderr, flush=True)
-        except Exception as e:
-            results[name] = {"error": str(e)[:160]}
-            print(f"{name:16s} FAIL {str(e)[:160]}", file=sys.stderr, flush=True)
-
-    Wb = jnp.asarray(rng.normal(size=(O, K)) * 0.02, jnp.bfloat16)
-    measure("bf16_xla", lambda x, w: x @ w.T, O * K * 2, Wb)
-
-    W8 = jnp.asarray(rng.integers(-127, 127, size=(O, K), dtype=np.int8))
     s8 = jnp.full((O, 1), 1e-3, jnp.float32)
-    measure("int8_pallas", lambda x, w, s: qmm.qmm_int8(x, w, s), O * K, W8, s8)
-    measure(
-        "int8_xla",
-        lambda x, w, s: x @ (w.astype(jnp.bfloat16) * s.astype(jnp.bfloat16)).T,
-        O * K, W8, s8,
-    )
-
-    Wp = jnp.asarray(rng.integers(0, 256, size=(O // 2, K), dtype=np.uint8))
     sl = jnp.full((O // 2, K // 128), 1e-3, jnp.float32)
-    measure("int4_pallas", lambda x, w, a, b: qmm.qmm_int4(x, w, a, b), O * K // 2, Wp, sl, sl)
-
     slf4 = jnp.full((O // 2, K // 16), 1.0, jnp.float32)
     gs = jnp.asarray(1e-3, jnp.float32)
-    measure("nvfp4_pallas", lambda x, w, a, b, g: qmm.qmm_nvfp4(x, w, a, b, g), O * K // 2, Wp, slf4, slf4, gs)
+    s_xla = jnp.full((O, K // 128), 1e-3, jnp.float32)
 
-    slb = slf4.astype(jnp.bfloat16)
-    measure("nvfp4_perm", lambda x, w, a, b, g: qmm.qmm_nvfp4_perm(x, w, a, b, g),
-            O * K // 2, Wp, slb, slb, gs)
+    def packed_planes(n):
+        return u8(n, (O // 2, K))
 
-    # word-domain SWAR decode (row-pair bytes); random bytes are valid codes
-    Ww, sw = qmm.nvfp4_word_pack(Wp, slf4, slf4)
-    measure("nvfp4_word", lambda x, w, s, g: qmm.qmm_nvfp4_word(x, w, s, g),
-            O * K // 2, Ww, sw, gs)
+    def vpack(pack, *scales):
+        def build(n):
+            qmm._bitcast_order()  # probe reads concrete values — run (and
+            # cache) eagerly before the pack fns are traced (see
+            # compress._map_leading)
+            planes = packed_planes(n)
+            return jax.jit(jax.vmap(lambda p: pack(p, *scales)))(planes)
+        return build
 
-    Wi, si = qmm.int4_word_pack(Wp, sl, sl)
-    measure("int4_word", lambda x, w, s: qmm.qmm_int4_word(x, w, s),
-            O * K // 2, Wi, si)
+    # (name, builder -> weight pytree [N, ...], step(x, w)->[B,O], packed bytes)
+    variants = [
+        ("bf16_xla", bf16w, lambda x, w: (x @ w.T).astype(jnp.float32),
+         O * K * 2),
+        ("int8_xla", i8w,
+         lambda x, w: jax.lax.dot_general(
+             x, w.astype(x.dtype), (((1,), (1,)), ((), ())),
+             preferred_element_type=jnp.float32) * s8.reshape(1, -1),
+         O * K),
+        ("int8_pallas", i8w,
+         lambda x, w: qmm.qmm_int8(x, w, s8).astype(jnp.float32), O * K),
+        ("fp8_xla", f8w,
+         lambda x, w: jax.lax.dot_general(
+             x, w.astype(x.dtype), (((1,), (1,)), ((), ())),
+             preferred_element_type=jnp.float32) * s8.reshape(1, -1),
+         O * K),
+        ("int4_blockdot", packed_planes,
+         lambda x, w: qmm.qmm_int4(x, w, sl, sl).astype(jnp.float32),
+         O * K // 2),
+        ("int4_word", vpack(lambda p: qmm.int4_word_pack(p, sl, sl)),
+         lambda x, w: qmm.qmm_int4_word(x, *w).astype(jnp.float32),
+         O * K // 2),
+        ("int4_word2", vpack(lambda p: qmm.int4_word2_pack(p, sl, sl)),
+         lambda x, w: qmm.qmm_int4_word2(x, *w).astype(jnp.float32),
+         O * K // 2),
+        ("int4_bd2", vpack(lambda p: qmm.int4_bd2_pack(p, sl, sl)),
+         lambda x, w: qmm.qmm_int4_bd2(x, *w).astype(jnp.float32),
+         O * K // 2),
+        ("int4_xla", i4xw,
+         lambda x, w: qmm.qmm_int4_xla(
+             x, {"qpacked": w, "scale": s_xla}).astype(jnp.float32),
+         O * K // 2),
+        ("nvfp4_word", vpack(lambda p: qmm.nvfp4_word_pack(p, slf4, slf4)),
+         lambda x, w: qmm.qmm_nvfp4_word(x, *w, gs).astype(jnp.float32),
+         O * K // 2),
+        ("nvfp4_word2", vpack(lambda p: qmm.nvfp4_word2_pack(p, slf4, slf4)),
+         lambda x, w: qmm.qmm_nvfp4_word2(x, *w, gs).astype(jnp.float32),
+         O * K // 2),
+    ]
+    if os.environ.get("KB_VARIANTS"):
+        keep = set(os.environ["KB_VARIANTS"].split(","))
+        variants = [v for v in variants if v[0] in keep]
 
-    # round-3 layouts (serving options): 4-bytes-per-lane word2 decode and
-    # the block-major batched-dot bd2 with post-dot scales
-    Wi2, si2 = qmm.int4_word2_pack(Wp, sl, sl)
-    measure("int4_word2", lambda x, w, s: qmm.qmm_int4_word2(x, w, s),
-            O * K // 2, Wi2, si2)
-    Wb2, sb2 = qmm.int4_bd2_pack(Wp, sl, sl)
-    measure("int4_bd2", lambda x, w, s: qmm.qmm_int4_bd2(x, w, s),
-            O * K // 2, Wb2, sb2)
-    W42, s42 = qmm.nvfp4_word2_pack(Wp, slf4, slf4)
-    measure("nvfp4_word2", lambda x, w, s, g: qmm.qmm_nvfp4_word2(x, w, s, g),
-            O * K // 2, W42, s42, gs)
+    def scan_time(step, ws):
+        @jax.jit
+        def run(x, ws):
+            def body(acc, w):
+                return acc + step(x, w), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((B, O), jnp.float32), ws)
+            return acc[0, :8].astype(jnp.bfloat16)
 
-    Wf8 = jnp.asarray((rng.normal(size=(O, K)) * 0.1).astype(np.float32)).astype(jnp.float8_e4m3fn)
-    measure("fp8_pallas", lambda x, w, s: qmm.qmm_fp8(x, w, s), O * K, Wf8, s8)
+        np.asarray(run(x0, ws))  # compile + first exec drained
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            np.asarray(run(x0, ws))
+            ts.append(time.time() - t0)
+        return sorted(ts)[len(ts) // 2]
 
-    print(json.dumps({"bs": B, "shapes": [O, K], **results}))
+    results = {"bs": B, "shape": [O, K], "n1": N1, "n2": N2,
+               "methodology": "slope over streamed weights (lax.scan)"}
+    slopes = {}
+    for name, build, step, wbytes in variants:
+        try:
+            pair = []
+            for n in (N1, N2):
+                ws = build(n)
+                pair.append(scan_time(step, ws))
+                del ws
+            slope = (pair[1] - pair[0]) / (N2 - N1)
+            slopes[name] = slope
+            results[name] = {
+                "us": round(slope * 1e6, 1),
+                "GBps": round(wbytes / slope / 1e9, 1),
+            }
+            log(f"{name:14s} {slope*1e6:9.1f} us  "
+                f"{wbytes/slope/1e9:8.1f} GB/s")
+        except Exception as e:
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
+            log(f"{name:14s} FAIL {type(e).__name__}: {str(e)[:160]}")
+    if "bf16_xla" in slopes:
+        for n in slopes:
+            if n != "bf16_xla":
+                results[n]["speedup_vs_bf16"] = round(
+                    slopes["bf16_xla"] / slopes[n], 3)
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -1175,17 +1175,50 @@ def qmm_int4_bd2(
 # --------------------------------------------------------------------------
 
 
+@functools.cache
+def _s4_nibble_order() -> str:
+    """Which nibble `lax.bitcast_convert_type(uint8 -> int4)` emits first.
+
+    Returns "low_first" (element 0 = bits 0-3) or "high_first". Probed once
+    on the live backend: the HLO bitcast-convert's sub-byte element order
+    is a backend layout detail. The s4 values are converted to int8 INSIDE
+    the probe jit — s4 host transfers crash on axon."""
+    probe = jax.jit(lambda: jax.lax.bitcast_convert_type(
+        jnp.full((8, 128), 0x21, jnp.uint8), jnp.int4).astype(jnp.int8))()
+    a, b = int(probe[0, 0, 0]), int(probe[0, 0, 1])
+    if (a, b) == (1, 2):
+        return "low_first"
+    if (a, b) == (2, 1):
+        return "high_first"
+    raise RuntimeError(f"unrecognized u8->s4 bitcast order: {a}, {b}")
+
+
+def int4_xla_pack(q: jax.Array) -> jax.Array:
+    """[..., O, K] signed int4 codes (any int dtype) -> uint8 [..., O, K/2]
+    packed so `bitcast_convert_type(-, int4).reshape(..., O, K)` restores
+    element order (k-adjacent pairs per byte, nibble order per backend
+    probe). Calls `_s4_nibble_order()` — run it eagerly before tracing."""
+    n = (q.astype(jnp.int32) & 0xF).astype(jnp.uint8)
+    a, b = n[..., 0::2], n[..., 1::2]
+    lo, hi = (a, b) if _s4_nibble_order() == "low_first" else (b, a)
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
 def qmm_int4_xla(x: jax.Array, arrays: dict) -> jax.Array:
-    """XLA-native int4 GEMM: weights live as a jnp.int4 (HLO s4) array.
+    """XLA-native int4 GEMM: packed bytes bitcast to jnp.int4 (HLO s4) at
+    the top of the jit, then a grouped convert-dot.
 
     The escalation route VERDICT r3 weak #1 asked for: instead of hand
     nibble-decode in Pallas (VPU-bound at ~15 GB/s packed), let XLA:TPU own
-    the sub-byte storage — s4 arrays tile packed in HBM (layout
-    T(8,128)(8,1)) and the s4->bf16 convert fuses into the dot operand
+    the sub-byte decode — the s4->bf16 convert fuses into the dot operand
     read, the exact route that made int8/fp8 fast (`quantized_matmul`
-    docstring). NOTE this is distinct from the earlier "s4-via-bitcast"
-    attempt (829 us): that fed uint8 planes and bitcast inside the kernel;
-    here the array itself is s4-typed end to end.
+    docstring). Storage is uint8 [O, K/2] in `_s4_nibble_order()` layout
+    (NOT plane layout): s4 arrays crash both host transfers AND jit
+    argument passing on axon (device_put recursion, observed 2026-08-20),
+    so the s4 view exists only inside the jit — one free bitcast from the
+    streamed bytes. NOTE distinct from the earlier "s4-via-bitcast-in-
+    Pallas" attempt (829 us): that decoded nibbles on the VPU; here XLA
+    owns the convert.
 
     Per-K-block scales [O, G] can't fold into a flat dot, so decode:
       t[g, b, o] = x[b, g*bsz:(g+1)*bsz] . w[o, g*bsz:(g+1)*bsz]
@@ -1193,12 +1226,10 @@ def qmm_int4_xla(x: jax.Array, arrays: dict) -> jax.Array:
     a G-batched MXU matmul plus a small weighted reduce; t is [G, B, O]
     fp32 (tiny at decode batch sizes). Prefill (B > 64) dequantizes once
     and runs a single dot — t would be B-proportional there.
-
-    Axon caveat: s4 arrays crash HOST transfers — they are created inside
-    jit (compress.word_convert_site layout="xla") and stay device-resident.
     """
-    q4, sc = arrays["q4"], arrays["scale"]
-    O, K = q4.shape
+    qp, sc = arrays["qpacked"], arrays["scale"]
+    O, K = qp.shape[-2], qp.shape[-1] * 2
+    q4 = jax.lax.bitcast_convert_type(qp, jnp.int4).reshape(O, K)
     G = sc.shape[-1]
     bsz = K // G
     B = x.shape[0]

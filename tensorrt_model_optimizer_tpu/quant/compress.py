@@ -238,19 +238,24 @@ def word_convert_site(kind: str, arr: dict, layout: str = "word") -> tuple[str, 
             "global_scale": arr["global_scale"],
         }
     if kind == "int4" and layout == "xla":
-        # XLA-native s4 storage (qmm.qmm_int4_xla): plane nibbles -> a
-        # jnp.int4 [O, K] array + merged [O, G] f32 block scales. Created
-        # on device (s4 host transfers crash on axon); conversion commutes
-        # with TP sharding since every (o, k) element is independent.
+        # XLA-native s4 serving (qmm.qmm_int4_xla): plane nibbles -> uint8
+        # [O, K/2] bytes in the backend's bitcast-convert element order +
+        # merged [O, G] f32 block scales. Storage stays uint8 (s4 arrays
+        # crash axon host transfers AND jit-arg device_put); the s4 view is
+        # created by one bitcast inside the serving jit. Conversion
+        # commutes with TP sharding since bytes pack k-adjacent pairs.
+        qmm_mod._s4_nibble_order()  # probe reads concrete values — cache
+        # eagerly before tracing under lax.map
+
         def to_xla(packed, s_lo, s_hi):
             lo, hi = plane_unpack_int4(packed)
             q = jnp.concatenate([lo, hi], axis=-2)
-            return q.astype(jnp.int4), jnp.concatenate(
+            return qmm_mod.int4_xla_pack(q), jnp.concatenate(
                 [s_lo, s_hi], axis=-2).astype(jnp.float32)
 
-        q4, scale = _map_leading(
+        qpacked, scale = _map_leading(
             to_xla, arr["packed"], arr["scale_lo"], arr["scale_hi"])
-        return "int4x", {"q4": q4, "scale": scale}
+        return "int4x", {"qpacked": qpacked, "scale": scale}
     if kind == "int4":
         bsz = arr["packed"].shape[-1] // arr["scale_lo"].shape[-1]
         O = 2 * arr["packed"].shape[-2]
@@ -383,10 +388,20 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
         )
         return jnp.concatenate([lo_f, hi_f], axis=-2).astype(out_dtype)
     if kind == "int4x":
-        q4, sc = arrays["q4"], arrays["scale"]
-        bsz = q4.shape[-1] // sc.shape[-1]
-        w = q4.astype(jnp.float32) * numerics.expand_block_scale(
-            sc.astype(jnp.float32), q4.shape, ((-1, bsz),))
+        # Unpack with u8 arithmetic (no s4 dtype — safe outside jit on axon).
+        from ..ops.pallas import qmm as qmm_mod
+
+        p = arrays["qpacked"].astype(jnp.int32)
+        e0 = ((p & 0xF) ^ 8) - 8
+        e1 = (((p >> 4) & 0xF) ^ 8) - 8
+        if qmm_mod._s4_nibble_order() == "high_first":
+            e0, e1 = e1, e0
+        q = jnp.stack([e0, e1], axis=-1).reshape(
+            *p.shape[:-1], p.shape[-1] * 2).astype(jnp.float32)
+        sc = arrays["scale"]
+        bsz = q.shape[-1] // sc.shape[-1]
+        w = q * numerics.expand_block_scale(
+            sc.astype(jnp.float32), q.shape, ((-1, bsz),))
         return w.astype(out_dtype)
     if kind == "nvfp4":
         p = arrays["packed"]

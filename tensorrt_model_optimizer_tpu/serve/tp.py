@@ -133,14 +133,16 @@ def _relayout_site(kind: str, arrays: dict, col: bool, d: int, axis: str):
         if kind == "nvfp4":
             specs["global_scale"] = P()  # [L]
     elif kind == "int4x":
-        # XLA-native s4 [L, O, K] + merged [L, O, G] scales: every element
-        # is independent, so sharding is a plain slice (no TP-major pack)
-        specs["q4"] = shard_O if col else shard_K
+        # XLA-native s4 bytes [L, O, K/2] + merged [L, O, G] scales: bytes
+        # pack k-adjacent pairs, so a plain slice along either axis is
+        # self-contained (no TP-major pack). K-sharding slices the byte
+        # axis — shard boundaries land on bytes since block sizes are even.
+        specs["qpacked"] = shard_O if col else shard_K
         if col:
             specs["scale"] = P(None, axis, None)
         else:
             nblk = arrays["scale"].shape[-1]
-            K = arrays["q4"].shape[-1]
+            K = arrays["qpacked"].shape[-1] * 2
             bsz = K // nblk
             k_local = K // d
             if k_local % bsz != 0:

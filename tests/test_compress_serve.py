@@ -426,9 +426,11 @@ class TestMoreFormats:
         assert corr > 0.99, corr
 
     def test_int4x_xla_native_roundtrip_and_engine(self, tiny_ptq):
-        """int4 "xla" layout: jnp.int4 (s4) array + merged f32 block scales,
-        served by qmm.qmm_int4_xla's grouped convert-dot (no Pallas decode).
-        Dequant is bit-exact vs the plane layout (scales stay f32)."""
+        """int4 "xla" layout: uint8 bytes in bitcast-convert element order
+        (the s4 view exists only inside the serving jit — s4 jit args crash
+        axon) + merged f32 block scales, served by qmm.qmm_int4_xla's
+        grouped convert-dot (no Pallas decode). Dequant is bit-exact vs the
+        plane layout (scales stay f32)."""
         from tensorrt_model_optimizer_tpu.quant.compress import word_convert_site
 
         cfg, params, batches = tiny_ptq
@@ -436,7 +438,14 @@ class TestMoreFormats:
         cm = compress.compress(model)
         name = "mlp.down_proj"
         kind2, arr2 = word_convert_site("int4", cm.params["layers"][name], "xla")
-        assert kind2 == "int4x" and arr2["q4"].dtype == jnp.int4
+        assert kind2 == "int4x" and arr2["qpacked"].dtype == jnp.uint8
+        # the in-jit s4 view must reproduce the packed codes element-for-element
+        qp0 = arr2["qpacked"][0]
+        view = jax.jit(lambda p: jax.lax.bitcast_convert_type(
+            p, jnp.int4).reshape(qp0.shape[-2], -1).astype(jnp.int8))(qp0)
+        lo, hi = compress.plane_unpack_int4(cm.params["layers"][name]["packed"][0])
+        np.testing.assert_array_equal(
+            np.asarray(view), np.asarray(jnp.concatenate([lo, hi], axis=-2)))
         d0 = compress.decompress_weight(
             "int4", {k: v[0] for k, v in cm.params["layers"][name].items()},
             out_dtype=jnp.float32)

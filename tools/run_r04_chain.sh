@@ -69,6 +69,7 @@ ab_cell() {  # fmt layout
   run_step "engineAB $1/$2" "$A/engine_$1_$2.json" 1800 python -u bench.py
 }
 ab_cell int4 bd2
+ab_cell int4 xla
 ab_cell nvfp4 word2
 ab_cell int4 word
 ab_cell nvfp4 word
