@@ -33,7 +33,9 @@ def main():
     ap.add_argument("--tokenizer", default=None, help="tokenizer dir for text data")
     ap.add_argument("--calib_batches", type=int, default=8)
     ap.add_argument("--calib_seq_len", type=int, default=512)
-    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--batch_size", default="2",
+                    help="calibration batch size, or 'auto' to OOM-probe the "
+                         "largest that fits (reference dataset_utils.py:996)")
     ap.add_argument("--export_path", default=None)
     ap.add_argument("--save_state", default=None, help="dir for mto-style save")
     ap.add_argument("--eval_ppl", action="store_true", default=True)
@@ -82,6 +84,30 @@ def main():
     print(f"[hf_ptq] model loaded in {time.time()-t0:.1f}s: "
           f"{cfg.num_hidden_layers}L x {cfg.hidden_size}h"
           + (f" ({family.name})" if family else ""), flush=True)
+
+    if str(args.batch_size) == "auto":
+        # OOM-probe the largest calibration batch that fits on the device
+        # (reference get_max_batch_size, dataset_utils.py:996): execute the
+        # real forward at doubling batch sizes — the axon relay reports
+        # all-zero memory_stats, so probing by execution is the only
+        # reliable signal.
+        import numpy as _np
+
+        from tensorrt_model_optimizer_tpu.utils import memory
+
+        seq = min(args.calib_seq_len, cfg.max_position_embeddings)
+        fwd_fn = family.forward if family else llama.forward
+
+        def _try(b):
+            toks = jnp.ones((b, seq), jnp.int32)
+            out = jax.jit(lambda p, t: fwd_fn(cfg, p, t)[0])(params, toks)
+            _np.asarray(out[0, -1, :8])  # value readback = real execution
+
+        args.batch_size = memory.find_max_batch_size(_try, start=2, ceiling=64)
+        print(f"[hf_ptq] auto batch_size -> {args.batch_size} "
+              f"(OOM-probed at seq {seq})", flush=True)
+    else:
+        args.batch_size = int(args.batch_size)
 
     batches = [
         jnp.asarray(b)

@@ -39,6 +39,66 @@ def memory_summary() -> str:
     return "\n".join(lines)
 
 
+def _is_oom(e: Exception) -> bool:
+    msg = f"{type(e).__name__}: {e}"
+    return any(s in msg for s in (
+        "RESOURCE_EXHAUSTED", "Resource exhausted", "out of memory",
+        "OutOfMemory", "failed to allocate", "Allocation failure"))
+
+
+def find_max_batch_size(try_fn, start: int = 1, ceiling: int = 1024) -> int:
+    """Largest batch size in [1, ceiling] at which `try_fn(b)` runs without
+    exhausting device memory (reference `dataset_utils.py:996`
+    get_max_batch_size).
+
+    `try_fn(b)` must BUILD AND EXECUTE the real workload at batch b (jit a
+    forward on dummy tokens and block on the value) — compile-only probing
+    underestimates activation/workspace memory. Doubles from `start` until
+    the first failure, then binary-searches the boundary. OOM is detected
+    by exception, not memory_stats: the axon relay reports all-zero stats
+    (observed r03/r04 bench logs), so probing by execution is the only
+    reliable signal on TPU relays. Non-OOM exceptions propagate.
+
+    Probes at the largest batch run first in doubling order, so transient
+    fragmentation from a failed probe can only make the answer
+    conservative, never too large.
+    """
+    start = max(1, start)
+
+    def ok(b: int) -> bool:
+        try:
+            try_fn(b)
+            return True
+        except Exception as e:  # noqa: BLE001 — filtered by _is_oom
+            if _is_oom(e):
+                return False
+            raise
+
+    if not ok(start):
+        if start == 1 or not ok(1):
+            raise MemoryError("workload does not fit at batch size 1")
+        lo, hi = 1, start  # caller's start was too optimistic
+    else:
+        b = start
+        while b < ceiling:
+            nb = min(2 * b, ceiling)
+            if ok(nb):
+                b = nb
+            else:
+                break
+        if b == ceiling:
+            return ceiling
+        lo, hi = b, 2 * b
+    # invariant: ok(lo), not ok(hi)
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if ok(mid):
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
 class MemoryMonitor:
     """Peak-memory tracker over a code region (the reference's monitor,
     minus the polling thread — TPU allocations are runtime-tracked)."""

@@ -90,3 +90,52 @@ def test_run_logger_failure_status(tmp_path):
         pass
     import json as _json
     assert _json.loads(open(rdir + "/meta.json").read())["status"] == "failed"
+
+
+class TestFindMaxBatchSize:
+    """OOM batch-size probe (reference dataset_utils.py:996 get_max_batch_size)
+    against a fake workload with a known capacity — the probe must find the
+    exact boundary by execution, never by memory_stats (zero on relays)."""
+
+    @staticmethod
+    def _probe(capacity, calls):
+        def try_fn(b):
+            calls.append(b)
+            if b > capacity:
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of memory probing")
+        return try_fn
+
+    def test_finds_exact_boundary(self):
+        from tensorrt_model_optimizer_tpu.utils import memory
+
+        for cap in (1, 2, 3, 5, 8, 13, 64, 100):
+            calls = []
+            assert memory.find_max_batch_size(
+                self._probe(cap, calls), start=1, ceiling=128) == cap
+
+    def test_ceiling_respected(self):
+        from tensorrt_model_optimizer_tpu.utils import memory
+
+        assert memory.find_max_batch_size(
+            self._probe(10**9, []), start=2, ceiling=16) == 16
+
+    def test_optimistic_start_backs_off(self):
+        from tensorrt_model_optimizer_tpu.utils import memory
+
+        assert memory.find_max_batch_size(
+            self._probe(3, []), start=32, ceiling=64) == 3
+
+    def test_nothing_fits_raises(self):
+        from tensorrt_model_optimizer_tpu.utils import memory
+
+        with pytest.raises(MemoryError):
+            memory.find_max_batch_size(self._probe(0, []), start=4)
+
+    def test_non_oom_errors_propagate(self):
+        from tensorrt_model_optimizer_tpu.utils import memory
+
+        def bad(b):
+            raise ValueError("shape mismatch")
+
+        with pytest.raises(ValueError):
+            memory.find_max_batch_size(bad)
