@@ -121,6 +121,10 @@ def main():
         ("int4_bd2", vpack(lambda p: qmm.int4_bd2_pack(p, sl, sl)),
          lambda x, w: qmm.qmm_int4_bd2(x, *w).astype(jnp.float32),
          O * K // 2),
+        ("int4_bd3", vpack(lambda p: qmm.int4_bd2_pack(p, sl, sl)),
+         lambda x, w: qmm.qmm_int4_bd2(
+             x, *w, fuse_groups=True).astype(jnp.float32),
+         O * K // 2),
         ("int4_xla", i4xw,
          lambda x, w: qmm.qmm_int4_xla(
              x, {"qpacked": w, "scale": s_xla}).astype(jnp.float32),

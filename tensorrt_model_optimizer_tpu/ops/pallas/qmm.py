@@ -20,6 +20,7 @@ in int32/uint8 where the target supports them.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -503,7 +504,12 @@ def qmm_nvfp4_perm(
 # Reference numerics contract: `nvfp4_quant.py:18-49` (same as qmm_nvfp4).
 
 
-WORD_TILE_O = 256
+# O-tile for the word/word2/bd2 layouts. Env-overridable (QMM_TILE_O) as an
+# on-chip tuning knob: bigger tiles cut grid-cell count (the bd2 engine step
+# runs ~10k cells at ~1.8 us/cell — r04 A/B) at the cost of VMEM. Pack and
+# kernel derive the tile from the same value, so set it process-wide BEFORE
+# engine init; packed artifacts are tile-size-specific.
+WORD_TILE_O = int(os.environ.get("QMM_TILE_O", "256"))
 
 
 def _word_tile_k(K: int, bsz: int) -> int:
@@ -1086,10 +1092,49 @@ def _int4_bd2_kernel(x_ref, w_ref, s_ref, xs_ref, o_ref, acc):
         o_ref[:] = acc[:].astype(o_ref.dtype)
 
 
+def _int4_bd3_kernel(x_ref, w_ref, s_ref, xs_ref, o_ref, acc):
+    """bd2 layout, fused-groups dot ("bd3"): concatenate the 4 decoded
+    groups into one [nblk, TO, bsz] operand and run ONE deep batched dot
+    per tile instead of 4 narrow ones — trades a VMEM concat copy for 4x
+    fewer MXU dispatches ([TN, 128]x[128, TO] vs [TN, 128]x[128, TO/4]),
+    attacking the small-dot pipeline-latency hypothesis for bd2's 196 GB/s
+    engine stream (r04 A/B: bd2 18.93 ms/step vs bf16's 490 GB/s)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    p = w_ref[:]   # [nblk, TO/8, bsz] i32: 4 bytes = 8 output rows
+    x3 = x_ref[:]  # [nblk, TN, bsz]
+    s = s_ref[:]   # [nblk, TO] bf16
+    w = jnp.concatenate([
+        pltpu.bitcast(((p >> (4 * g) if g else p) & 0x000F000F)
+                      | 0x43004300, jnp.bfloat16)
+        for g in range(4)
+    ], axis=1)  # [nblk, TO, bsz] decoded-but-unscaled 128+u
+    r = jax.lax.dot_general(
+        x3, w, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [nblk, TN, TO]
+    acc[:] += jnp.sum(r * s.astype(jnp.float32)[:, None, :], axis=0)
+    side = jax.lax.dot_general(
+        xs_ref[:], s, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, TO]
+    acc[:] -= 136.0 * side
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
 def _bd2_tile_k(K: int, bsz: int) -> int:
     """K-tile (in elements) for bd2; nblk per tile is a free leading dim,
-    so the 2048 default never needs widening."""
-    return 2048 if K % 2048 == 0 else K
+    so the 2048 default never needs widening. QMM_BD2_TK env-overrides for
+    on-chip tile sweeps (must divide K or the whole-K fallback is used)."""
+    tk = int(os.environ.get("QMM_BD2_TK", "2048"))
+    return tk if K % tk == 0 else K
 
 
 def int4_bd2_pack(
@@ -1135,7 +1180,10 @@ def qmm_int4_bd2(
     x: jax.Array,
     packed_bd2: jax.Array,  # [K/bsz, O/8, bsz] int32
     scalesT: jax.Array,     # [K/bsz, O] bf16
+    fuse_groups: bool | None = None,
 ) -> jax.Array:
+    if fuse_groups is None:  # A/B knob for the engine bench (no replumb)
+        fuse_groups = os.environ.get("QMM_BD2_FUSE", "0") == "1"
     N, K = x.shape
     O = scalesT.shape[-1]
     nblk_total = scalesT.shape[-2]
@@ -1150,7 +1198,7 @@ def qmm_int4_bd2(
     x3 = jnp.swapaxes(x.reshape(N, nblk_total, bsz), 0, 1)  # [K/bsz, N, bsz]
     xs = jnp.sum(x3.astype(jnp.float32), axis=-1)           # [K/bsz, N]
     return pl.pallas_call(
-        _int4_bd2_kernel,
+        _int4_bd3_kernel if fuse_groups else _int4_bd2_kernel,
         grid=(gn, go, gk),
         in_specs=[
             pl.BlockSpec((nblk, tn, bsz), lambda n, i, j: (j, n, 0),

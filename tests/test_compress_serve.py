@@ -385,6 +385,22 @@ class TestMoreFormats:
             rel = np.abs(a - b).max() / np.abs(b).max()
             assert rel < 1e-2, rel
 
+    def test_int4_bd3_fused_groups_matches_bd2(self):
+        """bd3 (fused-groups single deep dot per tile) must match bd2 on the
+        SAME layout arrays — it is a kernel-schedule change only."""
+        rng = np.random.default_rng(7)
+        for O, K in [(256, 2048), (512, 4096)]:
+            x = jnp.asarray(rng.normal(size=(8, K)), jnp.bfloat16)
+            Wp = jnp.asarray(rng.integers(0, 256, size=(O // 2, K), dtype=np.uint8))
+            sl = jnp.asarray(rng.uniform(0.5, 2.0, size=(O // 2, K // 128)),
+                             jnp.float32)
+            pw, sc = qmm.int4_bd2_pack(Wp, sl, sl)
+            a = np.asarray(qmm.qmm_int4_bd2(x, pw, sc, fuse_groups=False),
+                           np.float32)
+            b = np.asarray(qmm.qmm_int4_bd2(x, pw, sc, fuse_groups=True),
+                           np.float32)
+            assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 1e-3
+
     def test_word_kernels_prefill_rows(self):
         """Word kernels at prefill-sized M (N > 256 row tiles). Regression:
         the untiled-N word kernels hit a 33.4 MB scoped-vmem stack OOM

@@ -1,0 +1,96 @@
+#!/bin/bash
+# Round-4 chain 2: bd2 kernel-schedule sweep, queued AFTER the main chain.
+# The r04 A/B fixed the layout ranking (int4 bd2 1.505x > word 1.261x >
+# xla 0.275x; nvfp4 word2 1.083x > word 0.98x); this sweep attacks the
+# remaining gap to 1.7x with schedule knobs on the SAME bd2 layout:
+#   - bd3 kernel (QMM_BD2_FUSE=1): one deep batched dot per tile vs 4 narrow
+#   - QMM_TILE_O=512 / QMM_BD2_TK=4096: 2-4x fewer grid cells per proj
+# Gate: waits for "r04 chain complete" in chain.log so the chip is never
+# shared (two processes skew every timing).
+cd /root/repo
+A=artifacts/bench_r04
+mkdir -p $A
+log() { echo "$(date -u +%FT%TZ) $*" >> $A/chain2.log; }
+
+json_ok() { python -c "
+import json,sys
+d=json.load(open('$1'))
+sys.exit(0 if d else 1)" 2>/dev/null; }
+
+health_gate() {
+  local ok=0 t0 rc dt
+  while [ $ok -lt 2 ]; do
+    t0=$(date +%s)
+    timeout 120 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((512,512), jnp.bfloat16)
+for _ in range(3): x = x @ x * 0 + x
+np.asarray(x[0,0])" 2>/dev/null
+    rc=$?; dt=$(( $(date +%s) - t0 ))
+    if [ $rc -eq 0 ] && [ $dt -lt 15 ]; then
+      ok=$((ok+1)); log "health ok (${dt}s) [$ok/2]"
+    else
+      ok=0; log "health slow/fail rc=$rc (${dt}s); sleeping 120"
+      sleep 120
+    fi
+  done
+}
+
+run_step() {  # name out_json timeout cmd...
+  local name=$1 out=$2 to=$3; shift 3
+  for attempt in 1 2; do
+    log "$name start (attempt $attempt)"
+    timeout "$to" "$@" > "$out" 2> "${out%.json}.err"
+    local rc=$?
+    if json_ok "$out"; then
+      log "$name ok rc=$rc"
+      return 0
+    fi
+    log "$name BAD ARTIFACT rc=$rc; $([ $attempt = 1 ] && echo retry || echo giving up)"
+    [ $attempt = 1 ] && health_gate
+  done
+  return 1
+}
+
+log "=== r04 chain2 queued (waiting for main chain) ==="
+while ! grep -q "r04 chain complete" $A/chain.log 2>/dev/null; do
+  sleep 60
+done
+log "main chain complete; starting sweep"
+health_gate
+
+cell() {  # name extra_env...
+  local name=$1; shift
+  env "$@" BENCH_FORMAT=int4 BENCH_LAYOUT=bd2 BENCH_TTFT=0 BENCH_ROUNDS=3 \
+    BENCH_DEADLINE=1300 \
+    timeout 1800 python -u bench.py > "$A/engine_$name.json" \
+    2> "$A/engine_$name.err"
+  if json_ok "$A/engine_$name.json"; then
+    log "cell $name ok"
+  else
+    log "cell $name BAD ARTIFACT"
+  fi
+}
+
+cell int4_bd3 QMM_BD2_FUSE=1
+cell int4_bd2_to512 QMM_TILE_O=512
+cell int4_bd3_to512 QMM_BD2_FUSE=1 QMM_TILE_O=512
+cell int4_bd2_tk4096 QMM_BD2_TK=4096
+cell int4_bd3_to512_tk4096 QMM_BD2_FUSE=1 QMM_TILE_O=512 QMM_BD2_TK=4096
+
+health_gate
+env QMM_TILE_O=512 BENCH_FORMAT=nvfp4 BENCH_LAYOUT=word2 BENCH_TTFT=0 \
+  BENCH_ROUNDS=3 BENCH_DEADLINE=1300 \
+  timeout 1800 python -u bench.py > "$A/engine_nvfp4_w2_to512.json" \
+  2> "$A/engine_nvfp4_w2_to512.err"
+json_ok "$A/engine_nvfp4_w2_to512.json" && log "nvfp4_w2_to512 ok" \
+  || log "nvfp4_w2_to512 BAD ARTIFACT"
+
+# kernel slope for the new variants at matching tiles
+health_gate
+KB_VARIANTS=bf16_xla,int4_bd2,int4_bd3 run_step "kernels_bd3" \
+  "$A/kernels_bd3.json" 2400 python -u bench_kernels.py 8
+QMM_TILE_O=512 KB_VARIANTS=int4_bd2,int4_bd3 run_step "kernels_bd3_to512" \
+  "$A/kernels_bd3_to512.json" 2400 python -u bench_kernels.py 8
+
+log "=== r04 chain2 complete ==="
