@@ -141,18 +141,26 @@ def main():
         variants = [v for v in variants if v[0] in keep]
 
     def scan_time(step, ws):
+        # the carry is X, folded with each output — every scan iteration AND
+        # every repeat call sees different values. Identical repeat calls
+        # get replay-cached by the relay (probe_native bf16 "4154 GB/s" >
+        # HBM peak, 2026-08-20); the x-chain defeats that, same design as
+        # tools/probe_qmm_scan.py.
         @jax.jit
         def run(x, ws):
-            def body(acc, w):
-                return acc + step(x, w), None
-            acc, _ = jax.lax.scan(body, jnp.zeros((B, O), jnp.float32), ws)
-            return acc[0, :8].astype(jnp.bfloat16)
+            def body(x, w):
+                y = step(x, w)  # [B, O] f32
+                return x + (y[:, :1] * 1e-6).astype(x.dtype), None
+            x, _ = jax.lax.scan(body, x, ws)
+            return x
 
-        np.asarray(run(x0, ws))  # compile + first exec drained
+        x = run(x0, ws)
+        np.asarray(x[0, :8])  # compile + first exec drained
         ts = []
         for _ in range(REPEATS):
             t0 = time.time()
-            np.asarray(run(x0, ws))
+            x = run(x, ws)
+            np.asarray(x[0, :8])
             ts.append(time.time() - t0)
         return sorted(ts)[len(ts) // 2]
 

@@ -45,20 +45,24 @@ class EngineConfig:
     # (tools/probe_qmm_scan.py; earlier fori_loop microbenches were invalid,
     # see BENCH_RESULTS.md round-2 timing notes)
     # "word2" adds the 4-bytes-per-lane decode (qmm_nvfp4_word2: remapped
-    # E2M1 affine construction) — on-chip 177 vs 197 us/gate-proj BS8 vs
-    # "word" (2026-08-19 probe)
-    nvfp4_layout: str = "word"  # "word" | "word2" | "perm" | "blockdot"
+    # E2M1 affine construction) — DEFAULT since the r04 engine-level A/B:
+    # 26.53 ms/step (1.083x chip-normalized bf16) vs word's 28.86 (0.98x)
+    # at 8B L32 BS8 (artifacts/bench_r04/engine_nvfp4_*.json)
+    nvfp4_layout: str = "word2"  # "word" | "word2" | "perm" | "blockdot"
     # INT4 serving layout: "word" converts to the row-pair magic-number
     # kernel layout (one full-depth dot; scales round to bf16) — on-chip
     # same-session A/B 2026-08-18 (bench_kernels BS8 gate-proj): word
     # 1927.7 us vs blockdot 2032.1 us, and word beats fp8 (2506.6 us)
     # "bd2" = block-major batched-dot layout (qmm_int4_bd2): post-dot block
-    # scales + side-dot offsets — on-chip 113 vs 136 (word) vs 162 (bf16)
-    # us/gate-proj BS8 (2026-08-19 probe); falls back to word2 on shapes
-    # bd2 can't tile (O not a multiple of 128, blocks narrower than 128)
-    # "xla" = XLA-native s4 array + grouped convert-dot (qmm.qmm_int4_xla):
-    # no hand decode at all; candidate escalation route for >=1.7x bf16
-    int4_layout: str = "word"  # "word" | "word2" | "bd2" | "blockdot" | "xla"
+    # scales + side-dot offsets — DEFAULT since the r04 engine-level A/B:
+    # 18.93 ms/step (1.505x chip-normalized bf16) vs word's 22.52 (1.261x)
+    # at 8B L32 BS8 (artifacts/bench_r04/engine_int4_*.json); falls back to
+    # word2 on shapes bd2 can't tile (O not a multiple of 128, blocks
+    # narrower than 128)
+    # "xla" = XLA-native s4 storage + grouped convert-dot (qmm_int4_xla):
+    # MEASURED AND RULED OUT as the escalation route — 102.4 ms/step
+    # (0.275x) in the same A/B; kept for the record and for host-safe ckpts
+    int4_layout: str = "bd2"  # "word" | "word2" | "bd2" | "blockdot" | "xla"
     # Tensor parallelism: a jax.sharding.Mesh with a `tp_axis` axis shards
     # the packed weights megatron-style (serve/tp.py) and runs every step
     # under shard_map (Pallas kernels see local shards; two psums/layer).

@@ -518,11 +518,11 @@ class TestMoreFormats:
         eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
             max_seq_len=32, backend="pallas", nvfp4_layout="perm"))
         assert eng.cm.kinds["mlp.down_proj"] == "nvfp4p"
-        # default engine layout is the word kernel (fastest on-chip,
-        # tools/probe_qmm_scan.py 2026-08-18)
+        # default engine layout is word2 (r04 engine A/B: 1.083x vs word's
+        # 0.98x chip-normalized bf16 at 8B L32 BS8)
         eng_def = serve_engine.Engine(cm, serve_engine.EngineConfig(
             max_seq_len=32, backend="pallas"))
-        assert eng_def.cm.kinds["mlp.down_proj"] == "nvfp4w"
+        assert eng_def.cm.kinds["mlp.down_proj"] == "nvfp4w2"
         prompt = batches[0][:, :8]
         logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
         ref, _, _ = model.forward(prompt)
@@ -680,10 +680,11 @@ def test_mxfp4_word_kernel_and_engine(tiny_ptq):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=1e-3)
-    # engine converts at init and stays in parity
+    # engine converts at init (default layout is now word2, r04 A/B) and
+    # stays in parity
     eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
         max_seq_len=32, backend="pallas"))
-    assert eng.cm.kinds["mlp.gate_proj"] == "mxfp4w"
+    assert eng.cm.kinds["mlp.gate_proj"] == "mxfp4w2"
     prompt = batches[0][:, :8]
     logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
     ref2, _, _ = model.forward(prompt)
@@ -756,7 +757,7 @@ class TestGptOssServing:
         assert cm.kinds["moe.gate_proj"] == "mxfp4"
         eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
             max_seq_len=32, backend="pallas"))
-        assert eng.cm.kinds["moe.gate_proj"] == "mxfp4w"
+        assert eng.cm.kinds["moe.gate_proj"] == "mxfp4w2"
         prompt = batches[0][:, :12]  # > sliding_window
         logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
         ref, _ = model.forward(prompt)

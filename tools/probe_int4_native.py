@@ -89,20 +89,25 @@ def main():
 
     # --- variants: scan over n weights, carry accumulates -----------------
     def scan_time(step, ws, extra=()):
+        # x-chained carry: identical repeat calls get replay-cached by the
+        # relay (this probe's own bf16 run read "4154 GB/s" > HBM peak,
+        # 2026-08-20, with an acc-carry + constant args). Same design as
+        # tools/probe_qmm_scan.py.
         @jax.jit
         def run(x, ws, *extra):
-            def body(acc, w):
-                return acc + step(x, w, *extra), None
-            acc0 = jnp.zeros((BS, O), jnp.float32)
-            acc, _ = lax.scan(body, acc0, ws)
-            return acc[0, :8].astype(jnp.bfloat16)
+            def body(x, w):
+                y = step(x, w, *extra)  # [BS, O] f32
+                return x + (y[:, :1] * 1e-6).astype(x.dtype), None
+            x2, _ = lax.scan(body, x, ws)
+            return x2
 
-        out = run(x, ws, *extra)
-        np.asarray(out)  # compile + first exec drained
+        xc = run(x, ws, *extra)
+        np.asarray(xc[0, :8])  # compile + first exec drained
         ts = []
         for _ in range(REPEATS):
             t0 = time.time()
-            np.asarray(run(x, ws, *extra))
+            xc = run(xc, ws, *extra)
+            np.asarray(xc[0, :8])
             ts.append(time.time() - t0)
         ts = sorted(ts)
         return ts[len(ts) // 2]
