@@ -37,6 +37,18 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
+def _w48_step(qmm, x, w):
+    """W4A8 serving step incl. the per-token int8 act quant the engine does
+    (engine.py _qlinear int4w48 branch) — engine-faithful regime."""
+    import jax.numpy as jnp
+
+    x32 = x.astype(jnp.float32)
+    a_amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    a_scale = jnp.where(a_amax == 0, 1.0, a_amax / 127.0)
+    x8 = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
+    return qmm.qmm_int4_w48(x8, *w) * a_scale
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -86,9 +98,9 @@ def main():
 
     def vpack(pack, *scales):
         def build(n):
-            qmm._bitcast_order()  # probe reads concrete values — run (and
-            # cache) eagerly before the pack fns are traced (see
-            # compress._map_leading)
+            qmm._bitcast_order()  # probes read concrete values — run (and
+            qmm._bitcast_order_i8()  # cache) eagerly before the pack fns
+            # are traced (see compress._map_leading)
             planes = packed_planes(n)
             return jax.jit(jax.vmap(lambda p: pack(p, *scales)))(planes)
         return build
@@ -129,6 +141,8 @@ def main():
          lambda x, w: qmm.qmm_int4_xla(
              x, {"qpacked": w, "scale": s_xla}).astype(jnp.float32),
          O * K // 2),
+        ("int4_w48", vpack(lambda p: qmm.int4_w48_pack(p, sl, sl)),
+         lambda x, w: _w48_step(qmm, x, w), O * K // 2),
         ("nvfp4_word", vpack(lambda p: qmm.nvfp4_word_pack(p, slf4, slf4)),
          lambda x, w: qmm.qmm_nvfp4_word(x, *w, gs).astype(jnp.float32),
          O * K // 2),

@@ -1219,6 +1219,188 @@ def qmm_int4_bd2(
 
 
 # --------------------------------------------------------------------------
+# W4A8: int4 weights + per-token int8 activations on the int8 MXU
+# --------------------------------------------------------------------------
+#
+# The reference's W4A8 rows are its fastest 4-bit serving format at batch
+# (`benchmark.md:23-25`: W4A8-AWQ 1.00x/1.15x bf16 at BS8/64 where INT4-AWQ
+# is 0.75x/0.83x) because the W4 decode targets the 8-bit tensor-core path
+# instead of half floats. The TPU-native analog: decode nibbles to int8
+# CODES u in [0,15] (2 VPU ops per i32 word of 8 elements = ~0.4
+# ops/element, vs ~1.4 for the bf16 magic-number construct) and run the
+# dots on the MXU's native s8 x s8 -> s32 path (probed live 2026-08-20:
+# Mosaic lowers batched int8 dot_generals; int8 vector ALU ops are
+# rejected, so the -8 offset folds into a side-dot exactly like bd2's 136).
+# Activations quantize per token to int8 (the reference uses per-tensor
+# fp8 acts; v5e has no fp8 MXU — per-token int8 is the native 8-bit act
+# path and is numerically at least as faithful).
+#
+#   y[n,o] = s_x[n] * ( sum_b s_w[o,b] * (x8[n,:] . u[o,:])_b
+#                       - 8 * sum_b s_w[o,b] * xsum8[n,b] )
+#
+# Layout mirrors bd2 (block-major): packed i32 [K/bsz, O/8, bsz], scales
+# TRANSPOSED [K/bsz, O] bf16 — same sharding/spec structure, so TP reuses
+# the bd2 branches. Row placement follows the i32->int8 bitcast order
+# (byte b of word r -> sublane 4r+b "interleaved", probed).
+
+
+@functools.cache
+def _bitcast_order_i8() -> str:
+    """How pltpu.bitcast(i32 -> int8) orders the quadrupled sublanes:
+    "interleaved" (word r -> rows 4r..4r+3, byte 0 first) or "split"
+    (byte b of word r -> row b*R + r). Probed once on the live backend."""
+    def kern(x_ref, o_ref):
+        o_ref[:] = pltpu.bitcast(x_ref[:], jnp.int8)
+
+    x = jnp.full((8, 128), 0x04030201, jnp.int32)
+    probe = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((32, 128), jnp.int8),
+        interpret=_interpret(),
+    )(x)
+    r = [int(probe[i, 0]) for i in (0, 1, 2, 3, 8, 16, 24)]
+    if r[:4] == [1, 2, 3, 4]:
+        return "interleaved"
+    if (r[0], r[4], r[5], r[6]) == (1, 2, 3, 4):
+        return "split"
+    raise RuntimeError(f"unrecognized i32->int8 bitcast order: {r}")
+
+
+def _w48_byte_pack(codes: jax.Array, to: int) -> jax.Array:
+    """[..., O, K] 4-bit codes -> [..., O/8, K] i32 for the int8-bitcast
+    decode: the kernel emits [bitcast(evens) ++ bitcast(odds)] per O-tile,
+    so rows [0, to/2) come from even nibbles, [to/2, to) from odd, with
+    byte placement per `_bitcast_order_i8()`."""
+    lead = codes.shape[:-2]
+    O, K = codes.shape[-2:]
+    ct = codes.reshape(lead + (O // to, to, K))
+    lo = ct[..., : to // 2, :]
+    hi = ct[..., to // 2 :, :]
+    R = to // 8  # i32 word-rows per tile
+
+    def by_byte(h):
+        # -> [..., O/to, R, 4, K]: [r, b] = source row for (word r, byte b)
+        if _bitcast_order_i8() == "interleaved":
+            return h.reshape(lead + (O // to, R, 4, K))
+        return jnp.swapaxes(h.reshape(lead + (O // to, 4, R, K)), -3, -2)
+
+    lo4, hi4 = by_byte(lo), by_byte(hi)
+    word = jnp.zeros(lead + (O // to, R, K), jnp.int32)
+    for b in range(4):
+        byte = lo4[..., b, :] | (hi4[..., b, :] << 4)
+        word = word | (byte << (8 * b))
+    return word.reshape(lead + (O // 8, K)).astype(jnp.int32)
+
+
+def int4_w48_pack(
+    packed: jax.Array,     # [O/2, K] plane-packed uint8
+    scale_lo: jax.Array,   # [O/2, K/bsz] f32
+    scale_hi: jax.Array,
+):
+    """Plane layout -> w48 layout. Codes store XOR 8 (offset-binary u =
+    v + 8 in [0, 15]); the -8 rides the side-dot.
+
+    Returns (packed_w48 [K/bsz, O/8, bsz] int32, scalesT [K/bsz, O] bf16).
+    """
+    O2, K = packed.shape[-2:]
+    O = 2 * O2
+    bsz = K // scale_lo.shape[-1]
+    to = _word2_tile_o(O)
+    codes = jnp.concatenate([packed & 0xF, packed >> 4], axis=-2).astype(jnp.int32)
+    codes = codes ^ 8
+    scalesT = jnp.swapaxes(
+        jnp.concatenate([scale_lo, scale_hi], axis=-2)
+        .astype(jnp.float32).astype(jnp.bfloat16),
+        -1, -2,
+    )  # [K/bsz, O]
+    lead = packed.shape[:-2]
+    word = _w48_byte_pack(codes, to).reshape(lead + (O // 8, K // bsz, bsz))
+    nd = word.ndim
+    perm = tuple(range(nd - 3)) + (nd - 2, nd - 3, nd - 1)
+    return word.transpose(perm), scalesT  # [..., K/bsz, O/8, bsz]
+
+
+w48_supported = bd2_supported  # same tiling constraints (128-wide blocks)
+
+
+def _int4_w48_kernel(x_ref, w_ref, s_ref, xs_ref, o_ref, acc):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    p = w_ref[:]   # [nblk, TO/8, bsz] i32: 4 bytes x 2 nibbles = 8 rows
+    x3 = x_ref[:]  # [nblk, TN, bsz] int8
+    s = s_ref[:]   # [nblk, TO] bf16
+    # nibble -> int8 codes: 3 i32 ops per 8 elements, then free bitcasts.
+    # (p >> 4) sign-extends the top byte; the 0x0F mask byte-wise discards
+    # the extension bits.
+    evens = p & 0x0F0F0F0F
+    odds = (p >> 4) & 0x0F0F0F0F
+    u = jnp.concatenate(
+        [pltpu.bitcast(evens, jnp.int8), pltpu.bitcast(odds, jnp.int8)],
+        axis=1,
+    )  # [nblk, TO, bsz] codes u = v + 8 in [0, 15]
+    r = jax.lax.dot_general(
+        x3, u, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [nblk, TN, TO] s8 x s8 -> s32 on the MXU
+    acc[:] += jnp.sum(
+        r.astype(jnp.float32) * s.astype(jnp.float32)[:, None, :], axis=0)
+    side = jax.lax.dot_general(
+        xs_ref[:], s, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, TO] = sum_b xsum8[n,b] * s[b,o]
+    acc[:] -= 8.0 * side
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc[:]
+
+
+def qmm_int4_w48(
+    x8: jax.Array,          # [N, K] int8 per-token-quantized activations
+    packed_w48: jax.Array,  # [K/bsz, O/8, bsz] int32
+    scalesT: jax.Array,     # [K/bsz, O] bf16
+) -> jax.Array:
+    """Returns f32 [N, O] = dequant-dot BEFORE the per-token activation
+    scale — the caller multiplies by a_scale[n] (and adds bias etc.)."""
+    N, K = x8.shape
+    O = scalesT.shape[-1]
+    nblk_total = scalesT.shape[-2]
+    bsz = K // nblk_total
+    tk = _bd2_tile_k(K, bsz)
+    gk = K // tk
+    nblk = tk // bsz
+    to = _word2_tile_o(O)
+    go = O // to
+    tn = _word_tile_n(N)
+    gn = N // tn
+    x3 = jnp.swapaxes(x8.reshape(N, nblk_total, bsz), 0, 1)  # [K/bsz, N, bsz]
+    xs = jnp.sum(x3.astype(jnp.float32), axis=-1)            # [K/bsz, N]
+    return pl.pallas_call(
+        _int4_w48_kernel,
+        grid=(gn, go, gk),
+        in_specs=[
+            pl.BlockSpec((nblk, tn, bsz), lambda n, i, j: (j, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, to // 8, bsz), lambda n, i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, to), lambda n, i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, tn), lambda n, i, j: (j, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, to), lambda n, i, j: (n, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tn, to), jnp.float32)],
+        interpret=_interpret(),
+    )(x3, packed_w48, scalesT, xs)
+
+
+# --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
 

@@ -259,17 +259,27 @@ def word_convert_site(kind: str, arr: dict, layout: str = "word") -> tuple[str, 
     if kind == "int4":
         bsz = arr["packed"].shape[-1] // arr["scale_lo"].shape[-1]
         O = 2 * arr["packed"].shape[-2]
+        if layout == "a8" and qmm_mod.w48_supported(O, bsz):
+            # W4A8 native serving (qmm.qmm_int4_w48): int8 code decode +
+            # s8 x s8 MXU dots with per-token int8 activations at serve
+            # time (reference W4A8 rows, benchmark.md:23-25). Falls back
+            # to word2 below on unsupported shapes, like bd2.
+            qmm_mod._bitcast_order_i8()  # probe caches before lax.map trace
+            packed, scales = _map_leading(
+                qmm_mod.int4_w48_pack, arr["packed"],
+                arr["scale_lo"], arr["scale_hi"])
+            return "int4w48", {"packed": packed, "scales": scales}
         if layout == "bd2" and qmm_mod.bd2_supported(O, bsz):
             packed, scales = _map_leading(
                 qmm_mod.int4_bd2_pack, arr["packed"],
                 arr["scale_lo"], arr["scale_hi"])
             return "int4b2", {"packed": packed, "scales": scales}
-        pack = (qmm_mod.int4_word2_pack if layout in ("word2", "bd2")
+        pack = (qmm_mod.int4_word2_pack if layout in ("word2", "bd2", "a8")
                 else qmm_mod.int4_word_pack)
         packed, scales = _map_leading(
             pack, arr["packed"], arr["scale_lo"], arr["scale_hi"]
         )
-        return ("int4w2" if layout in ("word2", "bd2") else "int4w"), {
+        return ("int4w2" if layout in ("word2", "bd2", "a8") else "int4w"), {
             "packed": packed, "scales": scales}
     if kind == "mxfp4":
         bsz = arr["packed"].shape[-1] // arr["exp_lo"].shape[-1]
@@ -435,6 +445,39 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
         arrs = dict(arrays)
         arrs["packed"] = qmm_mod.unpermute_k(arrays["packed"], -1, tk)
         return decompress_weight("nvfp4", arrs, out_dtype)
+    if kind == "int4w48":
+        # inverse of qmm._w48_byte_pack: block-major -> [O/8, K] words,
+        # bytes per `_bitcast_order_i8()`, even/odd nibbles = row halves
+        from ..ops.pallas import qmm as qmm_mod
+
+        p = arrays["packed"]
+        nd = p.ndim
+        perm = tuple(range(nd - 3)) + (nd - 2, nd - 3, nd - 1)
+        p = p.transpose(perm)
+        p = p.reshape(p.shape[:-2] + (p.shape[-2] * p.shape[-1],))
+        K = p.shape[-1]
+        nblk = arrays["scales"].shape[-2]
+        bsz = K // nblk
+        O = p.shape[-2] * 8
+        to = qmm_mod._word2_tile_o(O)
+        lead = p.shape[:-2]
+        R = to // 8
+        pt = p.reshape(lead + (O // to, R, K))
+
+        def half(shift):
+            bytes_ = [(pt >> (8 * b + shift)) & 0xF for b in range(4)]
+            h = jnp.stack(bytes_, axis=-2)  # [.., O/to, R, 4, K] = [r, b]
+            if qmm_mod._bitcast_order_i8() == "interleaved":
+                return h.reshape(lead + (O // to, to // 2, K))  # row 4r+b
+            return jnp.swapaxes(h, -3, -2).reshape(
+                lead + (O // to, to // 2, K))  # row b*R + r
+
+        codes = jnp.concatenate([half(0), half(4)], axis=-2).reshape(
+            lead + (O, K))
+        vals = codes.astype(jnp.float32) - 8.0  # pack stored u = v + 8
+        sc = jnp.swapaxes(arrays["scales"].astype(jnp.float32), -1, -2)
+        w = vals * numerics.expand_block_scale(sc, vals.shape, ((-1, bsz),))
+        return w.astype(out_dtype)
     if kind in ("nvfp4w2", "int4w2", "mxfp4w2", "int4b2"):
         from ..ops.pallas import qmm as qmm_mod
 

@@ -62,7 +62,11 @@ class EngineConfig:
     # "xla" = XLA-native s4 storage + grouped convert-dot (qmm_int4_xla):
     # MEASURED AND RULED OUT as the escalation route — 102.4 ms/step
     # (0.275x) in the same A/B; kept for the record and for host-safe ckpts
-    int4_layout: str = "bd2"  # "word" | "word2" | "bd2" | "blockdot" | "xla"
+    # "a8" = W4A8 native serving (qmm_int4_w48): int8-decoded nibbles +
+    # per-token int8 acts on the s8 MXU path — the reference's fastest
+    # 4-bit format at batch (W4A8 rows, benchmark.md:23-25). Changes act
+    # numerics (8-bit acts), so it is opt-in, matching the W4A8 presets.
+    int4_layout: str = "bd2"  # "word"|"word2"|"bd2"|"blockdot"|"xla"|"a8"
     # Tensor parallelism: a jax.sharding.Mesh with a `tp_axis` axis shards
     # the packed weights megatron-style (serve/tp.py) and runs every step
     # under shard_map (Pallas kernels see local shards; two psums/layer).
@@ -179,6 +183,28 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
         )
         y = acc.astype(jnp.float32) * a_scale * arrays["scale"].reshape(1, -1)
         y = y.astype(x.dtype)
+        if tp_axis is not None and row:
+            y = jax.lax.psum(y, tp_axis)
+        return y
+    if kind == "int4w48":
+        # W4A8 native serving (int4_layout="a8"): per-token dynamic int8
+        # acts + s8 x s8 MXU dots over int8-decoded nibbles
+        # (qmm.qmm_int4_w48; reference W4A8 rows, benchmark.md:23-25 — its
+        # fastest 4-bit at batch). The reference's act side is per-tensor
+        # fp8; v5e has no fp8 MXU, so per-token int8 is the native analog.
+        if ist is not None and ist.pre_quant_scale is not None:
+            x = x * ist.pre_quant_scale.astype(x.dtype)
+        x32 = x.astype(jnp.float32)
+        a_amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+        if reduce_amax is not None:
+            a_amax = reduce_amax(a_amax)
+        a_scale = jnp.where(a_amax == 0, 1.0, a_amax / 127.0)
+        x8 = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
+        y = qmm.qmm_int4_w48(x8, arrays["packed"], arrays["scales"])
+        y = (y * a_scale).astype(x.dtype)
+        if adapter is not None:
+            lo = (x @ adapter["A"].T.astype(x.dtype)) @ adapter["B"].T.astype(x.dtype)
+            y = y + lo * adapter["scale"].astype(y.dtype)
         if tp_axis is not None and row:
             y = jax.lax.psum(y, tp_axis)
         return y

@@ -230,15 +230,19 @@ def _word_pack_sharded(kind: str, layout: str, arrays: dict, col: bool,
         bsz = K // slo.shape[-1]
         nblk_t = slo.shape[-1]
         local_O = (2 * O2) // d if col else 2 * O2
-        bd2_ok = (layout == "bd2" and qmm_mod.bd2_supported(local_O, bsz)
-                  and (col or nblk_t % d == 0))
-        if bd2_ok:
+        blockmajor_ok = (layout in ("bd2", "a8")
+                         and qmm_mod.bd2_supported(local_O, bsz)
+                         and (col or nblk_t % d == 0))
+        if blockmajor_ok and layout == "a8":
+            pack, new_kind = qmm_mod.int4_w48_pack, "int4w48"
+        elif blockmajor_ok:
             pack, new_kind = qmm_mod.int4_bd2_pack, "int4b2"
-        elif layout in ("word2", "bd2"):
+        elif layout in ("word2", "bd2", "a8"):
             pack, new_kind = qmm_mod.int4_word2_pack, "int4w2"
         else:
             pack, new_kind = qmm_mod.int4_word_pack, "int4w"
-    bd2 = new_kind == "int4b2"
+    # int4w48 shares bd2's block-major array structure: same reshapes/specs
+    bd2 = new_kind in ("int4b2", "int4w48")
     nblk = slo.shape[-1]
     out = {}
     specs: dict[str, P] = {}
@@ -368,7 +372,8 @@ def shard_compressed(
 
     def _site_layout(kind: str):
         """The fused serving layout for this kind, or None for plane."""
-        if kind == "int4" and int4_layout in ("word", "word2", "bd2", "xla"):
+        if kind == "int4" and int4_layout in ("word", "word2", "bd2", "xla",
+                                              "a8"):
             return int4_layout
         if kind == "nvfp4" and nvfp4_layout in ("word", "word2"):
             return nvfp4_layout

@@ -401,6 +401,53 @@ class TestMoreFormats:
                            np.float32)
             assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 1e-3
 
+    def test_int4_w48_kernel_matches_reference(self):
+        """W4A8 kernel (int8-decoded nibbles + s8xs8 MXU dots): must equal
+        the explicit f32 computation x8 @ (s_bf16 * (u - 8)).T on the same
+        packed arrays. The int8 dots are exact; only the f32 scale
+        reduction order differs."""
+        rng = np.random.default_rng(9)
+        for O, K in [(256, 2048), (512, 4096)]:
+            x8 = jnp.asarray(
+                rng.integers(-127, 128, size=(8, K), dtype=np.int32),
+                jnp.int8)
+            Wp = jnp.asarray(rng.integers(0, 256, size=(O // 2, K), dtype=np.uint8))
+            sl = jnp.asarray(rng.uniform(0.5, 2.0, size=(O // 2, K // 128)),
+                             jnp.float32)
+            pw, sc = qmm.int4_w48_pack(Wp, sl, sl)
+            out = np.asarray(qmm.qmm_int4_w48(x8, pw, sc))
+            # reference from the DECOMPRESSED packed arrays (bf16 scales)
+            w = compress.decompress_weight(
+                "int4w48", {"packed": pw, "scales": sc}, out_dtype=jnp.float32)
+            ref = np.asarray(x8, np.float32) @ np.asarray(w, np.float32).T
+            rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+            assert rel < 1e-3, (O, K, rel)
+            # and the decompress inverts the pack against the plane layout
+            w_plane = compress.decompress_weight(
+                "int4", {"packed": Wp, "scale_lo": sl, "scale_hi": sl},
+                out_dtype=jnp.float32)
+            relw = (np.abs(np.asarray(w) - np.asarray(w_plane)).max()
+                    / np.abs(np.asarray(w_plane)).max())
+            assert relw < 1e-2, relw  # bf16 scale rounding only
+
+    def test_int4_a8_engine_roundtrip(self, tiny_ptq):
+        """int4_layout="a8" end to end: the engine serves with REAL
+        per-token int8 activations + the w48 kernel; output stays
+        correlated with the fake-quant forward (act numerics differ by
+        design — int8 acts vs the preset's bf16 fake-quant acts)."""
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "INT4_AWQ_CFG", batches)
+        cm = compress.compress(model)
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+            max_seq_len=32, backend="pallas", int4_layout="a8"))
+        assert eng.cm.kinds["mlp.down_proj"] == "int4w48"
+        prompt = batches[0][:, :8]
+        logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+        ref, _, _ = model.forward(prompt)
+        corr = np.corrcoef(np.asarray(logits).ravel(),
+                           np.asarray(ref[:, -1]).ravel())[0, 1]
+        assert corr > 0.99, corr
+
     def test_word_kernels_prefill_rows(self):
         """Word kernels at prefill-sized M (N > 256 row tiles). Regression:
         the untiled-N word kernels hit a 33.4 MB scoped-vmem stack OOM

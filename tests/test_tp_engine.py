@@ -170,6 +170,11 @@ class TestLayoutMeshBackendMatrix:
     """
 
     @pytest.mark.parametrize("preset,key,layouts", [
+        # "a8" is excluded here: its fallback asymmetry on this TINY config
+        # (down_proj has a single K block, so TP row-shards fall back to
+        # word2 while single-device serves the real int8-act w48 kernel)
+        # makes exact parity impossible by construction; a dedicated test
+        # below pins a8 TP parity on a shardable shape.
         ("INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "int4_layout",
          ("blockdot", "word", "word2", "bd2", "xla")),
         ("NVFP4_DEFAULT_CFG", "nvfp4_layout",
@@ -197,6 +202,28 @@ class TestLayoutMeshBackendMatrix:
                             err_msg=f"{preset} layout={layout} mesh="
                                     f"{mesh is not None} backend={backend}",
                         )
+
+
+class TestW4A8TPParity:
+    """a8 (W4A8 int8-MXU serving) TP parity on a SHARDABLE shape: hidden
+    128 / intermediate 256 gives every site >= 2 K-blocks at tp=2, so both
+    legs serve the real int4w48 kernel (no fallback asymmetry)."""
+
+    def test_a8_tp2_token_parity(self):
+        cfg = llama.LlamaConfig.tiny(hidden_size=128, intermediate_size=256)
+        params = llama.init_params(cfg, jax.random.PRNGKey(5))
+        batches = [jnp.asarray(
+            np.random.default_rng(6).integers(0, 256, size=(2, 16)))]
+        model = ptq.quantize(cfg, params, "INT4_BLOCKWISE_WEIGHT_ONLY_CFG",
+                             batches)
+        cm = compress.compress(model)
+        prompt = batches[0][:, :8]
+        ref, eng1 = _generate(cm, serve_engine.EngineConfig(
+            max_seq_len=48, int4_layout="a8"), prompt, n=6)
+        assert eng1.cm.kinds["mlp.down_proj"] == "int4w48"
+        got, eng2 = _generate(cm, serve_engine.EngineConfig(
+            max_seq_len=48, int4_layout="a8", mesh=tp_mesh(2)), prompt, n=6)
+        np.testing.assert_array_equal(got, ref)
 
 
 class TestMoEExpertParallel:
