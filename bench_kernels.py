@@ -26,9 +26,14 @@ import time
 
 import numpy as np
 
-N1 = int(os.environ.get("KB_N1", "4"))
-N2 = int(os.environ.get("KB_N2", "12"))
+# N2 - N1 sets the slope signal: ~0.7 ms/weight (bf16 gate shape) x 32 =
+# ~22 ms against 1-3 ms of relay per-call noise. The old 4/12 delta (r04
+# first run) was 8 weights = ~6 ms signal — swamped, produced negative
+# slopes and >HBM-peak rates (artifacts/bench_r04/kernels_bs8.json).
+N1 = int(os.environ.get("KB_N1", "8"))
+N2 = int(os.environ.get("KB_N2", "40"))
 REPEATS = int(os.environ.get("KB_REPEATS", "5"))
+HBM_PEAK_GBPS = 900.0  # v5e ~819 GB/s; anything above is a timing artifact
 O = int(os.environ.get("KB_O", "14336"))  # overridable for CPU smoke tests
 K = int(os.environ.get("KB_K", "4096"))
 
@@ -189,13 +194,19 @@ def main():
                 pair.append(scan_time(step, ws))
                 del ws
             slope = (pair[1] - pair[0]) / (N2 - N1)
-            slopes[name] = slope
+            gbps = wbytes / slope / 1e9 if slope > 0 else float("-inf")
             results[name] = {
                 "us": round(slope * 1e6, 1),
                 "GBps": round(wbytes / slope / 1e9, 1),
             }
+            if slope <= 0 or gbps > HBM_PEAK_GBPS:
+                # physically impossible — noise/replay artifact, don't rank
+                results[name]["invalid"] = True
+            else:
+                slopes[name] = slope
             log(f"{name:14s} {slope*1e6:9.1f} us  "
-                f"{wbytes/slope/1e9:8.1f} GB/s")
+                f"{wbytes/slope/1e9:8.1f} GB/s"
+                + ("  INVALID" if "invalid" in results[name] else ""))
         except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
             log(f"{name:14s} FAIL {type(e).__name__}: {str(e)[:160]}")
