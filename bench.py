@@ -156,7 +156,10 @@ def log(msg):
 
 
 def log_mem(tag):
-    """Device HBM usage, when the backend exposes it."""
+    """Device HBM usage, when the backend exposes it. The axon relay
+    returns all-zero stats (r03/r04 logs); flag that in the artifact so
+    memory-based claims (the 2-chip bf16 normalization) are explicit about
+    resting on the r02 measured-OOM evidence, not fresh stats (ADVICE r3)."""
     import jax
 
     try:
@@ -164,9 +167,12 @@ def log_mem(tag):
         used = st.get("bytes_in_use", 0)
         peak = st.get("peak_bytes_in_use", 0)
         lim = st.get("bytes_limit", 0)
+        if not (used or peak or lim):
+            BARRIER_FLAGS["mem_stats_unavailable"] = True
         log(f"mem[{tag}]: in_use {used/1e9:.2f} GB, peak {peak/1e9:.2f} GB, "
             f"limit {lim/1e9:.2f} GB")
     except Exception as e:  # relay may not implement memory_stats
+        BARRIER_FLAGS["mem_stats_unavailable"] = True
         log(f"mem[{tag}]: unavailable ({type(e).__name__})")
 
 
@@ -540,6 +546,9 @@ def main():
            if BARRIER_FLAGS["readback_timeouts"] else {}),
         **({"deadline_cut_after_round": BARRIER_FLAGS["deadline_cut"]}
            if BARRIER_FLAGS.get("deadline_cut") else {}),
+        **({"mem_stats_unavailable": True, "chip2_norm_evidence":
+            "r02 measured OOM (fresh memory stats are all-zero on relay)"}
+           if BARRIER_FLAGS.get("mem_stats_unavailable") else {}),
         **({"ttft_ms": round(ttft_ms, 1), "ttft_stat": f"p50/{ttft_reps}"}
            if ttft_ms is not None else {}),
         **({"kv": os.environ["BENCH_KV"]} if os.environ.get("BENCH_KV") else {}),
