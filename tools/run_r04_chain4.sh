@@ -12,7 +12,11 @@ mkdir -p $A/grid64
 log() { echo "$(date -u +%FT%TZ) $*" >> $A/chain4.log; }
 
 health_gate() {
-  local ok=0 t0 rc dt
+  # bar relaxes 15s -> 70s after 20 min of waiting: every engine cell is
+  # internally anchored (in-session bf16 leg shares the window), so a
+  # moderate window yields honest RATIOS; only absolute tok/s softens.
+  # The bar used is logged so artifacts can be read accordingly.
+  local ok=0 t0 rc dt waited=0 bar=15
   while [ $ok -lt 2 ]; do
     t0=$(date +%s)
     timeout 120 python -c "
@@ -21,11 +25,13 @@ x = jnp.ones((512,512), jnp.bfloat16)
 for _ in range(3): x = x @ x * 0 + x
 np.asarray(x[0,0])" 2>/dev/null
     rc=$?; dt=$(( $(date +%s) - t0 ))
-    if [ $rc -eq 0 ] && [ $dt -lt 15 ]; then
-      ok=$((ok+1)); log "health ok (${dt}s) [$ok/2]"
+    if [ $rc -eq 0 ] && [ $dt -lt $bar ]; then
+      ok=$((ok+1)); log "health ok (${dt}s, bar ${bar}) [$ok/2]"
     else
-      ok=0; log "health slow/fail rc=$rc (${dt}s); sleeping 120"
+      ok=0; log "health slow/fail rc=$rc (${dt}s, bar ${bar}); sleeping 120"
       sleep 120
+      waited=$((waited + 122 + dt))
+      [ $waited -ge 1200 ] && bar=70
     fi
   done
 }
