@@ -136,7 +136,8 @@ def main():
          lambda x, w: qmm.qmm_int4_word2(x, *w).astype(jnp.float32),
          O * K // 2),
         ("int4_bd2", vpack(lambda p: qmm.int4_bd2_pack(p, sl, sl)),
-         lambda x, w: qmm.qmm_int4_bd2(x, *w).astype(jnp.float32),
+         lambda x, w: qmm.qmm_int4_bd2(
+             x, *w, fuse_groups=False).astype(jnp.float32),
          O * K // 2),
         ("int4_bd3", vpack(lambda p: qmm.int4_bd2_pack(p, sl, sl)),
          lambda x, w: qmm.qmm_int4_bd2(

@@ -509,7 +509,10 @@ def qmm_nvfp4_perm(
 # runs ~10k cells at ~1.8 us/cell — r04 A/B) at the cost of VMEM. Pack and
 # kernel derive the tile from the same value, so set it process-wide BEFORE
 # engine init; packed artifacts are tile-size-specific.
-WORD_TILE_O = int(os.environ.get("QMM_TILE_O", "256"))
+# Default 512 since the r04 tile sweep: int4 bd2 1.505x -> 1.659x and nvfp4
+# word2 1.083x -> 1.157x chip-normalized bf16 at 8B BS8
+# (artifacts/bench_r04/engine_*_to512.json).
+WORD_TILE_O = int(os.environ.get("QMM_TILE_O", "512"))
 
 
 def _word_tile_k(K: int, bsz: int) -> int:
@@ -1130,10 +1133,12 @@ def _int4_bd3_kernel(x_ref, w_ref, s_ref, xs_ref, o_ref, acc):
 
 
 def _bd2_tile_k(K: int, bsz: int) -> int:
-    """K-tile (in elements) for bd2; nblk per tile is a free leading dim,
-    so the 2048 default never needs widening. QMM_BD2_TK env-overrides for
-    on-chip tile sweeps (must divide K or the whole-K fallback is used)."""
-    tk = int(os.environ.get("QMM_BD2_TK", "2048"))
+    """K-tile (in elements) for bd2; nblk per tile is a free leading dim.
+    QMM_BD2_TK env-overrides for on-chip tile sweeps (must divide K or the
+    whole-K fallback is used). Default 4096 since the r04 sweep (with
+    TO=512 + fused groups: 1.505x -> 1.713x; llama K dims are 4096/14336,
+    so this is whole-K for gate/up and 14336-fallback for down)."""
+    tk = int(os.environ.get("QMM_BD2_TK", "4096"))
     return tk if K % tk == 0 else K
 
 
@@ -1182,8 +1187,10 @@ def qmm_int4_bd2(
     scalesT: jax.Array,     # [K/bsz, O] bf16
     fuse_groups: bool | None = None,
 ) -> jax.Array:
-    if fuse_groups is None:  # A/B knob for the engine bench (no replumb)
-        fuse_groups = os.environ.get("QMM_BD2_FUSE", "0") == "1"
+    if fuse_groups is None:  # default ON since the r04 sweep: bd3 (one
+        # deep batched dot per tile) + TO512/TK4096 = 1.713x chip-
+        # normalized bf16 vs plain bd2's 1.505x (engine_int4_bd3_*.json)
+        fuse_groups = os.environ.get("QMM_BD2_FUSE", "1") == "1"
     N, K = x.shape
     O = scalesT.shape[-1]
     nblk_total = scalesT.shape[-2]
@@ -1195,6 +1202,12 @@ def qmm_int4_bd2(
     go = O // to
     tn = _word_tile_n(N)
     gn = N // tn
+    if fuse_groups and tn > 64:
+        # bd3's fused dot result [nblk, tn, TO] f32 is 16 MB at prefill
+        # row tiles (nblk 32, tn 256, TO 512) — over the scoped-vmem
+        # budget (the r02 33.4 MB OOM class). Unfused bd2 keeps the
+        # per-group result 4x smaller; decode (tn <= 64) stays fused.
+        fuse_groups = False
     x3 = jnp.swapaxes(x.reshape(N, nblk_total, bsz), 0, 1)  # [K/bsz, N, bsz]
     xs = jnp.sum(x3.astype(jnp.float32), axis=-1)           # [K/bsz, N]
     return pl.pallas_call(
@@ -1376,6 +1389,11 @@ def qmm_int4_w48(
     to = _word2_tile_o(O)
     go = O // to
     tn = _word_tile_n(N)
+    while tn > 64 and tn % 2 == 0 and (tn // 2) % 8 == 0:
+        # the fused dot result [nblk, tn, TO] i32 is 16 MB at tn=256 with
+        # TO=512/nblk=32 — cap prefill row tiles at 64 (same VMEM class as
+        # bd3's prefill guard; decode N<=64 is unaffected)
+        tn //= 2
     gn = N // tn
     x3 = jnp.swapaxes(x8.reshape(N, nblk_total, bsz), 0, 1)  # [K/bsz, N, bsz]
     xs = jnp.sum(x3.astype(jnp.float32), axis=-1)            # [K/bsz, N]
