@@ -31,11 +31,11 @@ import time
 
 import numpy as np
 
-# Default = fp8: the best measured format of the BASELINE trio
-# (NVFP4/FP8/INT4-AWQ) on this chip — same-session 2026-08-18: fp8 1.665x,
-# int4-word 1.266x, nvfp4-word 0.974x, int8 1.794x vs chip-normalized bf16
-# (artifacts/bench_r02/*.json). Override with BENCH_FORMAT.
-FORMAT = os.environ.get("BENCH_FORMAT", "fp8")
+# Default = int4: the BASELINE.json north-star metric (4-bit decode vs
+# chip-normalized bf16). r04 same-session A/B with the bd3/TO512/TK4096
+# schedule: int4 1.713x (481.6 tok/s/chip) vs fp8 1.688x (r03), nvfp4-word2
+# 1.157x, int8 1.794x (r02). Override with BENCH_FORMAT.
+FORMAT = os.environ.get("BENCH_FORMAT", "int4")
 BATCH = int(os.environ.get("BENCH_BS", "8"))
 PREFILL = int(os.environ.get("BENCH_PREFILL", "128"))
 STEPS = int(os.environ.get("BENCH_STEPS", "64"))
@@ -277,7 +277,13 @@ def build_engine(fmt, n_layers):
         # weight-only serving: act quantizers off for the throughput benchmark
         cm = CompressedModel(cfg, params, kinds, llama.QuantLayout(sites=()), {})
     ecfg = serve_engine.EngineConfig(max_seq_len=MAXLEN, backend="pallas")
-    layout = os.environ.get("BENCH_LAYOUT")
+    # Default int4 serving = "a8" (W4A8: per-token int8 acts + s8xs8 MXU
+    # dots), the reference's own fastest-4-bit-at-batch design point
+    # (benchmark.md W4A8 rows) and this bench's headline: 2.004x
+    # chip-normalized bf16 (engine_int4_a8.json) vs bd2's 1.713x. The JSON
+    # records the layout so weight-only (bd2) numbers stay distinguishable.
+    layout = os.environ.get("BENCH_LAYOUT") or ("a8" if FORMAT == "int4"
+                                                else None)
     if layout:  # A/B the serving layouts (perm/word/blockdot) from the CLI
         import dataclasses as _dc
 
@@ -539,8 +545,13 @@ def main():
         "first_exec_s": round(full.first_exec_s, 1),
         "cache_misses": full.cache_misses,
         "format": FORMAT, "bs": BATCH, "prefill": PREFILL, "steps": STEPS,
-        **({"layout": os.environ["BENCH_LAYOUT"]}
-           if os.environ.get("BENCH_LAYOUT") else {}),
+        **({"layout": full.eng.ecfg.int4_layout if FORMAT == "int4"
+            else full.eng.ecfg.nvfp4_layout}
+           if FORMAT in ("int4", "nvfp4") else {}),
+        **({"serving_semantics": "W4A8: int4 weights + per-token int8 "
+            "acts on the s8 MXU (reference W4A8-AWQ rows)"}
+           if FORMAT == "int4"
+           and full.eng.ecfg.int4_layout == "a8" else {}),
         "hw": jax.devices()[0].device_kind,
         **({"barrier_unreliable": BARRIER_FLAGS["readback_timeouts"]}
            if BARRIER_FLAGS["readback_timeouts"] else {}),
