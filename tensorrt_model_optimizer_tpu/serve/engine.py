@@ -394,13 +394,23 @@ def _kv_amax_from(qstate, which: str) -> Optional[jax.Array]:
 
 def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask,
                    ck, cv, pos, k_amax_l, v_amax_l, tp_axis=None,
-                   sparse_prefill=False, alt_flag=None):
+                   sparse_prefill=False, alt_flag=None, decode_inplace=False):
     """One decoder layer on packed weights. ck/cv: [B, S, n_kv, hd] stored.
 
     `alt_flag` is the per-layer scan-traced bool used by alternating
     architectures: GPT-OSS (True = sliding mask, already folded into
     `mask`) and Llama4 (True = rope+chunked layer, False = nope layer with
-    attention temperature tuning)."""
+    attention temperature tuning).
+
+    `decode_inplace` (T == 1 only): do NOT write the cache here — return
+    the current token's STORED-form k/v instead of updated ck/cv, and
+    attend via split attention (scores over the old cache + the current
+    token's own QDQ'd k/v patched in at `pos`). The caller batches one
+    in-place cache update after the layer scan. Rationale: threading the
+    cache through lax.scan as ys makes XLA materialize a FRESH full cache
+    (+ zero-init temps) every model step — 2 x 1.27 GB HLO temps at BS64
+    with the packed NVFP4 cache (r04 BS64 grid OOM, 190 MB over HBM), and
+    a full-cache write per step on the relay."""
     B, T, H = x.shape
     hd, nH, nKV = cfg.hd, cfg.num_attention_heads, cfg.num_key_value_heads
     eps = cfg.rms_norm_eps
@@ -442,6 +452,50 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
         k = llama.rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
     kv_dtype = ecfg.kv_dtype
+    if decode_inplace:
+        # T == 1 split-attention decode: QDQ the current token's k/v (same
+        # numerics as store-then-load), attend over the OLD cache with the
+        # pos slot patched, and hand the stored rows back for ONE batched
+        # post-scan cache update (see docstring).
+        k_st = _kv_store(k, kv_dtype, k_amax_l).astype(ck.dtype)
+        v_st = _kv_store(v, kv_dtype, v_amax_l).astype(cv.dtype)
+        k_q = _kv_load(k_st, cfg.dtype, kv_dtype, k_amax_l)  # [B, 1, nKV, hd]
+        v_q = _kv_load(v_st, cfg.dtype, kv_dtype, v_amax_l)
+        k_all = _kv_load(ck, cfg.dtype, kv_dtype, k_amax_l)
+        v_all = _kv_load(cv, cfg.dtype, kv_dtype, v_amax_l)
+        rep = nH // nKV
+        qg = q.reshape(B, T, nKV, rep, hd)
+        scores = jnp.einsum("btgrd,bsgd->bgrts", qg, k_all,
+                            preferred_element_type=jnp.float32)
+        s_new = jnp.einsum("btgrd,bugd->bgrtu", qg, k_q,
+                           preferred_element_type=jnp.float32)
+        scores = jax.lax.dynamic_update_slice(
+            scores, s_new, (0, 0, 0, 0, pos))  # slot pos = current token
+        scores = scores.reshape(B, nH, T, -1) / math.sqrt(hd) + mask
+        sinks = lp.get("self_attn.sinks")
+        if sinks is not None:
+            probs = llama.sink_softmax(scores, sinks, x.dtype)
+        else:
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        w_new = jax.lax.dynamic_slice(
+            probs, (0, 0, 0, pos), (B, nH, T, 1))  # weight of current token
+        probs = jax.lax.dynamic_update_slice(
+            probs, jnp.zeros_like(w_new), (0, 0, 0, pos))  # old slot is stale
+        probs = probs.reshape(B, nKV, rep, T, -1)
+        ctx = jnp.einsum("bgrts,bsgd->btgrd", probs, v_all)
+        ctx = ctx + jnp.einsum(
+            "bgrtu,bugd->btgrd", w_new.reshape(B, nKV, rep, T, 1), v_q)
+        ctx = ctx.reshape(B * T, nH * hd)
+        attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True, overlap=ecfg.overlap_collectives)
+        if "self_attn.o_proj__bias" in lp:
+            attn = attn + lp["self_attn.o_proj__bias"].astype(attn.dtype)
+        x = x + attn.reshape(B, T, H)
+        h = llama.norm(cfg, x, lp["post_attention_layernorm"])
+        h2 = h.reshape(B * T, H)
+        d = _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis,
+                 overlap=ecfg.overlap_collectives)
+        x = x + d.reshape(B, T, H)
+        return x, k_st, v_st, None
     ck = jax.lax.dynamic_update_slice_in_dim(
         ck, _kv_store(k, kv_dtype, k_amax_l).astype(ck.dtype), pos, axis=1
     )
@@ -553,6 +607,14 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
     k_amax = _kv_amax_from(qstate, "k")
     v_amax = _kv_amax_from(qstate, "v")
 
+    # T == 1 decode: the cache stays a scan INPUT only — each layer emits
+    # just its new stored k/v row and ONE batched dynamic_update_slice
+    # lands them after the scan. Threading the cache through scan ys made
+    # XLA materialize a fresh full cache + zero-init temps every step
+    # (2 x 1.27 GB at BS64/nvfp4-KV — the r04 BS64 OOM) and write the
+    # whole cache per step.
+    decode_inplace = (T == 1 and mask_override is None and not sparse_prefill)
+
     def body(carry, per_layer):
         x = carry
         lp, lstate, ck, cv, ka, va, sliding = per_layer
@@ -560,7 +622,7 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
         x, ck, cv, keep_frac = _layer_forward(
             cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask_l, ck, cv,
             cache["pos"], ka, va, tp_axis=tp_axis, sparse_prefill=sparse_prefill,
-            alt_flag=sliding,
+            alt_flag=sliding, decode_inplace=decode_inplace,
         )
         ys = (ck, cv) if not sparse_prefill else (ck, cv, keep_frac)
         return x, ys
@@ -581,6 +643,14 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
         x, (ck, cv, keep_fracs) = jax.lax.scan(body, x, xs)
     else:
         x, (ck, cv) = jax.lax.scan(body, x, xs)
+    if decode_inplace:
+        # ck/cv are the stacked new rows [L, B, 1, nKV, ...]; one in-place
+        # update at `pos` along the sequence axis of [L, B, S, nKV, ...]
+        zeros = (0,) * (cache["k"].ndim - 3)
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], ck, (0, 0, cache["pos"]) + zeros)
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], cv, (0, 0, cache["pos"]) + zeros)
     x = llama.norm(cfg, x, params["norm"])
     head_w = params.get("lm_head", params["embed_tokens"])
     if full_logits:
