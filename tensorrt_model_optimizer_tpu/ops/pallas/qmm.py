@@ -1419,6 +1419,175 @@ def qmm_int4_w48(
 
 
 # --------------------------------------------------------------------------
+# NVFP4 bd4: block-major layout with O on lanes, one deep dot per K-tile
+# --------------------------------------------------------------------------
+#
+# word2's profile charges nvfp4 twice beyond the nibble decode: the scale
+# `pltpu.repeat` along LANES (an expensive vector shuffle, one written
+# element per weight) and the K-lane tile permutation of x. bd4 restructures
+# the tile so both disappear while the dot stays DEEP (the shallow
+# 16-contraction batched dot that a literal bd2 port would produce is
+# MXU-dispatch-bound at nvfp4's bsz=16):
+#
+#  - HBM words [K/64, 8, O] i32: O rides the LANE dim (natural order, no
+#    row pairing), sublanes are 8 i32 words = 64 weights = one K
+#    "super-block" of four 16-wide scale blocks. Nibble-group g of each
+#    word belongs to scale block g, so each group's decode output
+#    [K64, 16, O] is exactly one scale block;
+#  - the per-block E4M3-derived scale multiplies the decoded group with a
+#    SUBLANE broadcast (free in Mosaic vregs, vs word2's lane repeat), which
+#    makes the 4 groups concat into [K64, 64, O] -> one [TK, O] operand
+#    consumed by a single deep [TN, TK] x [TK, O] MXU dot per tile —
+#    no batched-dot scale tail, no x permutation, no r materialization.
+#
+# Decode construct, code remap, and zero handling are word2's (exact E2M1
+# by construction, `tests/test_numerics.py` contract; reference numeric
+# contract: `modelopt/torch/quantization/qtensor/nvfp4_tensor.py:18-49`).
+
+
+def bd4_supported(O: int, K: int, bsz: int) -> bool:
+    """bd4 needs blocks that tile the 64-weight super-block (16 for nvfp4,
+    32/64 for mxfp4 — scales duplicate per 16-group at pack time), K a
+    multiple of 64, and a Mosaic-legal lane tile."""
+    if bsz not in (16, 32, 64) or K % 64:
+        return False
+    try:
+        to = _word2_tile_o(O)
+    except ValueError:
+        return False
+    return to % 128 == 0 or to == O
+
+
+def _bd4_tile_k(K: int) -> int:
+    """K-tile for bd4 (multiple of 64). Default 4096 (same class as bd2's
+    measured-best TK); for K it doesn't divide, the largest <=4096 divisor
+    that is a multiple of 64 (14336 -> 3584) keeps the decoded [K64, 64,
+    TO] bf16 tile inside the scoped-vmem budget."""
+    tk = int(os.environ.get("QMM_BD4_TK", "4096"))
+    if K % tk == 0:
+        return tk
+    for t in range(min(4096, K), 63, -64):
+        if K % t == 0:
+            return t
+    return K
+
+
+def nvfp4_bd4_pack(
+    packed: jax.Array,     # [O/2, K] plane-packed uint8 (E2M1 codes)
+    scale_lo: jax.Array,   # [O/2, K/bsz]
+    scale_hi: jax.Array,
+    block_size: int = 16,
+):
+    """Plane layout -> bd4. Word at (B, r, o) holds, in nibble-group g of
+    half h (h=0 = bits 0-15), the code of k = B*64 + g*16 + j with
+    j = 2r+h ("interleaved" i32->bf16 bitcast order) or h*8+r ("split").
+    Codes get word2's m-slot 0<->1 remap so the kernel's affine construct
+    decodes E2M1 exactly.
+
+    Returns (packed_bd4 [..., K/64, 8, O] int32,
+             scalesT    [..., 4, K/64, O] bf16)."""
+    O2, K = packed.shape[-2:]
+    O = 2 * O2
+    lead = packed.shape[:-2]
+    codes = jnp.concatenate([packed & 0xF, packed >> 4], axis=-2).astype(jnp.int32)
+    m = codes & 7
+    codes = (codes & 8) | (m ^ (m < 2).astype(jnp.int32))
+    B = K // 64
+    c = codes.reshape(lead + (O, B, 4, 16))
+    if _bitcast_order() == "interleaved":
+        c = c.reshape(lead + (O, B, 4, 8, 2))
+        lo, hi = c[..., 0], c[..., 1]            # [.., O, B, 4, 8]
+    else:
+        c = c.reshape(lead + (O, B, 4, 2, 8))
+        lo, hi = c[..., 0, :], c[..., 1, :]
+    half_lo = jnp.zeros(lead + (O, B, 8), jnp.int32)
+    half_hi = jnp.zeros(lead + (O, B, 8), jnp.int32)
+    for g in range(4):
+        half_lo = half_lo | (lo[..., g, :] << (4 * g))
+        half_hi = half_hi | (hi[..., g, :] << (4 * g))
+    word = jnp.moveaxis(half_lo | (half_hi << 16), -3, -1)  # [.., B, 8, O]
+    scales = jnp.concatenate(
+        [scale_lo, scale_hi], axis=-2
+    ).astype(jnp.float32).astype(jnp.bfloat16)              # [.., O, K/bsz]
+    # kernel row g covers k = g*16..g*16+15 -> scale block (g*16)//bsz;
+    # wider blocks (mxfp4's 32/64) duplicate per 16-group
+    sT = scales.reshape(lead + (O, B, 64 // block_size))
+    if block_size != 16:
+        sT = jnp.repeat(sT, block_size // 16, axis=-1)
+    sT = jnp.moveaxis(sT, (-3, -1), (-1, -3))               # [.., 4, B, O]
+    return word, sT
+
+
+def _nvfp4_bd4_kernel(x_ref, w_ref, s_ref, gs_ref, o_ref, acc):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    p = w_ref[:]   # [K64, 8, TO] i32: 2 halves x 4 nibble-groups
+    parts = []
+    for g in range(4):
+        n = (p >> (4 * g) if g else p) & 0x000F000F
+        m = n & 0x00070007
+        bits = (m + 0x00FC00FC) << 6               # affine E2M1 field
+        zm = ((m ^ 0x00010001) + 0x00070007) & 0x00080008  # 8 iff m != 1
+        bits = bits & (zm * 0x0FF8)                # zero slot -> field 0
+        bits = bits | ((n & 0x00080008) << 12)     # sign -> bf16 bit 15
+        w = pltpu.bitcast(bits, jnp.bfloat16)      # [K64, 16, TO]
+        # block scale: sublane broadcast (vs word2's lane repeat); the
+        # E2M1 x E4M3 product is exact in bf16 (both mantissas on the
+        # 1/128 grid, no subnormals)
+        parts.append(w * s_ref[g][:, None, :])
+    wcat = jnp.concatenate(parts, axis=1)          # [K64, 64, TO]
+    wfull = wcat.reshape(wcat.shape[0] * 64, wcat.shape[2])
+    acc[:] += jax.lax.dot_general(
+        x_ref[:], wfull, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc[:] * gs_ref[0, 0]).astype(o_ref.dtype)
+
+
+def qmm_nvfp4_bd4(
+    x: jax.Array,
+    packed_bd4: jax.Array,  # [K/64, 8, O] int32
+    scalesT: jax.Array,     # [4, K/64, O] bf16
+    global_scale: jax.Array,
+) -> jax.Array:
+    N, K = x.shape
+    O = scalesT.shape[-1]
+    tk = _bd4_tile_k(K)
+    gk = K // tk
+    to = _word2_tile_o(O)
+    go = O // to
+    tn = _word_tile_n(N)
+    gn = N // tn
+    gs2 = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+    return pl.pallas_call(
+        _nvfp4_bd4_kernel,
+        grid=(gn, go, gk),
+        in_specs=[
+            pl.BlockSpec((tn, tk), lambda n, i, j: (n, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 64, 8, to), lambda n, i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tk // 64, to), lambda n, i, j: (0, j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda n, i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, to), lambda n, i, j: (n, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tn, to), jnp.float32)],
+        interpret=_interpret(),
+    )(x, packed_bd4, scalesT, gs2)
+
+
+# --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
 
@@ -1538,6 +1707,13 @@ def quantized_matmul(x: jax.Array, kind: str, arrays: dict) -> jax.Array:
     if kind == "nvfp4w2":  # 4-bytes-per-lane remapped-decode layout
         return qmm_nvfp4_word2(x, arrays["packed"], arrays["scales"],
                                arrays["global_scale"])
+    if kind == "nvfp4b4":  # block-major O-on-lanes deep-dot layout
+        return qmm_nvfp4_bd4(x, arrays["packed"], arrays["scales"],
+                             arrays["global_scale"])
+    if kind == "mxfp4b4":  # same kernel; scales pre-duplicated per
+        # 16-group at pack time, exact bf16 powers of two, no global scale
+        return qmm_nvfp4_bd4(x, arrays["packed"], arrays["scales"],
+                             jnp.float32(1.0))
     if kind == "mxfp4w2":  # MXFP4 on the word2 kernel: 32-wide blocks,
         # exact power-of-two bf16 scales, no global scale
         bs = x.shape[-1] // arrays["scales"].shape[-1]

@@ -228,12 +228,28 @@ def word_convert_site(kind: str, arr: dict, layout: str = "word") -> tuple[str, 
     from ..ops.pallas import qmm as qmm_mod
 
     if kind == "nvfp4":
-        pack = (qmm_mod.nvfp4_word2_pack if layout in ("word2", "bd2")
+        if layout == "bd4":
+            bsz = arr["packed"].shape[-1] // arr["scale_lo"].shape[-1]
+            O = 2 * arr["packed"].shape[-2]
+            K = arr["packed"].shape[-1]
+            if qmm_mod.bd4_supported(O, K, bsz):
+                # block-major O-on-lanes deep-dot layout
+                # (qmm.qmm_nvfp4_bd4); falls back to word2 below on
+                # unsupported shapes, like bd2/a8 do for int4.
+                qmm_mod._bitcast_order()  # probe caches before lax.map trace
+                packed, scales = _map_leading(
+                    qmm_mod.nvfp4_bd4_pack, arr["packed"],
+                    arr["scale_lo"], arr["scale_hi"])
+                return "nvfp4b4", {
+                    "packed": packed, "scales": scales,
+                    "global_scale": arr["global_scale"],
+                }
+        pack = (qmm_mod.nvfp4_word2_pack if layout in ("word2", "bd2", "bd4")
                 else qmm_mod.nvfp4_word_pack)
         packed, scales = _map_leading(
             pack, arr["packed"], arr["scale_lo"], arr["scale_hi"]
         )
-        return ("nvfp4w2" if layout in ("word2", "bd2") else "nvfp4w"), {
+        return ("nvfp4w2" if layout in ("word2", "bd2", "bd4") else "nvfp4w"), {
             "packed": packed, "scales": scales,
             "global_scale": arr["global_scale"],
         }
@@ -283,7 +299,19 @@ def word_convert_site(kind: str, arr: dict, layout: str = "word") -> tuple[str, 
             "packed": packed, "scales": scales}
     if kind == "mxfp4":
         bsz = arr["packed"].shape[-1] // arr["exp_lo"].shape[-1]
-        base = (qmm_mod.nvfp4_word2_pack if layout in ("word2", "bd2")
+        if layout == "bd4":
+            O = 2 * arr["packed"].shape[-2]
+            K = arr["packed"].shape[-1]
+            if qmm_mod.bd4_supported(O, K, bsz):
+                # E8M0 exponents -> exact f32 powers of two; the pack's
+                # f32->bf16 cast is exact in the normal range
+                qmm_mod._bitcast_order()
+                slo = jnp.ldexp(jnp.float32(1.0), arr["exp_lo"].astype(jnp.int32))
+                shi = jnp.ldexp(jnp.float32(1.0), arr["exp_hi"].astype(jnp.int32))
+                pack = functools.partial(qmm_mod.nvfp4_bd4_pack, block_size=bsz)
+                packed, scales = _map_leading(pack, arr["packed"], slo, shi)
+                return "mxfp4b4", {"packed": packed, "scales": scales}
+        base = (qmm_mod.nvfp4_word2_pack if layout in ("word2", "bd2", "bd4")
                 else qmm_mod.nvfp4_word_pack)
         pack = functools.partial(base, block_size=bsz)
         packed, _ = _map_leading(
@@ -294,7 +322,7 @@ def word_convert_site(kind: str, arr: dict, layout: str = "word") -> tuple[str, 
         )
         scales = _exp_to_bf16(
             jnp.concatenate([arr["exp_lo"], arr["exp_hi"]], axis=-2))
-        kind2 = "mxfp4w2" if layout in ("word2", "bd2") else "mxfp4w"
+        kind2 = "mxfp4w2" if layout in ("word2", "bd2", "bd4") else "mxfp4w"
         return kind2, {"packed": packed, "scales": scales}
     return kind, arr
 
@@ -477,6 +505,39 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
         vals = codes.astype(jnp.float32) - 8.0  # pack stored u = v + 8
         sc = jnp.swapaxes(arrays["scales"].astype(jnp.float32), -1, -2)
         w = vals * numerics.expand_block_scale(sc, vals.shape, ((-1, bsz),))
+        return w.astype(out_dtype)
+    if kind in ("nvfp4b4", "mxfp4b4"):
+        # inverse of qmm.nvfp4_bd4_pack: [.., K/64, 8, O] words -> codes,
+        # group g of half h holds k = B*64 + g*16 + j (j order per
+        # `_bitcast_order()`). mxfp4b4 stores its wider-block scales
+        # duplicated per 16-group, so expanding at 16-granularity is
+        # equivalent (and it has no global scale).
+        from ..ops.pallas import qmm as qmm_mod
+
+        p = jnp.moveaxis(arrays["packed"], -1, -3)  # [.., O, B, 8]
+        lead = p.shape[:-3]
+        O, B = p.shape[-3], p.shape[-2]
+        K = B * 64
+        groups = []
+        for g in range(4):
+            lo = (p >> (4 * g)) & 0xF
+            hi = (p >> (16 + 4 * g)) & 0xF
+            if qmm_mod._bitcast_order() == "interleaved":
+                blk = jnp.stack([lo, hi], axis=-1).reshape(
+                    lead + (O, B, 16))          # j = 2r + h
+            else:
+                blk = jnp.concatenate([lo, hi], axis=-1)  # j = h*8 + r
+            groups.append(blk)
+        codes = jnp.stack(groups, axis=-2).reshape(lead + (O, K))
+        m = codes & 7
+        codes = (codes & 8) | (m ^ (m < 2).astype(codes.dtype))  # unswap
+        vals = numerics.codes_to_fp4(codes)
+        sc = jnp.moveaxis(arrays["scales"], (-3, -1), (-1, -3))  # [.., O, B, 4]
+        sc = sc.reshape(lead + (O, K // 16)).astype(jnp.float32)
+        gs = arrays.get("global_scale")
+        if gs is not None:
+            sc = sc * (gs[..., None, None] if gs.ndim else gs)
+        w = vals * numerics.expand_block_scale(sc, vals.shape, ((-1, 16),))
         return w.astype(out_dtype)
     if kind in ("nvfp4w2", "int4w2", "mxfp4w2", "int4b2"):
         from ..ops.pallas import qmm as qmm_mod

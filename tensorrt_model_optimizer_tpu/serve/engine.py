@@ -48,7 +48,7 @@ class EngineConfig:
     # E2M1 affine construction) — DEFAULT since the r04 engine-level A/B:
     # 26.53 ms/step (1.083x chip-normalized bf16) vs word's 28.86 (0.98x)
     # at 8B L32 BS8 (artifacts/bench_r04/engine_nvfp4_*.json)
-    nvfp4_layout: str = "word2"  # "word" | "word2" | "perm" | "blockdot"
+    nvfp4_layout: str = "word2"  # "word"|"word2"|"bd4"|"perm"|"blockdot"
     # INT4 serving layout: "word" converts to the row-pair magic-number
     # kernel layout (one full-depth dot; scales round to bf16) — on-chip
     # same-session A/B 2026-08-18 (bench_kernels BS8 gate-proj): word
@@ -871,13 +871,15 @@ class Engine:
                 cm = convert_nvfp4_perm(cm)
             # mxfp4 has no blockdot kernel — a word layout IS the fused
             # path (otherwise serving falls back to XLA decompress)
-            mx_layout = "word2" if config.nvfp4_layout == "word2" else "word"
+            mx_layout = {"word2": "word2", "bd4": "bd4"}.get(
+                config.nvfp4_layout, "word")
             from ..quant.compress import convert_packed_layouts
 
             cm = convert_packed_layouts(
                 cm,
                 nvfp4=(config.nvfp4_layout
-                       if config.nvfp4_layout in ("word", "word2") else "blockdot"),
+                       if config.nvfp4_layout in ("word", "word2", "bd4")
+                       else "blockdot"),
                 int4=config.int4_layout,
                 mxfp4=mx_layout,
             )

@@ -216,15 +216,18 @@ def _word_pack_sharded(kind: str, layout: str, arrays: dict, col: bool,
         slo = jnp.ldexp(jnp.float32(1.0), arrays["exp_lo"].astype(jnp.int32))
         shi = jnp.ldexp(jnp.float32(1.0), arrays["exp_hi"].astype(jnp.int32))
         bsz = K // slo.shape[-1]
-        base = (qmm_mod.nvfp4_word2_pack if layout == "word2"
+        base = (qmm_mod.nvfp4_word2_pack if layout in ("word2", "bd4")
                 else qmm_mod.nvfp4_word_pack)
         pack = functools.partial(base, block_size=bsz)
-        new_kind = "mxfp4w2" if layout == "word2" else "mxfp4w"
+        new_kind = "mxfp4w2" if layout in ("word2", "bd4") else "mxfp4w"
     elif kind == "nvfp4":
         slo, shi = arrays["scale_lo"], arrays["scale_hi"]
-        pack = (qmm_mod.nvfp4_word2_pack if layout in ("word2", "bd2")
+        # bd4 falls back to word2 under TP for now: its block-major
+        # [K/64, 8, O] arrays need their own shard-spec plumbing; the
+        # single-device engine path serves bd4 natively.
+        pack = (qmm_mod.nvfp4_word2_pack if layout in ("word2", "bd2", "bd4")
                 else qmm_mod.nvfp4_word_pack)
-        new_kind = "nvfp4w2" if layout in ("word2", "bd2") else "nvfp4w"
+        new_kind = "nvfp4w2" if layout in ("word2", "bd2", "bd4") else "nvfp4w"
     else:  # int4
         slo, shi = arrays["scale_lo"], arrays["scale_hi"]
         bsz = K // slo.shape[-1]

@@ -362,6 +362,69 @@ class TestMoreFormats:
         corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(ref[:, -1]).ravel())[0, 1]
         assert corr > 0.99, corr
 
+    def test_nvfp4_bd4_layout_roundtrip_and_engine(self, tiny_ptq):
+        """nvfp4 "bd4" (block-major O-on-lanes deep-dot layout): decompress
+        inverts the pack exactly; the kernel is bit-identical to word2 on
+        the same weights (both use the word2 decode construct + bf16 scale
+        fold); engine with nvfp4_layout='bd4' stays in parity."""
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "NVFP4_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        name = "mlp.down_proj"
+        arr0 = {k: v[0] for k, v in cm.params["layers"][name].items()}
+        d0 = compress.decompress_weight("nvfp4", arr0, out_dtype=jnp.float32)
+        O, K = d0.shape
+        if qmm.bd4_supported(O, K, 16):
+            pk, sc = qmm.nvfp4_bd4_pack(arr0["packed"], arr0["scale_lo"],
+                                        arr0["scale_hi"])
+            assert pk.shape == (K // 64, 8, O) and sc.shape == (4, K // 64, O)
+            d1 = compress.decompress_weight(
+                "nvfp4b4", {"packed": pk, "scales": sc,
+                            "global_scale": arr0["global_scale"]},
+                out_dtype=jnp.float32)
+            np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+            x = jnp.asarray(
+                np.random.default_rng(3).normal(size=(8, K)).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            pw2, sw2 = qmm.nvfp4_word2_pack(
+                arr0["packed"], arr0["scale_lo"], arr0["scale_hi"])
+            y2 = qmm.qmm_nvfp4_word2(x, pw2, sw2, arr0["global_scale"])
+            y4 = qmm.qmm_nvfp4_bd4(x, pk, sc, arr0["global_scale"])
+            np.testing.assert_array_equal(np.asarray(y4), np.asarray(y2))
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+            max_seq_len=32, backend="pallas", nvfp4_layout="bd4"))
+        expect = "nvfp4b4" if qmm.bd4_supported(O, K, 16) else "nvfp4w2"
+        assert eng.cm.kinds[name] == expect
+        prompt = batches[0][:, :8]
+        logits, _ = eng.prefill(prompt, eng.init_cache(2, 32))
+        ref, _, _ = model.forward(prompt)
+        corr = np.corrcoef(np.asarray(logits).ravel(),
+                           np.asarray(ref[:, -1]).ravel())[0, 1]
+        assert corr > 0.99, corr
+
+    def test_mxfp4_bd4_roundtrip_and_matmul(self):
+        """mxfp4 on the bd4 kernel: 32-wide power-of-two scales duplicate
+        per 16-group at pack time; decompress inverts exactly and the
+        kernel matches word2 bit-for-bit on the same weights."""
+        from tensorrt_model_optimizer_tpu.quant.config import MXFP4_BLOCK32
+
+        rng = np.random.default_rng(5)
+        O, K = 256, 512
+        w = jnp.asarray(rng.normal(size=(O, K)).astype(np.float32))
+        kind, arr = compress.compress_weight(w, MXFP4_BLOCK32, None)
+        assert kind == "mxfp4"
+        ref = compress.decompress_weight(kind, arr, jnp.float32)
+        k4, a4 = compress.word_convert_site(kind, arr, layout="bd4")
+        assert k4 == "mxfp4b4"
+        d4 = compress.decompress_weight(k4, a4, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(d4), np.asarray(ref))
+        k2, a2 = compress.word_convert_site(kind, arr, layout="word2")
+        x = jnp.asarray(rng.normal(size=(8, K)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        y4 = qmm.quantized_matmul(x, k4, a4)
+        y2 = qmm.quantized_matmul(x, k2, a2)
+        np.testing.assert_array_equal(np.asarray(y4), np.asarray(y2))
+
     def test_int4_word_kernel_matches_blockdot(self):
         """Magic-number int4 word kernel vs the blockdot kernel. Not
         bit-identical (block scales round to bf16 and multiply the weights
