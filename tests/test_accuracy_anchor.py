@@ -77,9 +77,9 @@ def test_quantized_ppl_delta_gate(anchor, preset, bound):
 @pytest.mark.slow
 def test_moe_anchor_nvfp4_gate():
     """CI gate on the trained MoE anchor: NVFP4 dppl stays within 2x its
-    recorded value (0.0287 @ 2026-08-20, round-3 anchor retrained on the
-    hardened synthlang w/ hops + in-context override docs) and the baseline
-    ppl reproduces."""
+    recorded value (0.0249 @ 2026-08-20, round-4 anchor retrained on the
+    seq-448 long-range corpus — artifacts/bench_r04/moe_accuracy_cpu.log)
+    and the baseline ppl reproduces."""
     import jax.numpy as jnp
 
     from tensorrt_model_optimizer_tpu.models import hf_loader, mixtral
@@ -94,9 +94,9 @@ def test_moe_anchor_nvfp4_gate():
     lang = synthlang.SynthLang(0)
     ev = list(lang.eval_batches(4, 8, 128, seed=999))
     base = perplexity(cfg, params, ev, forward_fn=mixtral.forward)
-    assert abs(base - 2.7949) < 0.05, base
+    assert abs(base - 3.1571) < 0.05, base
     calib = [jnp.asarray(b) for b in lang.eval_batches(2, 8, 128, seed=555)]
     model = ptq.quantize_family("mixtral", cfg, params, "NVFP4_DEFAULT_CFG", calib)
     ppl = perplexity(cfg, model.params, ev, layout=model.layout,
                      qstate=model.qstate, forward_fn=mixtral.forward)
-    assert ppl - base < 2 * 0.0287 + 0.005, (ppl, base)
+    assert ppl - base < 2 * 0.0249 + 0.005, (ppl, base)
