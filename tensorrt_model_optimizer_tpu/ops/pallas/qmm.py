@@ -1518,7 +1518,7 @@ def nvfp4_bd4_pack(
     return word, sT
 
 
-def _nvfp4_bd4_kernel(x_ref, w_ref, s_ref, gs_ref, o_ref, acc):
+def _nvfp4_bd4_kernel(flat, x_ref, w_ref, s_ref, gs_ref, o_ref, acc):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -1540,11 +1540,22 @@ def _nvfp4_bd4_kernel(x_ref, w_ref, s_ref, gs_ref, o_ref, acc):
         # 1/128 grid, no subnormals)
         parts.append(w * s_ref[g][:, None, :])
     wcat = jnp.concatenate(parts, axis=1)          # [K64, 64, TO]
-    wfull = wcat.reshape(wcat.shape[0] * 64, wcat.shape[2])
-    acc[:] += jax.lax.dot_general(
-        x_ref[:], wfull, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    x3 = x_ref[:]                                  # [K64, TN, 64]
+    if flat:
+        # one deep [TN, TK] x [TK, TO] dot: merges the batch dim into
+        # sublanes (reshape may relayout — A/B'd on-chip vs batched)
+        wfull = wcat.reshape(wcat.shape[0] * 64, wcat.shape[2])
+        xfull = jnp.swapaxes(x3, 0, 1).reshape(-1, wfull.shape[0])
+        acc[:] += jax.lax.dot_general(
+            xfull, wfull, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        r = jax.lax.dot_general(
+            x3, wcat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [K64, TN, TO] batched 64-deep dots
+        acc[:] += jnp.sum(r, axis=0)
 
     @pl.when(j == pl.num_programs(2) - 1)
     def _():
@@ -1566,11 +1577,13 @@ def qmm_nvfp4_bd4(
     tn = _word_tile_n(N)
     gn = N // tn
     gs2 = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+    flat = os.environ.get("QMM_BD4_FLAT", "0") == "1"
+    x3 = jnp.swapaxes(x.reshape(N, K // 64, 64), 0, 1)  # [K/64, N, 64]
     return pl.pallas_call(
-        _nvfp4_bd4_kernel,
+        functools.partial(_nvfp4_bd4_kernel, flat),
         grid=(gn, go, gk),
         in_specs=[
-            pl.BlockSpec((tn, tk), lambda n, i, j: (n, j),
+            pl.BlockSpec((tk // 64, tn, 64), lambda n, i, j: (j, n, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk // 64, 8, to), lambda n, i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
@@ -1584,7 +1597,7 @@ def qmm_nvfp4_bd4(
         out_shape=jax.ShapeDtypeStruct((N, O), x.dtype),
         scratch_shapes=[pltpu.VMEM((tn, to), jnp.float32)],
         interpret=_interpret(),
-    )(x, packed_bd4, scalesT, gs2)
+    )(x3, packed_bd4, scalesT, gs2)
 
 
 # --------------------------------------------------------------------------
