@@ -1464,7 +1464,10 @@ def _bd4_tile_k(K: int) -> int:
     that is a multiple of 64 (14336 -> 3584) keeps the decoded [K64, 64,
     TO] bf16 tile inside the scoped-vmem budget."""
     tk = int(os.environ.get("QMM_BD4_TK", "4096"))
-    if K % tk == 0:
+    # only honor the override when it is a Mosaic-legal bd4 tile (multiple
+    # of 64 that divides K) — otherwise fall through to the divisor search
+    # instead of producing tk//64 == 0 BlockSpec shapes
+    if tk % 64 == 0 and tk > 0 and K % tk == 0:
         return tk
     for t in range(min(4096, K), 63, -64):
         if K % t == 0:

@@ -232,7 +232,11 @@ def word_convert_site(kind: str, arr: dict, layout: str = "word") -> tuple[str, 
             bsz = arr["packed"].shape[-1] // arr["scale_lo"].shape[-1]
             O = 2 * arr["packed"].shape[-2]
             K = arr["packed"].shape[-1]
-            if qmm_mod.bd4_supported(O, K, bsz):
+            # nvfp4_bd4_pack below runs with its default block_size=16, so
+            # only take this branch for 16-blocks (bd4_supported also
+            # accepts 32/64, which are mxfp4's) — anything else falls to
+            # the word2 path like other unsupported shapes
+            if bsz == 16 and qmm_mod.bd4_supported(O, K, bsz):
                 # block-major O-on-lanes deep-dot layout
                 # (qmm.qmm_nvfp4_bd4); falls back to word2 below on
                 # unsupported shapes, like bd2/a8 do for int4.

@@ -48,7 +48,11 @@ class EngineConfig:
     # E2M1 affine construction) — DEFAULT since the r04 engine-level A/B:
     # 26.53 ms/step (1.083x chip-normalized bf16) vs word's 28.86 (0.98x)
     # at 8B L32 BS8 (artifacts/bench_r04/engine_nvfp4_*.json)
-    nvfp4_layout: str = "word2"  # "word"|"word2"|"bd4"|"perm"|"blockdot"
+    # "bd4" is EXPERIMENTAL AND MEASURED SLOW: ~621 ms/step vs word2's
+    # ~26.5 at 8B BS8 (artifacts/bench_r04b/engine_nvfp4_bd4_flat.json;
+    # the default-TK run OOMed) — kept for the post-mortem record only,
+    # word2 is the recommended layout. See BENCH_RESULTS.md "bd4".
+    nvfp4_layout: str = "word2"  # "word"|"word2"|"bd4"(slow)|"perm"|"blockdot"
     # INT4 serving layout: "word" converts to the row-pair magic-number
     # kernel layout (one full-depth dot; scales round to bf16) — on-chip
     # same-session A/B 2026-08-18 (bench_kernels BS8 gate-proj): word
