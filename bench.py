@@ -298,6 +298,12 @@ def build_engine(fmt, n_layers):
             kv_dtype={"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
                       "nvfp4": "nvfp4", "nvfp4_fake": "nvfp4_fake"}[kv],
         )
+    if os.environ.get("BENCH_KVK", "0") == "1":
+        # packed-KV Pallas decode attention (kv-head-major stored cache;
+        # ops/pallas/kv_attention.py) — r5 A/B knob
+        import dataclasses as _dc
+
+        ecfg = _dc.replace(ecfg, kv_attention_kernel=True)
     eng = serve_engine.Engine(cm, ecfg)
     # return the ENGINE's cm: Engine converts nvfp4 to the serving layout, and
     # holding the pre-conversion packed weights too doubles HBM (OOMed)

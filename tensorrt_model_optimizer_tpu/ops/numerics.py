@@ -376,6 +376,54 @@ def real_quant_nvfp4(
     return packed, s8_code, gs
 
 
+def real_quant_nvfp4_planes(
+    x: jax.Array,
+    block_size: int = 16,
+    global_amax: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """PLANE-packed NVFP4 along the last axis (serving KV-cache layout).
+
+    Byte j holds codes for logical elements j (low nibble) and j + N/2
+    (high nibble), so the Pallas KV decode kernel unpacks with two masked
+    copies and no element interleave (`ops/pallas/kv_attention.py`).
+    Quantization math is identical to `real_quant_nvfp4` (reference
+    contract `nvfp4_quant.py:92-110`); only the byte order differs.
+
+    Returns (planes uint8 [..., N/2], E4M3 block-scale BITS as uint8
+    [..., N/block], fp32 global scale scalar).
+    """
+    x32 = x.astype(jnp.float32)
+    if global_amax is None:
+        global_amax = jnp.max(jnp.abs(x32))
+    gs = nvfp4_global_scale(global_amax)
+    sizes = ((x32.ndim - 1, block_size),)
+    bam = block_amax_compact(x32, sizes)
+    s8_val = cast_e4m3(bam / (6.0 * gs))
+    s8_val = jnp.where(s8_val <= 0.0, jnp.ones_like(s8_val), s8_val)
+    s8_bits = jax.lax.bitcast_convert_type(
+        jnp.clip(s8_val, -448.0, 448.0).astype(jnp.float8_e4m3fn), jnp.uint8)
+    sb_full = expand_block_scale(s8_val * gs, x32.shape, sizes)
+    codes = fp4_to_codes(fp4_round(x32 / sb_full))
+    h = x32.shape[-1] // 2
+    planes = (codes[..., :h] | (codes[..., h:] << 4)).astype(jnp.uint8)
+    return planes, s8_bits, gs
+
+
+def nvfp4_planes_code_load(planes: jax.Array, scale_bits: jax.Array,
+                           out_dtype=jnp.float32) -> jax.Array:
+    """Dequantize plane-packed NVFP4 to CODE-DOMAIN values (E2M1 value x
+    E4M3 block scale, NO global scale) — the XLA-side mirror of the Pallas
+    in-kernel decode, used for the current decode token and parity tests."""
+    h = planes.shape[-1]
+    codes = jnp.concatenate([planes & 0xF, (planes >> 4) & 0xF], axis=-1)
+    vals = codes_to_fp4(codes)
+    s = jax.lax.bitcast_convert_type(
+        scale_bits, jnp.float8_e4m3fn).astype(jnp.float32)
+    block = (2 * h) // s.shape[-1]
+    sexp = expand_block_scale(s, vals.shape, ((vals.ndim - 1, block),))
+    return (vals * sexp).astype(out_dtype)
+
+
 def fp4_to_codes(q: jax.Array) -> jax.Array:
     """Map E2M1 values to 4-bit codes (sign bit | 3-bit magnitude index)."""
     mags = jnp.array(E2M1_VALUES, dtype=jnp.float32)

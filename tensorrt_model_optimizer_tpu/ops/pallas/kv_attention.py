@@ -1,0 +1,268 @@
+"""Pallas decode attention consuming the QUANTIZED KV cache in VMEM.
+
+The round-4 BS64 grid measured the missing kernel directly: with a packed
+NVFP4 KV cache the dense decode path dequantized the WHOLE cache in XLA
+before the attention einsum (~19 GB of bf16 materialized per step at
+BS64 x 2304 ctx), collapsing every weight format to the bf16 anchor; the
+fp8 cache's [B,S,nKV,hd] bf16 dequant was the BS64 OOM. This kernel is the
+TPU-native analog of the reference's decode attention with in-kernel
+QDQ (`/root/reference/modelopt/torch/kernels/common/attention/
+decode_attention.py:47,263`, BMM2 QDQ `kernels/quantization/attention/
+bmm2_qdq.py`): the cache stays in stored form in HBM, tiles stream to VMEM,
+and dequantization happens per tile on the VPU right before the MXU dots —
+the bf16 cache image never exists.
+
+Cache layout (kernel mode): kv-head-major `[B, n_kv, S, C]` per layer so
+every per-head tile is a 2-D `[S_blk, C]` slab (Mosaic-native; slicing a
+middle head axis of the `[B, S, n_kv, hd]` layout would force sublane
+relayouts). Stored forms:
+
+  - bf16:  C = hd, values as-is.
+  - int8:  C = hd, codes; per-layer scalar scale  amax/127.
+  - fp8:   C = hd, e4m3 values; per-layer scalar scale amax/448.
+  - nvfp4: C = hd/2 PLANE-PACKED nibbles (byte j = code[j] | code[j+hd/2]<<4)
+           plus a parallel `[B, n_kv, S, hd/16]` uint8 array of E4M3 block
+           scales. Plane packing (vs the reference's interleaved export
+           layout, `nvfp4_tensor.py:337`) makes the in-kernel unpack two
+           masked copies instead of an element interleave, and the logical
+           element split [0:hd/2) / [hd/2:hd) maps to contiguous LANE halves
+           of q — no permutation anywhere. Numerics (E2M1 grid, E4M3 block
+           scales, fp32 global scale) are bit-identical to the reference
+           contract (`nvfp4_quant.py:92-110`); only the byte order differs,
+           and the cache is an internal serving structure.
+
+Scale folding: per-layer GLOBAL scales fold outside the kernel — k's into q
+(scores are linear in k), v's into the context output — so the kernel works
+in the code domain; only NVFP4's per-16-element block scales apply in-kernel
+(expanded via a tiny [S_blk,nb] x [nb,hd] selection dot: `pltpu.repeat`
+tiles rather than element-repeats, and lane-reshapes relayout).
+
+The current token's k/v enter code-domain as a separate (nkv, 1, hd) input
+folded in the final grid step (split-attention semantics: cache rows < pos
+are valid, row `pos` is stale and masked; matches the engine's in-place
+decode update, `serve/engine.py` `_layer_forward` decode_inplace).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _e4m3_decode_f32(b32):
+    """E4M3 bit pattern (int32 lanes, sign assumed 0) -> f32 value.
+
+    Exact decode of the block-scale bytes written by
+    `numerics.real_quant_nvfp4` (scales are positive, <= 448, never NaN).
+    """
+    e = (b32 >> 3) & 0xF
+    m = (b32 & 0x7).astype(jnp.float32)
+    mag = jnp.ldexp(1.0 + m / 8.0, e - 7)
+    return jnp.where(e == 0, jnp.ldexp(m / 8.0, -6), mag)
+
+
+def _fp4_decode_f32(nib32):
+    """4-bit E2M1 code (int32 lanes) -> f32 value (qmm._fp4_decode_bf16)."""
+    idx = nib32 & 7
+    sign = jnp.where((nib32 & 8) != 0, -1.0, 1.0).astype(jnp.float32)
+    base = (2 + (idx & 1)).astype(jnp.float32) * 0.25
+    mag = jnp.ldexp(base, idx >> 1)
+    mag = jnp.where(idx == 1, 0.5, mag)
+    mag = jnp.where(idx == 0, 0.0, mag)
+    return sign * mag
+
+
+def _nvfp4_tile_decode(p_ref_slab, s_ref_slab, hd):
+    """Decode one [S_blk, hd/2] nibble slab + [S_blk, hd/16] scale slab to
+    code-domain values (E2M1 x E4M3-block-scale, NO global scale) as two
+    f32 planes ([S_blk, hd/2] each: elements [0:hd/2) and [hd/2:hd))."""
+    h = hd // 2
+    nb = hd // 16
+    p32 = p_ref_slab.astype(jnp.int32)
+    lo = _fp4_decode_f32(p32 & 0xF)          # elements [0, h)
+    hi = _fp4_decode_f32((p32 >> 4) & 0xF)   # elements [h, hd)
+    s = _e4m3_decode_f32(s_ref_slab.astype(jnp.int32))  # [S_blk, nb]
+    # expand scales to lanes with a selection dot (block b covers logical
+    # elements [16b, 16b+16)): E_lo[b, j] = [j//16 == b] for the lo plane,
+    # E_hi[b, j] = [j//16 + nb/2 == b]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, h), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, h), 1)
+    e_lo = (cols // 16 == rows).astype(jnp.float32)
+    e_hi = (cols // 16 + nb // 2 == rows).astype(jnp.float32)
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return lo * dot(s, e_lo), hi * dot(s, e_hi)
+
+
+def _decode_kernel(fmt, n_kv, rep, hd, bs, pos_ref, q_ref, k_ref, v_ref,
+                   kn_ref, vn_ref, ks_ref, vs_ref, o_ref, m_ref, l_ref,
+                   acc_ref):
+    i = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+    h = hd // 2
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def online_update(n, s, pv_fn):
+        """Streaming-softmax update for kv head n; `pv_fn(p)` returns the
+        [rep, hd] (or accumulated-into-acc) PV contribution."""
+        rows = slice(n * rep, (n + 1) * rep)
+        m_prev = m_ref[rows, :]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[rows, :] = l_ref[rows, :] * corr + jnp.sum(
+            p, axis=-1, keepdims=True)
+        acc_ref[rows, :] = acc_ref[rows, :] * corr + pv_fn(p)
+        m_ref[rows, :] = m_new
+
+    dot_t = functools.partial(  # contract last dims: [r, C] x [S, C] -> [r, S]
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dot = functools.partial(  # [r, S] x [S, C] -> [r, C]
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i < n_steps - 1)
+    def _():
+        pos = pos_ref[0]
+        n_valid = jnp.clip(pos - i * bs, 0, bs)
+
+        @pl.when(n_valid > 0)
+        def _():
+            q = q_ref[0].astype(jnp.float32)  # [n_kv*rep, hd]
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+            for n in range(n_kv):
+                qn = q[n * rep : (n + 1) * rep]
+                if fmt == "nvfp4":
+                    k_lo, k_hi = _nvfp4_tile_decode(k_ref[0, n], ks_ref[0, n], hd)
+                    s = dot_t(qn[:, :h], k_lo) + dot_t(qn[:, h:], k_hi)
+                else:
+                    s = dot_t(qn, k_ref[0, n].astype(jnp.float32))
+                s = jnp.where(col < n_valid, s, -1e30)
+
+                if fmt == "nvfp4":
+                    v_lo, v_hi = _nvfp4_tile_decode(v_ref[0, n], vs_ref[0, n], hd)
+
+                    def pv(p, v_lo=v_lo, v_hi=v_hi):
+                        return jnp.concatenate(
+                            [dot(p, v_lo), dot(p, v_hi)], axis=-1)
+                else:
+                    vn = v_ref[0, n].astype(jnp.float32)
+
+                    def pv(p, vn=vn):
+                        return dot(p, vn)
+
+                online_update(n, s, pv)
+
+    @pl.when(i == n_steps - 1)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        for n in range(n_kv):
+            qn = q[n * rep : (n + 1) * rep]
+            kn = kn_ref[0, n].astype(jnp.float32)  # [1, hd] code-domain
+            vn = vn_ref[0, n].astype(jnp.float32)
+            s = dot_t(qn, kn)  # [rep, 1]
+            online_update(n, s, lambda p, vn=vn: dot(p, vn))
+        l = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def _pick_block_s(S: int) -> int:
+    for bs in (512, 256, 128, 64, 32):
+        if S % bs == 0:
+            return bs
+    return S
+
+
+def kv_decode_attention(
+    q: jax.Array,        # [B, n_kv*rep, hd] kv-head-major rows, PRE-SCALED:
+                         #   q_eff = q * k_global_scale / sqrt(hd)
+    k_cache: jax.Array,  # [B, n_kv, S, C] stored form (see module doc)
+    v_cache: jax.Array,
+    k_new: jax.Array,    # [B, n_kv, 1, hd] CODE-DOMAIN current token
+    v_new: jax.Array,
+    pos: jax.Array,      # scalar int32: # valid cached rows (< pos valid)
+    fmt: str,            # "bf16" | "int8" | "fp8" | "nvfp4"
+    k_scales: jax.Array | None = None,  # [B, n_kv, S, hd/16] u8 (nvfp4)
+    v_scales: jax.Array | None = None,
+    block_s: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Streaming-softmax decode attention over the stored-form dense cache.
+
+    Returns the CODE-DOMAIN context [B, n_kv*rep, hd] (caller multiplies by
+    the per-layer v global scale). The cache's bf16 image never
+    materializes; HBM traffic is the stored bytes (0.28x bf16 for NVFP4).
+    """
+    B, HR, hd = q.shape
+    _, n_kv, S, C = k_cache.shape
+    rep = HR // n_kv
+    bs = block_s or _pick_block_s(S)
+    assert S % bs == 0, (S, bs)
+    n_s = S // bs
+    if interpret is None:
+        from .qmm import _interpret
+
+        interpret = _interpret()
+
+    pos_arr = jnp.reshape(pos, (1,)).astype(jnp.int32)
+    cache_idx = lambda b, i, p: (b, 0, jnp.minimum(i, n_s - 1), 0)
+    in_specs = [
+        pl.BlockSpec((1, HR, hd), lambda b, i, p: (b, 0, 0)),
+        pl.BlockSpec((1, n_kv, bs, C), cache_idx),
+        pl.BlockSpec((1, n_kv, bs, C), cache_idx),
+        pl.BlockSpec((1, n_kv, 1, hd), lambda b, i, p: (b, 0, 0, 0)),
+        pl.BlockSpec((1, n_kv, 1, hd), lambda b, i, p: (b, 0, 0, 0)),
+    ]
+    args = [q, k_cache, v_cache, k_new, v_new]
+    if fmt == "nvfp4":
+        nb = hd // 16
+        in_specs += [
+            pl.BlockSpec((1, n_kv, bs, nb), cache_idx),
+            pl.BlockSpec((1, n_kv, bs, nb), cache_idx),
+        ]
+        args += [k_scales, v_scales]
+    else:
+        # dummy 1-wide refs keep the kernel signature uniform
+        dummy = jnp.zeros((B, n_kv, bs, 8), jnp.uint8)
+        in_specs += [
+            pl.BlockSpec((1, n_kv, bs, 8), lambda b, i, p: (b, 0, 0, 0)),
+            pl.BlockSpec((1, n_kv, bs, 8), lambda b, i, p: (b, 0, 0, 0)),
+        ]
+        args += [dummy, dummy]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_s + 1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, HR, hd), lambda b, i, p: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((HR, 1), jnp.float32),
+            pltpu.VMEM((HR, 1), jnp.float32),
+            pltpu.VMEM((HR, hd), jnp.float32),
+        ],
+    )
+    kern = functools.partial(_decode_kernel, fmt, n_kv, rep, hd, bs)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, HR, hd), q.dtype),
+        interpret=interpret,
+    )(pos_arr, *args)

@@ -39,6 +39,20 @@ class EngineConfig:
     # paged decode attention via the Pallas kernel (scalar-prefetched block
     # tables); False = jnp gather path
     paged_attention_kernel: bool = False
+    # Dense decode/prefill attention via the packed-KV Pallas kernel
+    # (`ops/pallas/kv_attention.py`): the cache stays in STORED form
+    # (int8/fp8/plane-packed NVFP4) laid out kv-head-major
+    # [L, B, n_kv, S, C]; tiles dequantize in VMEM inside the attention
+    # kernel and the bf16 cache image never materializes (the r04 BS64
+    # collapse: ~19 GB/step of XLA dequant with the packed NVFP4 cache).
+    # Prefill runs the GQA flash kernel over the fresh tokens' QDQ'd k/v
+    # instead of an einsum over the full max_seq_len cache. TPU-native
+    # analog of the reference's decode attention with in-kernel QDQ
+    # (`kernels/common/attention/decode_attention.py:47,263`).
+    # Unsupported (engine init raises): attention sinks / sliding windows
+    # (GPT-OSS), Llama4 rope/nope chunking, attn_sparsity, and
+    # tree-speculative mask_override steps.
+    kv_attention_kernel: bool = False
     # NVFP4 serving layout: "word" converts to the row-pair SWAR kernel
     # layout at engine init — slope-timed on-chip at 204 us/gate-proj vs
     # 875 (blockdot) / 1243 (perm) / 955 (XLA decompress), 2026-08-18
@@ -396,9 +410,69 @@ def _kv_amax_from(qstate, which: str) -> Optional[jax.Array]:
     return a.reshape(a.shape[0], -1).max(axis=-1)  # [L]
 
 
+def _kv_fmt(kv_dtype) -> str:
+    """Map EngineConfig.kv_dtype to the kv_attention kernel format tag."""
+    if kv_dtype == "nvfp4":
+        return "nvfp4"
+    if kv_dtype == jnp.int8:
+        return "int8"
+    if kv_dtype == jnp.float8_e4m3fn:
+        return "fp8"
+    # None / model dtype / "nvfp4_fake" (stored as dequantized bf16 grid
+    # values) all serve as plain values with unit global scales
+    return "bf16"
+
+
+def _kv_globals(kv_dtype, k_amax_l, v_amax_l):
+    """Per-layer GLOBAL dequant scales (folded outside the kernel: k's into
+    q, v's into the context). Block scales (NVFP4) stay in-kernel."""
+    from ..ops import numerics
+
+    def one(amax):
+        if kv_dtype == jnp.int8:
+            return (amax if amax is not None else 448.0) / 127.0
+        if kv_dtype == jnp.float8_e4m3fn:
+            a = (amax if amax is not None else jnp.asarray(448.0))
+            return jnp.maximum(a.astype(jnp.float32), 1e-12) / 448.0
+        if kv_dtype == "nvfp4":
+            g = (amax if amax is not None
+                 else jnp.asarray(numerics.NVFP4_GLOBAL_DIV, jnp.float32))
+            return numerics.nvfp4_global_scale(g)
+        return jnp.asarray(1.0, jnp.float32)
+
+    return one(k_amax_l), one(v_amax_l)
+
+
+def _kv_store_kvh(v: jax.Array, kv_dtype, amax):
+    """Quantize k/v [B, T, n_kv, hd] into the kv-head-major kernel cache
+    form: (stored [B, n_kv, T, C], scales [B, n_kv, T, hd/16] | None)."""
+    from ..ops import numerics
+
+    vt = jnp.swapaxes(v, 1, 2)  # [B, n_kv, T, hd]
+    if kv_dtype == "nvfp4":
+        g = (amax if amax is not None
+             else jnp.asarray(numerics.NVFP4_GLOBAL_DIV, jnp.float32))
+        planes, sbits, _ = numerics.real_quant_nvfp4_planes(vt, 16, g)
+        return planes, sbits
+    return _kv_store(vt, kv_dtype, amax), None
+
+
+def _kv_code_new(stored: jax.Array, scales, kv_dtype, out_dtype):
+    """Stored form -> CODE-DOMAIN values [B, n_kv, T, hd] (global scale NOT
+    applied — the kernel's q/ctx folding covers it)."""
+    from ..ops import numerics
+
+    if kv_dtype == "nvfp4":
+        return numerics.nvfp4_planes_code_load(stored, scales, out_dtype)
+    if kv_dtype in (jnp.int8, jnp.float8_e4m3fn):
+        return stored.astype(jnp.float32).astype(out_dtype)
+    return stored.astype(out_dtype)
+
+
 def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask,
                    ck, cv, pos, k_amax_l, v_amax_l, tp_axis=None,
-                   sparse_prefill=False, alt_flag=None, decode_inplace=False):
+                   sparse_prefill=False, alt_flag=None, decode_inplace=False,
+                   kvk=False, cks=None, cvs=None):
     """One decoder layer on packed weights. ck/cv: [B, S, n_kv, hd] stored.
 
     `alt_flag` is the per-layer scan-traced bool used by alternating
@@ -456,6 +530,61 @@ def _layer_forward(cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask
         k = llama.rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
     kv_dtype = ecfg.kv_dtype
+    if kvk:
+        # Packed-KV Pallas attention (EngineConfig.kv_attention_kernel):
+        # kv-head-major stored-form cache, in-VMEM dequant — see
+        # ops/pallas/kv_attention.py. Global scales fold into q / ctx.
+        from ..ops.pallas import kv_attention as kva
+
+        kg, vg = _kv_globals(kv_dtype, k_amax_l, v_amax_l)
+        k_st, k_sc = _kv_store_kvh(k, kv_dtype, k_amax_l)
+        v_st, v_sc = _kv_store_kvh(v, kv_dtype, v_amax_l)
+        if decode_inplace:
+            kn = _kv_code_new(k_st, k_sc, kv_dtype, cfg.dtype)
+            vn = _kv_code_new(v_st, v_sc, kv_dtype, cfg.dtype)
+            q_eff = q.reshape(B, nH, hd).astype(jnp.float32) * (
+                jnp.asarray(kg, jnp.float32) / math.sqrt(hd))
+            ctx = kva.kv_decode_attention(
+                q_eff, ck, cv, kn, vn, pos, _kv_fmt(kv_dtype),
+                k_scales=cks, v_scales=cvs)
+            ctx = (ctx * vg).astype(x.dtype).reshape(B * T, nH * hd)
+            k_leg, v_leg = (k_st, k_sc), (v_st, v_sc)
+        else:
+            # fresh prefill (Engine.prefill contract: empty cache, pos=0);
+            # attention spans exactly the T fresh tokens via the GQA flash
+            # kernel over their QDQ'd k/v — no full-max_seq_len einsum (or
+            # its [B, nH, T, S] score tensor) on the TTFT path
+            ck = jax.lax.dynamic_update_slice(ck, k_st, (0, 0, pos, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_st, (0, 0, pos, 0))
+            if cks is not None:
+                cks = jax.lax.dynamic_update_slice(cks, k_sc, (0, 0, pos, 0))
+                cvs = jax.lax.dynamic_update_slice(cvs, v_sc, (0, 0, pos, 0))
+            kq = (_kv_code_new(k_st, k_sc, kv_dtype, jnp.float32)
+                  * kg).astype(cfg.dtype)
+            vq = (_kv_code_new(v_st, v_sc, kv_dtype, jnp.float32)
+                  * vg).astype(cfg.dtype)
+            from ..ops.pallas import flash_gqa
+
+            qt = q.transpose(0, 2, 1, 3)  # [B, nH, T, hd]
+            pad = (-T) % 8  # Pallas row tiles; padded keys are causal-masked
+            if pad:
+                qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                kq = jnp.pad(kq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                vq = jnp.pad(vq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            ctx = flash_gqa.flash_attention_gqa(qt, kq, vq, causal=True)
+            ctx = (ctx[:, :, :T].transpose(0, 2, 1, 3)
+                   .reshape(B * T, nH * hd).astype(x.dtype))
+            k_leg, v_leg = (ck, cks), (cv, cvs)
+        attn = _qlinear(ctx, "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True, overlap=ecfg.overlap_collectives)
+        if "self_attn.o_proj__bias" in lp:
+            attn = attn + lp["self_attn.o_proj__bias"].astype(attn.dtype)
+        x = x + attn.reshape(B, T, H)
+        h = llama.norm(cfg, x, lp["post_attention_layernorm"])
+        h2 = h.reshape(B * T, H)
+        d = _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis,
+                 overlap=ecfg.overlap_collectives)
+        x = x + d.reshape(B, T, H)
+        return x, k_leg, v_leg, None
     if decode_inplace:
         # T == 1 split-attention decode: QDQ the current token's k/v (same
         # numerics as store-then-load), attend over the OLD cache with the
@@ -618,15 +747,21 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
     # (2 x 1.27 GB at BS64/nvfp4-KV — the r04 BS64 OOM) and write the
     # whole cache per step.
     decode_inplace = (T == 1 and mask_override is None and not sparse_prefill)
+    kvk = ecfg.kv_attention_kernel
+    if kvk and (mask_override is not None or sparse_prefill):
+        raise NotImplementedError(
+            "kv_attention_kernel does not support mask_override "
+            "(tree-speculative) or sparse-prefill steps")
 
     def body(carry, per_layer):
         x = carry
-        lp, lstate, ck, cv, ka, va, sliding = per_layer
+        lp, lstate, ck, cv, cks, cvs, ka, va, sliding = per_layer
         mask_l = jnp.where(sliding, slide_mask, mask)
         x, ck, cv, keep_frac = _layer_forward(
             cfg, ecfg, cm, backend, x, lp, lstate, kinds, positions, mask_l, ck, cv,
             cache["pos"], ka, va, tp_axis=tp_axis, sparse_prefill=sparse_prefill,
             alt_flag=sliding, decode_inplace=decode_inplace,
+            kvk=kvk, cks=cks, cvs=cvs,
         )
         ys = (ck, cv) if not sparse_prefill else (ck, cv, keep_frac)
         return x, ys
@@ -640,14 +775,29 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
         for name, sub in (qstate or {}).items()
         if isinstance(sub, dict) and "input" in sub
     }
-    xs = (params["layers"], act_state, cache["k"], cache["v"], ka, va,
-          sliding_flags)
+    xs = (params["layers"], act_state, cache["k"], cache["v"],
+          cache.get("ks"), cache.get("vs"), ka, va, sliding_flags)
     keep_fracs = None
+    cks = cvs = None
     if sparse_prefill:
         x, (ck, cv, keep_fracs) = jax.lax.scan(body, x, xs)
+    elif kvk:
+        x, ((ck, cks), (cv, cvs)) = jax.lax.scan(body, x, xs)
     else:
         x, (ck, cv) = jax.lax.scan(body, x, xs)
-    if decode_inplace:
+    if decode_inplace and kvk:
+        # stacked new rows [L, B, n_kv, 1, C] (+ scales) -> one in-place
+        # update at `pos` on the sequence axis of [L, B, n_kv, S, C]
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], ck, (0, 0, 0, cache["pos"], 0))
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], cv, (0, 0, 0, cache["pos"], 0))
+        if cks is not None:
+            cks = jax.lax.dynamic_update_slice(
+                cache["ks"], cks, (0, 0, 0, cache["pos"], 0))
+            cvs = jax.lax.dynamic_update_slice(
+                cache["vs"], cvs, (0, 0, 0, cache["pos"], 0))
+    elif decode_inplace:
         # ck/cv are the stacked new rows [L, B, 1, nKV, ...]; one in-place
         # update at `pos` along the sequence axis of [L, B, S, nKV, ...]
         zeros = (0,) * (cache["k"].ndim - 3)
@@ -662,6 +812,8 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
     else:
         logits = (x[:, -1, :] @ head_w.T.astype(x.dtype)).astype(jnp.float32)
     new_cache = {"k": ck, "v": cv, "pos": cache["pos"] + T}
+    if kvk and cks is not None:
+        new_cache["ks"], new_cache["vs"] = cks, cvs
     if return_hidden:
         return logits, new_cache, x
     if sparse_prefill:
@@ -896,6 +1048,24 @@ class Engine:
         self.cm = cm
         self.cfg = cm.model_cfg
         self.ecfg = config
+        if config.kv_attention_kernel:
+            cfg_ = cm.model_cfg
+            if (getattr(cfg_, "sliding_window", None)
+                    and getattr(cfg_, "resolved_layer_types", None)):
+                raise NotImplementedError(
+                    "kv_attention_kernel: sliding-window families "
+                    "(GPT-OSS) use the dense-cache path for now")
+            if hasattr(cfg_, "use_rope_layers"):
+                raise NotImplementedError(
+                    "kv_attention_kernel: Llama4 rope/nope chunked "
+                    "attention uses the dense-cache path for now")
+            if "self_attn.sinks" in cm.params["layers"]:
+                raise NotImplementedError(
+                    "kv_attention_kernel: attention sinks unsupported")
+            if config.attn_sparsity is not None:
+                raise NotImplementedError(
+                    "kv_attention_kernel: prefill attention sparsity "
+                    "unsupported (flash prefill path owns attention)")
         backend = config.backend
         if backend == "auto":
             backend = "pallas" if qmm.pallas_supported() else "xla"
@@ -951,28 +1121,58 @@ class Engine:
             out_specs=out_specs,
         ), donate_argnums=donate)
 
+    def _cache_specs(self):
+        from . import tp as tp_mod
+
+        return tp_mod.cache_specs(
+            self.ecfg.tp_axis, self._dp,
+            kvh=self.ecfg.kv_attention_kernel,
+            scales=(self.ecfg.kv_attention_kernel
+                    and self.ecfg.kv_dtype == "nvfp4"),
+        )
+
     def init_cache(self, batch: int, max_len: Optional[int] = None) -> dict:
         max_len = max_len or self.ecfg.max_seq_len
         cfg = self.cfg
         dtype = self.ecfg.kv_dtype or cfg.dtype
-        last = cfg.hd
-        if dtype == "nvfp4":  # packed: nibbles + fp8 block scales, one u8 row
-            dtype = jnp.uint8
-            last = _kv_pack_width(cfg.hd)
-        elif dtype == "nvfp4_fake":  # emulated: stored as bf16 grid values
-            dtype = cfg.dtype
-        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, last)
-        cache = {
-            "k": jnp.zeros(shape, dtype),
-            "v": jnp.zeros(shape, dtype),
-            "pos": jnp.asarray(0, jnp.int32),
-        }
+        nKV, L = cfg.num_key_value_heads, cfg.num_hidden_layers
+        if self.ecfg.kv_attention_kernel:
+            # kv-head-major stored-form layout for the packed-KV kernel
+            # ([L, B, n_kv, S, C]; NVFP4 splits nibble planes and E4M3
+            # block scales into parallel arrays — see kv_attention.py)
+            last = cfg.hd
+            if dtype == "nvfp4":
+                dtype = jnp.uint8
+                last = cfg.hd // 2
+            elif dtype == "nvfp4_fake":
+                dtype = cfg.dtype
+            shape = (L, batch, nKV, max_len, last)
+            cache = {
+                "k": jnp.zeros(shape, dtype),
+                "v": jnp.zeros(shape, dtype),
+                "pos": jnp.asarray(0, jnp.int32),
+            }
+            if self.ecfg.kv_dtype == "nvfp4":
+                sshape = (L, batch, nKV, max_len, cfg.hd // 16)
+                cache["ks"] = jnp.zeros(sshape, jnp.uint8)
+                cache["vs"] = jnp.zeros(sshape, jnp.uint8)
+        else:
+            last = cfg.hd
+            if dtype == "nvfp4":  # packed: nibbles + fp8 scales, one u8 row
+                dtype = jnp.uint8
+                last = _kv_pack_width(cfg.hd)
+            elif dtype == "nvfp4_fake":  # emulated: bf16 grid values
+                dtype = cfg.dtype
+            shape = (L, batch, max_len, nKV, last)
+            cache = {
+                "k": jnp.zeros(shape, dtype),
+                "v": jnp.zeros(shape, dtype),
+                "pos": jnp.asarray(0, jnp.int32),
+            }
         if self.ecfg.mesh is not None:
             from jax.sharding import NamedSharding
 
-            from . import tp as tp_mod
-
-            cs = tp_mod.cache_specs(self.ecfg.tp_axis, self._dp)
+            cs = self._cache_specs()
             cache = {
                 k: jax.device_put(v, NamedSharding(self.ecfg.mesh, cs[k]))
                 for k, v in cache.items()
@@ -996,7 +1196,7 @@ class Engine:
             fn = partial(_model_step, self._fwd_cfg, self.ecfg, self.cm,
                          self.backend, tp_axis=self._tp_axis,
                          sparse_prefill=sparse)
-            cs = tp_mod.cache_specs(self.ecfg.tp_axis, self._dp)
+            cs = self._cache_specs()
             bP = P(self._dp, None)  # [B, ...] sharded over replicas
             out_specs = (bP, cs, P()) if sparse else (bP, cs)
             self._prefill_fns[sparse] = self._wrap_step(fn, (bP, cs, bP), out_specs)
@@ -1038,7 +1238,7 @@ class Engine:
 
             from . import tp as tp_mod
 
-            cs = tp_mod.cache_specs(self.ecfg.tp_axis, self._dp)
+            cs = self._cache_specs()
             bP = P(self._dp, None)
             self._decode_fn = self._wrap_step(run, (bP, cs), (bP, cs))
             self._decode_steps = steps
@@ -1080,7 +1280,7 @@ class Engine:
 
             from . import tp as tp_mod
 
-            cs = tp_mod.cache_specs(self.ecfg.tp_axis, self._dp)
+            cs = self._cache_specs()
             bP = P(self._dp, None)
             self._stepk_fns[unroll] = self._wrap_step(
                 k_steps, (bP, cs), (bP, cs), donate=(3,)
@@ -1151,7 +1351,29 @@ class Engine:
         poff = pos % page
         k = dense["k"][:, 0]  # [L, T, n_kv, hd]  (uint8 [.., 9*hd/16] packed)
         v = dense["v"][:, 0]
-        if self.ecfg.kv_dtype == "nvfp4":
+        if self.ecfg.kv_attention_kernel:
+            # dense cache is kv-head-major stored form [L, n_kv, T, C];
+            # bring it to the page form [L, T, n_kv, *] (NVFP4 planes
+            # dequantize to the emulated grid-value form pages hold)
+            from ..ops import numerics as _nu
+
+            if self.ecfg.kv_dtype == "nvfp4":
+                ka = _kv_amax_from(self.cm.qstate, "k")
+                va = _kv_amax_from(self.cm.qstate, "v")
+                Lk = k.shape[0]
+
+                def _deq(st, sc, amax_l):
+                    code = _nu.nvfp4_planes_code_load(st, sc, jnp.float32)
+                    g = (_nu.nvfp4_global_scale(amax_l)
+                         if amax_l is not None
+                         else jnp.ones((Lk,), jnp.float32))
+                    return (code * g[:, None, None, None]).astype(self.cfg.dtype)
+
+                k = _deq(k, dense["ks"][:, 0], ka)
+                v = _deq(v, dense["vs"][:, 0], va)
+            k = jnp.swapaxes(k, 1, 2)  # [L, T, n_kv, *]
+            v = jnp.swapaxes(v, 1, 2)
+        elif self.ecfg.kv_dtype == "nvfp4":
             # dense cache is packed-NVFP4; pages hold the emulated (decoded
             # grid-value) form — unpack per layer with the layer's kv amax
             ka = _kv_amax_from(self.cm.qstate, "k")

@@ -530,9 +530,20 @@ def shard_map_fn(fn, mesh, in_specs, out_specs):
         )
 
 
-def cache_specs(axis: str = "tp", dp: "str | None" = None) -> dict:
+def cache_specs(axis: str = "tp", dp: "str | None" = None,
+                kvh: bool = False, scales: bool = False) -> dict:
     """Dense KV-cache spec: shard the kv-head axis [L, B, S, n_kv, hd];
-    with `dp` set, the batch dim shards over the replica axis too."""
+    with `dp` set, the batch dim shards over the replica axis too.
+    `kvh` selects the kv-head-major kernel layout [L, B, n_kv, S, C]
+    (EngineConfig.kv_attention_kernel); `scales` adds the NVFP4 block-scale
+    arrays, sharded like their planes."""
+    if kvh:
+        sp = P(None, dp, axis, None, None)
+        d = {"k": sp, "v": sp, "pos": P()}
+        if scales:
+            d["ks"] = sp
+            d["vs"] = sp
+        return d
     return {
         "k": P(None, dp, None, axis, None),
         "v": P(None, dp, None, axis, None),
