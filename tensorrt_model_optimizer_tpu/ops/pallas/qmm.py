@@ -1372,6 +1372,41 @@ def _int4_w48_kernel(x_ref, w_ref, s_ref, xs_ref, o_ref, acc):
         o_ref[:] = acc[:]
 
 
+def _int4_w48_kernel_noside(x_ref, w_ref, s_ref, o_ref, acc):
+    """Row-tiled (prefill) variant: the -8 offset side-dot moves OUTSIDE
+    the kernel. Rationale: the in-kernel side term needs an xs block whose
+    LAST dim is the row tile tn; at decode tn == N (full dim, always
+    legal), but prefill row-tiling (tn = 64 < N) makes the spec
+    Mosaic-illegal ("divisible by 8 and 128" — the r04 a8 TTFT crash,
+    BENCH_r04.json tail). One [N, K/bsz] x [K/bsz, O] XLA matmul outside
+    covers all row tiles instead."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    p = w_ref[:]
+    x3 = x_ref[:]
+    s = s_ref[:]
+    evens = p & 0x0F0F0F0F
+    odds = (p >> 4) & 0x0F0F0F0F
+    u = jnp.concatenate(
+        [pltpu.bitcast(evens, jnp.int8), pltpu.bitcast(odds, jnp.int8)],
+        axis=1,
+    )
+    r = jax.lax.dot_general(
+        x3, u, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    acc[:] += jnp.sum(
+        r.astype(jnp.float32) * s.astype(jnp.float32)[:, None, :], axis=0)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc[:]
+
+
 def qmm_int4_w48(
     x8: jax.Array,          # [N, K] int8 per-token-quantized activations
     packed_w48: jax.Array,  # [K/bsz, O/8, bsz] int32
@@ -1397,25 +1432,47 @@ def qmm_int4_w48(
     gn = N // tn
     x3 = jnp.swapaxes(x8.reshape(N, nblk_total, bsz), 0, 1)  # [K/bsz, N, bsz]
     xs = jnp.sum(x3.astype(jnp.float32), axis=-1)            # [K/bsz, N]
-    return pl.pallas_call(
-        _int4_w48_kernel,
+    in_specs = [
+        pl.BlockSpec((nblk, tn, bsz), lambda n, i, j: (j, n, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nblk, to // 8, bsz), lambda n, i, j: (j, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nblk, to), lambda n, i, j: (j, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    if gn == 1:
+        # decode: xs block's last dim is the FULL N — legal, and the side
+        # term fuses into the same kernel
+        y = pl.pallas_call(
+            _int4_w48_kernel,
+            grid=(gn, go, gk),
+            in_specs=in_specs + [
+                pl.BlockSpec((nblk, tn), lambda n, i, j: (j, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tn, to), lambda n, i, j: (n, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tn, to), jnp.float32)],
+            interpret=_interpret(),
+        )(x3, packed_w48, scalesT, xs)
+        return y
+    # prefill row-tiled path (see _int4_w48_kernel_noside docstring)
+    y = pl.pallas_call(
+        _int4_w48_kernel_noside,
         grid=(gn, go, gk),
-        in_specs=[
-            pl.BlockSpec((nblk, tn, bsz), lambda n, i, j: (j, n, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, to // 8, bsz), lambda n, i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, to), lambda n, i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, tn), lambda n, i, j: (j, n),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tn, to), lambda n, i, j: (n, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tn, to), jnp.float32)],
         interpret=_interpret(),
-    )(x3, packed_w48, scalesT, xs)
+    )(x3, packed_w48, scalesT)
+    side = jax.lax.dot_general(
+        xs, scalesT.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, O] = sum_b xsum8[n,b] * s[b,o]
+    return y - 8.0 * side
 
 
 # --------------------------------------------------------------------------

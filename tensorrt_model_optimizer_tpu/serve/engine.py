@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Any, Optional
 
@@ -114,6 +115,18 @@ class EngineConfig:
     # (`Engine.prefill`); decode and tree-verify stay dense.
     attn_sparsity: Optional[float] = None
     attn_sparsity_blocks: tuple = (128, 128)
+
+
+# Prefill row threshold above which 4-bit sites decompress the layer weight
+# to bf16 once and run a plain MXU matmul instead of the fused
+# decode-in-kernel path. Rationale: the fused kernels pay the nibble-decode
+# + scale VPU tail PER ROW TILE; at N = B*T prefill rows the decode is
+# re-done N/tn times, while a one-shot decompress (write+read ~2x the bf16
+# weight bytes, ~0.15 ms/layer at 8B) amortizes over every row — the r04
+# grid's 4-bit TTFT was 1.8x fp8's (int4 521 ms vs fp8 282 at BS1,
+# grid.json) for exactly this reason. Decode (N < threshold) is unaffected.
+_PREFILL_DECOMPRESS_ROWS = int(
+    os.environ.get("ENGINE_PREFILL_DECOMPRESS_ROWS", "512"))
 
 
 def _slice_arrays_O(kind, arrays):
@@ -218,7 +231,15 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
             a_amax = reduce_amax(a_amax)
         a_scale = jnp.where(a_amax == 0, 1.0, a_amax / 127.0)
         x8 = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
-        y = qmm.qmm_int4_w48(x8, arrays["packed"], arrays["scales"])
+        if x.shape[0] >= _PREFILL_DECOMPRESS_ROWS:
+            # prefill rows: decompress once, one MXU matmul (see
+            # _PREFILL_DECOMPRESS_ROWS); int8 codes are exact in bf16
+            w = decompress_weight("int4w48", arrays, out_dtype=x.dtype)
+            y = jax.lax.dot_general(
+                x8.astype(x.dtype), w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            y = qmm.qmm_int4_w48(x8, arrays["packed"], arrays["scales"])
         y = (y * a_scale).astype(x.dtype)
         if adapter is not None:
             lo = (x @ adapter["A"].T.astype(x.dtype)) @ adapter["B"].T.astype(x.dtype)
@@ -228,7 +249,16 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
         return y
     if icfg.enable or (ist is not None and ist.pre_quant_scale is not None):
         x = Q.quantize(x, icfg, ist, amax_reduce=reduce_amax)
-    if kind == "int4x" or (backend == "pallas" and kind in (
+    fourbit_kinds = ("int4", "int4w", "int4w2", "int4b2", "nvfp4", "nvfp4p",
+                     "nvfp4w", "nvfp4w2", "nvfp4b4", "mxfp4w", "mxfp4w2")
+    if (backend == "pallas" and kind in fourbit_kinds
+            and x.shape[0] >= _PREFILL_DECOMPRESS_ROWS):
+        # prefill rows: one-shot bf16 decompress + plain MXU matmul beats
+        # re-running the nibble decode per row tile (r04 TTFT gap; see
+        # _PREFILL_DECOMPRESS_ROWS)
+        w = decompress_weight(kind, arrays, out_dtype=x.dtype)
+        y = x @ w.T
+    elif kind == "int4x" or (backend == "pallas" and kind in (
             "int8", "int4", "int4w", "int4w2", "int4b2", "nvfp4", "nvfp4p",
             "nvfp4w", "nvfp4w2", "mxfp4w", "mxfp4w2", "fp8")):
         # int4x (XLA-native s4 grouped dot) is backend-independent
@@ -830,13 +860,24 @@ def _kv_scales(kv_dtype, k_amax_l, v_amax_l):
         k = jnp.maximum((k_amax_l if k_amax_l is not None else jnp.asarray(448.0)).astype(jnp.float32), 1e-12) / 448.0
         v = jnp.maximum((v_amax_l if v_amax_l is not None else jnp.asarray(448.0)).astype(jnp.float32), 1e-12) / 448.0
         return k, v
+    if kv_dtype == "nvfp4":  # packed planes: the fp32 GLOBAL scale only
+        from ..ops import numerics
+
+        def g(amax):
+            a = (amax if amax is not None
+                 else jnp.asarray(numerics.NVFP4_GLOBAL_DIV, jnp.float32))
+            return numerics.nvfp4_global_scale(a)
+
+        return g(k_amax_l), g(v_amax_l)
     return None, None
 
 
 def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
-                      positions, k_amax_l, v_amax_l, write_mask=None):
+                      positions, k_amax_l, v_amax_l, write_mask=None,
+                      layer_ksc=None, layer_vsc=None):
     """Paged attention for ONE layer, T tokens per slot (T=1 decode, T>1
-    chunked prefill). Returns ctx [B, T, nH*hd] + updated pages."""
+    chunked prefill). Returns ctx [B, T, nH*hd] + updated pages (+ scale
+    pages when the pool is packed NVFP4)."""
     import math as _math
 
     from . import paged_cache as pc
@@ -844,11 +885,14 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
     B, T = x_q.shape[0], x_q.shape[1]
     nH, nKV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
     page = layer_kp.shape[2]
-    # Paged pages hold model-dtype tokens; NVFP4 KV runs the emulated
-    # (fake-quant, bf16-stored) form here — the packed byte layout is the
-    # DENSE cache's (init_cache). Packing the page pool needs the Pallas
-    # paged kernels to decode nibbles per tile; not done yet.
-    kv_dtype = ("nvfp4_fake" if ecfg.kv_dtype == "nvfp4" else ecfg.kv_dtype)
+    # Packed-NVFP4 page pool (PagedKV.k_scales present): pages hold
+    # plane-packed nibbles + E4M3 block scales and the kernels dequantize
+    # per tile (replaces the r04 bf16-stored fake-quant fallback). Without
+    # scale pools, NVFP4 still runs the emulated (fake-quant, bf16) form.
+    packed4 = layer_ksc is not None
+    kv_dtype = ecfg.kv_dtype
+    if kv_dtype == "nvfp4" and not packed4:
+        kv_dtype = "nvfp4_fake"
     # write the T new tokens' kv at positions seq_lens .. seq_lens+T-1
     pos = cache.seq_lens
     tok_pos = pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
@@ -860,13 +904,34 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
     if write_mask is not None:
         # non-writing slots target the scratch page (page 0)
         page_ids = jnp.where(write_mask[:, None], page_ids, 0)
-    ks = _kv_store(k_new, kv_dtype, k_amax_l).astype(layer_kp.dtype)
-    vs = _kv_store(v_new, kv_dtype, v_amax_l).astype(layer_vp.dtype)
+    ids, offs = page_ids.reshape(-1), poff.reshape(-1)
+    if packed4:
+        from ..ops import numerics
+
+        gk = (k_amax_l if k_amax_l is not None
+              else jnp.asarray(numerics.NVFP4_GLOBAL_DIV, jnp.float32))
+        gv = (v_amax_l if v_amax_l is not None
+              else jnp.asarray(numerics.NVFP4_GLOBAL_DIV, jnp.float32))
+        ks, ks_sc, _ = numerics.real_quant_nvfp4_planes(k_new, 16, gk)
+        vs, vs_sc, _ = numerics.real_quant_nvfp4_planes(v_new, 16, gv)
+        layer_ksc = layer_ksc.at[ids, :, offs].set(
+            ks_sc.reshape(B * T, nKV, hd // 16), unique_indices=True,
+            mode="drop")
+        layer_vsc = layer_vsc.at[ids, :, offs].set(
+            vs_sc.reshape(B * T, nKV, hd // 16), unique_indices=True,
+            mode="drop")
+    else:
+        ks = _kv_store(k_new, kv_dtype, k_amax_l).astype(layer_kp.dtype)
+        vs = _kv_store(v_new, kv_dtype, v_amax_l).astype(layer_vp.dtype)
+        ks_sc = vs_sc = None
     # unique indices (each (slot, t) owns a distinct page/offset pair)
-    layer_kp = layer_kp.at[page_ids.reshape(-1), :, poff.reshape(-1)].set(
-        ks.reshape(B * T, nKV, hd), unique_indices=True, mode="drop")
-    layer_vp = layer_vp.at[page_ids.reshape(-1), :, poff.reshape(-1)].set(
-        vs.reshape(B * T, nKV, hd), unique_indices=True, mode="drop")
+    Cw = layer_kp.shape[-1]
+    layer_kp = layer_kp.at[ids, :, offs].set(
+        ks.reshape(B * T, nKV, Cw), unique_indices=True, mode="drop")
+    layer_vp = layer_vp.at[ids, :, offs].set(
+        vs.reshape(B * T, nKV, Cw), unique_indices=True, mode="drop")
+    fmt = "nvfp4" if packed4 else "raw"
+    scale_kv = "nvfp4" if packed4 else kv_dtype
 
     if ecfg.paged_attention_kernel and T > 1:
         # Batched chunked-prefill kernel: context pages stream via block
@@ -874,17 +939,20 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
         # k_scale fold into q covers both context and chunk scores.
         from ..ops.pallas import paged_attention as pa_kernel
 
-        k_sc, v_sc = _kv_scales(kv_dtype, k_amax_l, v_amax_l)
+        k_sc, v_sc = _kv_scales(scale_kv, k_amax_l, v_amax_l)
         qk = x_q
         if k_sc is not None:
             qk = (qk.astype(jnp.float32) * k_sc).astype(x_q.dtype)
         ctx = pa_kernel.paged_attention_prefill(
             qk, layer_kp, layer_vp, cache.block_table, pos,
             ks.astype(layer_kp.dtype), vs.astype(layer_vp.dtype),
+            fmt=fmt, k_scale_pages=layer_ksc, v_scale_pages=layer_vsc,
+            chunk_k_scales=ks_sc, chunk_v_scales=vs_sc,
         )
         if v_sc is not None:
             ctx = (ctx.astype(jnp.float32) * v_sc).astype(x_q.dtype)
-        return ctx.reshape(B, T, nH * hd).astype(x_q.dtype), layer_kp, layer_vp
+        return (ctx.reshape(B, T, nH * hd).astype(x_q.dtype), layer_kp,
+                layer_vp, layer_ksc, layer_vsc)
 
     if ecfg.paged_attention_kernel and T == 1:
         # Pallas kernel path: pages stream via scalar-prefetched block
@@ -893,22 +961,38 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
         from ..ops.pallas import paged_attention as pa_kernel
 
         qk = x_q[:, 0]  # [B, nH, hd]
-        k_sc, v_sc = _kv_scales(kv_dtype, k_amax_l, v_amax_l)
+        k_sc, v_sc = _kv_scales(scale_kv, k_amax_l, v_amax_l)
         if k_sc is not None:
             qk = (qk.astype(jnp.float32) * k_sc).astype(qk.dtype)
-        # pages pass RAW (int8/fp8 stay packed; the kernel converts per tile)
+        # pages pass RAW (int8/fp8/nibbles stay packed; the kernel
+        # converts per tile)
         ctx = pa_kernel.paged_attention_decode(
-            qk, layer_kp, layer_vp, cache.block_table, pos + T
+            qk, layer_kp, layer_vp, cache.block_table, pos + T,
+            fmt=fmt, k_scale_pages=layer_ksc, v_scale_pages=layer_vsc,
         )
         if v_sc is not None:
             ctx = (ctx.astype(jnp.float32) * v_sc).astype(x_q.dtype)
-        return ctx.reshape(B, 1, nH * hd).astype(x_q.dtype), layer_kp, layer_vp
+        return (ctx.reshape(B, 1, nH * hd).astype(x_q.dtype), layer_kp,
+                layer_vp, layer_ksc, layer_vsc)
 
     bt = jnp.maximum(cache.block_table, 0)
-    k_all = jnp.swapaxes(layer_kp[bt], 2, 3).reshape(B, -1, nKV, hd)
-    v_all = jnp.swapaxes(layer_vp[bt], 2, 3).reshape(B, -1, nKV, hd)
-    k_all = _kv_load(k_all, cfg.dtype, kv_dtype, k_amax_l)
-    v_all = _kv_load(v_all, cfg.dtype, kv_dtype, v_amax_l)
+    if packed4:
+        from ..ops import numerics
+
+        k_sc, v_sc = _kv_scales("nvfp4", k_amax_l, v_amax_l)
+        ka = jnp.swapaxes(layer_kp[bt], 2, 3).reshape(B, -1, nKV, hd // 2)
+        va = jnp.swapaxes(layer_vp[bt], 2, 3).reshape(B, -1, nKV, hd // 2)
+        kas = jnp.swapaxes(layer_ksc[bt], 2, 3).reshape(B, -1, nKV, hd // 16)
+        vas = jnp.swapaxes(layer_vsc[bt], 2, 3).reshape(B, -1, nKV, hd // 16)
+        k_all = (numerics.nvfp4_planes_code_load(ka, kas, jnp.float32)
+                 * k_sc).astype(cfg.dtype)
+        v_all = (numerics.nvfp4_planes_code_load(va, vas, jnp.float32)
+                 * v_sc).astype(cfg.dtype)
+    else:
+        k_all = jnp.swapaxes(layer_kp[bt], 2, 3).reshape(B, -1, nKV, hd)
+        v_all = jnp.swapaxes(layer_vp[bt], 2, 3).reshape(B, -1, nKV, hd)
+        k_all = _kv_load(k_all, cfg.dtype, kv_dtype, k_amax_l)
+        v_all = _kv_load(v_all, cfg.dtype, kv_dtype, v_amax_l)
     S = k_all.shape[1]
     # query qi (global position pos+qi) sees keys at positions <= pos+qi
     mask = jnp.where(
@@ -924,7 +1008,7 @@ def _paged_layer_attn(cfg, ecfg, x_q, k_new, v_new, layer_kp, layer_vp, cache,
     probs = jax.nn.softmax(scores, axis=-1).astype(x_q.dtype)
     probs = probs.reshape(B, nKV, rep, T, -1)
     ctx = jnp.einsum("bgrts,bsgd->btgrd", probs, v_all).reshape(B, T, nH * hd)
-    return ctx, layer_kp, layer_vp
+    return ctx, layer_kp, layer_vp, layer_ksc, layer_vsc
 
 
 def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
@@ -955,7 +1039,7 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
 
     def body(carry, per_layer):
         x = carry
-        lp, lstate, kp, vp, ka_l, va_l = per_layer
+        lp, lstate, kp, vp, ksc, vsc, ka_l, va_l = per_layer
 
         def ist(name):
             return (lstate or {}).get(name, {}).get("input")
@@ -984,9 +1068,9 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
         q = llama.rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
         k = llama.rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
         v = v.reshape(B, T, nKV, hd)
-        ctx, kp, vp = _paged_layer_attn(
+        ctx, kp, vp, ksc, vsc = _paged_layer_attn(
             cfg, ecfg, q, k, v, kp, vp, cache, positions, ka_l, va_l,
-            write_mask=active,
+            write_mask=active, layer_ksc=ksc, layer_vsc=vsc,
         )
         attn = _qlinear(ctx.reshape(B * T, -1), "self_attn.o_proj", kinds["self_attn.o_proj"], lp["self_attn.o_proj"], cm, backend, ist("self_attn.o_proj"), ad("self_attn.o_proj"), tp_axis, row=True)
         if "self_attn.o_proj__bias" in lp:
@@ -996,10 +1080,11 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
         h2 = h.reshape(B * T, -1)
         d = _ffn(cfg, cm, backend, h2, lp, lstate, kinds, ist, ad, tp_axis)
         x = x + d.reshape(B, T, -1)
-        return x, (kp, vp)
+        return x, (kp, vp, ksc, vsc)
 
-    xs = (params["layers"], act_state, cache.k_pages, cache.v_pages, ka, va)
-    x, (new_kp, new_vp) = jax.lax.scan(body, x, xs)
+    xs = (params["layers"], act_state, cache.k_pages, cache.v_pages,
+          cache.k_scales, cache.v_scales, ka, va)
+    x, (new_kp, new_vp, new_ksc, new_vsc) = jax.lax.scan(body, x, xs)
     x = llama.norm(cfg, x, params["norm"])
     head_w = params.get("lm_head", params["embed_tokens"])
     logits = (x[:, -1] @ head_w.T.astype(x.dtype)).astype(jnp.float32)
@@ -1009,6 +1094,8 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
         cache,
         k_pages=new_kp,
         v_pages=new_vp,
+        k_scales=new_ksc,
+        v_scales=new_vsc,
         seq_lens=cache.seq_lens + T * active.astype(jnp.int32),
     )
     return logits, new_cache
@@ -1314,12 +1401,15 @@ class Engine:
 
         cfg = self.cfg
         dtype = self.ecfg.kv_dtype or cfg.dtype
-        if dtype in ("nvfp4", "nvfp4_fake"):  # pages hold emulated bf16 form
+        packed4 = dtype == "nvfp4"  # REAL packed pages: nibble planes +
+        # E4M3 scale pools, dequantized per tile in the paged kernels
+        # (replaces the r04 bf16-stored fake-quant fallback)
+        if dtype in ("nvfp4", "nvfp4_fake"):
             dtype = cfg.dtype
         cache = pc.init_paged(
             cfg.num_hidden_layers, n_pages, page_size,
             cfg.num_key_value_heads, cfg.hd, max_slots, max_pages_per_seq,
-            dtype,
+            dtype, packed_nvfp4=packed4,
         )
         if self.ecfg.mesh is not None:
             import dataclasses as _dc
@@ -1351,6 +1441,40 @@ class Engine:
         poff = pos % page
         k = dense["k"][:, 0]  # [L, T, n_kv, hd]  (uint8 [.., 9*hd/16] packed)
         v = dense["v"][:, 0]
+        if getattr(cache, "packed_nvfp4", False):
+            # packed page pool: write nibble planes + E4M3 scales straight
+            # from the dense stored form (no dequant round trip)
+            from ..ops import numerics as _nu
+
+            hd = self.cfg.hd
+
+            def _to_planes(stored):
+                if self.ecfg.kv_attention_kernel:
+                    # dense kvh cache IS plane-packed: [L, n_kv, T, hd/2]
+                    return None  # handled below
+                codes = _nu.unpack_nibbles(stored[..., : hd // 2])
+                h = codes.shape[-1] // 2
+                planes = (codes[..., :h] | (codes[..., h:] << 4)).astype(jnp.uint8)
+                return planes, stored[..., hd // 2 :]
+
+            if self.ecfg.kv_attention_kernel:
+                kpl = jnp.swapaxes(k, 1, 2)  # [L, T, n_kv, hd/2]
+                vpl = jnp.swapaxes(v, 1, 2)
+                ksc = jnp.swapaxes(dense["ks"][:, 0], 1, 2)
+                vsc = jnp.swapaxes(dense["vs"][:, 0], 1, 2)
+            else:
+                kpl, ksc = _to_planes(k)
+                vpl, vsc = _to_planes(v)
+            swap = lambda a: jnp.swapaxes(a, 0, 1)
+            cache = _dc.replace(
+                cache,
+                k_pages=cache.k_pages.at[:, page_ids, :, poff].set(swap(kpl)),
+                v_pages=cache.v_pages.at[:, page_ids, :, poff].set(swap(vpl)),
+                k_scales=cache.k_scales.at[:, page_ids, :, poff].set(swap(ksc)),
+                v_scales=cache.v_scales.at[:, page_ids, :, poff].set(swap(vsc)),
+                seq_lens=cache.seq_lens.at[slot].set(T),
+            )
+            return logits, cache
         if self.ecfg.kv_attention_kernel:
             # dense cache is kv-head-major stored form [L, n_kv, T, C];
             # bring it to the page form [L, T, n_kv, *] (NVFP4 planes

@@ -29,6 +29,12 @@ class PagedKV:
     v_pages: jax.Array
     block_table: jax.Array  # [max_seqs, max_pages]
     seq_lens: jax.Array  # [max_seqs]
+    # Packed-NVFP4 page pool: k/v_pages hold PLANE-PACKED nibbles
+    # [L, n_pages, n_kv, page, hd/2] u8 and these hold the E4M3 block
+    # scales [L, n_pages, n_kv, page, hd/16] u8 (same plane layout as the
+    # dense kernel cache, ops/pallas/kv_attention.py). None = plain pages.
+    k_scales: Optional[jax.Array] = None
+    v_scales: Optional[jax.Array] = None
 
     @property
     def page_size(self) -> int:
@@ -37,6 +43,10 @@ class PagedKV:
     @property
     def max_pages(self) -> int:
         return self.block_table.shape[1]
+
+    @property
+    def packed_nvfp4(self) -> bool:
+        return self.k_scales is not None
 
 
 jax.tree_util.register_dataclass(PagedKV)
@@ -51,7 +61,21 @@ def init_paged(
     max_seqs: int,
     max_pages_per_seq: int,
     dtype=jnp.bfloat16,
+    packed_nvfp4: bool = False,
 ) -> PagedKV:
+    if packed_nvfp4:
+        return PagedKV(
+            k_pages=jnp.zeros(
+                (n_layers, n_pages, n_kv, page_size, hd // 2), jnp.uint8),
+            v_pages=jnp.zeros(
+                (n_layers, n_pages, n_kv, page_size, hd // 2), jnp.uint8),
+            block_table=jnp.full((max_seqs, max_pages_per_seq), -1, jnp.int32),
+            seq_lens=jnp.zeros((max_seqs,), jnp.int32),
+            k_scales=jnp.zeros(
+                (n_layers, n_pages, n_kv, page_size, hd // 16), jnp.uint8),
+            v_scales=jnp.zeros(
+                (n_layers, n_pages, n_kv, page_size, hd // 16), jnp.uint8),
+        )
     return PagedKV(
         k_pages=jnp.zeros((n_layers, n_pages, n_kv, page_size, hd), dtype),
         v_pages=jnp.zeros((n_layers, n_pages, n_kv, page_size, hd), dtype),

@@ -556,12 +556,17 @@ def paged_cache_specs(cache, axis: str = "tp", dp: "str | None" = None):
     With `dp`, each replica owns its own page pool, block table rows and
     slots (per-replica continuous batching — block-table page ids are
     replica-local)."""
+    sp = P(None, dp, axis, None, None)
+    extra = {}
+    if cache.k_scales is not None:  # packed-NVFP4 scale pools shard alike
+        extra = {"k_scales": sp, "v_scales": sp}
     return dataclasses.replace(
         cache,
-        k_pages=P(None, dp, axis, None, None),
-        v_pages=P(None, dp, axis, None, None),
+        k_pages=sp,
+        v_pages=sp,
         block_table=P(dp),
         seq_lens=P(dp),
+        **extra,
     )
 
 

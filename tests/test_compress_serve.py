@@ -493,6 +493,25 @@ class TestMoreFormats:
                     / np.abs(np.asarray(w_plane)).max())
             assert relw < 1e-2, relw  # bf16 scale rounding only
 
+    def test_int4_w48_prefill_rows_match_decode_path(self):
+        """Row-tiled prefill shapes (N > 256 -> tn = 64, gn > 1) take the
+        no-side-dot kernel + XLA offset matmul; must equal the decode-path
+        kernel numerics (the r04 a8 TTFT crash was this shape class)."""
+        rng = np.random.default_rng(11)
+        O, K, N = 256, 2048, 1024  # gn = 16
+        x8 = jnp.asarray(
+            rng.integers(-127, 128, size=(N, K), dtype=np.int32), jnp.int8)
+        Wp = jnp.asarray(rng.integers(0, 256, size=(O // 2, K), dtype=np.uint8))
+        sl = jnp.asarray(rng.uniform(0.5, 2.0, size=(O // 2, K // 128)),
+                         jnp.float32)
+        pw, sc = qmm.int4_w48_pack(Wp, sl, sl)
+        out = np.asarray(qmm.qmm_int4_w48(x8, pw, sc))
+        w = compress.decompress_weight(
+            "int4w48", {"packed": pw, "scales": sc}, out_dtype=jnp.float32)
+        ref = np.asarray(x8, np.float32) @ np.asarray(w, np.float32).T
+        rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+        assert rel < 1e-3, rel
+
     def test_int4_a8_engine_roundtrip(self, tiny_ptq):
         """int4_layout="a8" end to end: the engine serves with REAL
         per-token int8 activations + the w48 kernel; output stays

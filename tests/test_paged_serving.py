@@ -274,3 +274,61 @@ def test_paged_decode_step_unroll_matches_stepwise(eng):
     last, cache2 = eng.paged_decode_step(tok0, cache2, active, unroll=k)
     assert int(last[0, 0]) == ref[-1]
     assert int(cache2.seq_lens[0]) == int(cache.seq_lens[0])
+
+
+# ---------------------------------------------------------------------------
+# Packed-NVFP4 page pool (r5): nibble planes + E4M3 scale pools, in-kernel
+# dequant — replaces the r04 bf16-stored fake-quant fallback
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nv_eng():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    model = ptq.quantize(cfg, params, "NVFP4_KV_CFG", batches)
+    return compress.compress(model)
+
+
+def test_packed_nvfp4_pages_allocated(nv_eng):
+    eng = serve_engine.Engine(nv_eng, serve_engine.EngineConfig(
+        max_seq_len=64, backend="xla"))
+    cache = eng.init_paged_cache(16, 8, 2, 8)
+    assert cache.packed_nvfp4
+    assert cache.k_pages.dtype == jnp.uint8
+    assert cache.k_pages.shape[-1] == eng.cfg.hd // 2
+    assert cache.k_scales.shape[-1] == eng.cfg.hd // 16
+
+
+@pytest.mark.parametrize("kernel", [False, True])
+def test_packed_nvfp4_paged_matches_dense(nv_eng, kernel):
+    """Paged serving on REAL packed NVFP4 pages == dense-cache decode
+    (the dense cache stores the same numerics, so tokens must agree)."""
+    eng = serve_engine.Engine(nv_eng, serve_engine.EngineConfig(
+        max_seq_len=64, backend="xla", paged_attention_kernel=kernel))
+    rng = np.random.default_rng(21)
+    prompt = rng.integers(0, 256, size=(8,)).astype(np.int32)
+    dense_out = eng.generate(jnp.asarray(prompt[None, :]), max_new_tokens=6)
+    req = Request(rid=0, prompt=prompt, max_new_tokens=6)
+    outs = eng.serve([req], n_pages=32, page_size=8, max_slots=2,
+                     max_pages_per_seq=8)
+    assert np.mean(np.asarray(dense_out[0]) == np.asarray(outs[0])) >= 0.8
+
+
+def test_packed_nvfp4_chunked_prefill(nv_eng):
+    """Chunked prefill (paged_step T>1) writes packed pages + scales and
+    the prefill kernel decodes them; tokens match the non-chunked path."""
+    eng = serve_engine.Engine(nv_eng, serve_engine.EngineConfig(
+        max_seq_len=64, backend="xla", paged_attention_kernel=True))
+    rng = np.random.default_rng(22)
+    prompt = rng.integers(0, 256, size=(12,)).astype(np.int32)
+    cache = eng.init_paged_cache(32, 8, 2, 8)
+    cache.block_table = cache.block_table.at[0, :4].set(
+        jnp.arange(1, 5, dtype=jnp.int32))
+    logits, cache = eng.prefill_chunked(cache, 0, jnp.asarray(prompt[None]),
+                                        chunk=4)
+    dense = eng.init_cache(1, 64)
+    dlogits, dense = eng.prefill(jnp.asarray(prompt[None]), dense)
+    assert int(jnp.argmax(logits)) == int(jnp.argmax(dlogits[0]))
