@@ -228,6 +228,21 @@ def word_convert_site(kind: str, arr: dict, layout: str = "word") -> tuple[str, 
     from ..ops.pallas import qmm as qmm_mod
 
     if kind == "nvfp4":
+        if layout == "i8":
+            # W8A8-class serving of an NVFP4 checkpoint: the E2M1 x E4M3
+            # dequant values re-encode as per-channel int8 codes for the
+            # s8 x s8 MXU path — the reference's own W4A8 recast move
+            # (`w4a8_awq_beta.yaml`: INT4 weights re-cast through FP8 for
+            # the 8-bit tensor-core path) applied TPU-natively. Re-encode
+            # error is <= amax_row/254, ~1/20 of the E2M1 grid step, and
+            # is pinned by tests/test_compress_serve.py. HBM weight bytes
+            # double vs the 4-bit layouts (8-bit codes); the win is the
+            # native 8-bit MXU serving class (int4-a8 lesson, r4 chain3).
+            w = decompress_weight("nvfp4", arr, out_dtype=jnp.float32)
+            amax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+            scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+            q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+            return "int8a8", {"q": q, "scale": scale.astype(jnp.float32)}
         if layout == "bd4":
             bsz = arr["packed"].shape[-1] // arr["scale_lo"].shape[-1]
             O = 2 * arr["packed"].shape[-2]

@@ -48,16 +48,37 @@ def test_anchor_is_trained(anchor):
     assert ppl < 4.0, f"anchor checkpoint looks untrained/corrupt: ppl={ppl}"
 
 
-@pytest.mark.parametrize("preset,bound", [
-    # bounds pinned ~5-10x above the round-2 sweep's measured deltas (NVFP4
-    # +0.015, FP8 -0.000, INT4-AWQ +0.004 on the full eval set) with slack
-    # for this test's smaller calib/eval subset; the gate exists to catch
-    # gross regressions (the SVDQuant live-adapter bug cost >100 ppl)
-    ("NVFP4_DEFAULT_CFG", 0.10),
-    ("FP8_DEFAULT_CFG", 0.02),
-    ("INT4_AWQ_CFG", 0.10),
-])
-def test_quantized_ppl_delta_gate(anchor, preset, bound):
+# Per-preset pinned ppl-delta budgets — THE primary accuracy gate
+# (ACCURACY.md "gate policy"). MMLU at this anchor scale cannot separate
+# presets from bf16 outside its ±2.8 pt CI (r4 600-question table), so the
+# falsifiable metric is perplexity: every preset's delta was measured at
+# HEAD on this exact calib/eval subset (2026-08-20, /tmp-sweep recorded in
+# ACCURACY.md) and pinned at ~3x measured + a 0.01 noise floor. A preset
+# change that degrades quantization quality flips its row red; the r3
+# SVDQuant live-adapter bug (>100 ppl) or the r2 SQ-alpha family bug would
+# each have tripped multiple rows.
+_MEASURED_DPPL = {
+    "FP8_2D_BLOCKWISE_WEIGHT_ONLY_CFG": -0.0002, "FP8_DEFAULT_CFG": 0.0012,
+    "FP8_KV_AFFINE_CFG": 0.0010, "FP8_KV_CFG": 0.0013,
+    "FP8_PER_CHANNEL_PER_TOKEN_CFG": 0.0001, "INT4_AWQ_CFG": -0.0001,
+    "INT4_AWQ_KV_FP8_CFG": 0.0001, "INT4_BLOCKWISE_WEIGHT_ONLY_CFG": -0.0002,
+    "INT4_GPTQ_CFG": 0.0000, "INT4_LOCAL_HESSIAN_CFG": -0.0008,
+    "INT4_SVDQUANT_CFG": 0.0002, "INT8_DEFAULT_CFG": 0.0006,
+    "INT8_SMOOTHQUANT_CFG": 0.1090, "MXFP4_DEFAULT_CFG": 0.0337,
+    "MXFP4_WEIGHT_ONLY_CFG": 0.0014, "MXFP6_DEFAULT_CFG": 0.0000,
+    "MXFP8_DEFAULT_CFG": 0.0002, "NF4_WEIGHT_ONLY_CFG": -0.0003,
+    "NVFP4_ACT_HEADROOM_CFG": 0.0038, "NVFP4_AWQ_LITE_CFG": 0.0081,
+    "NVFP4_DEFAULT_CFG": 0.0069, "NVFP4_KV_CFG": 0.0102,
+    "NVFP4_SVDQUANT_CFG": 0.0053, "NVFP4_WEIGHT_ONLY_CFG": 0.0009,
+    "W4A8_AWQ_BETA_CFG": 0.0008,
+}
+
+
+def _pin(measured: float) -> float:
+    return round(max(3.0 * measured, 0.0) + 0.01, 4)
+
+
+def _ppl_gate(anchor, preset, bound):
     from tensorrt_model_optimizer_tpu.quant import ptq
     from tensorrt_model_optimizer_tpu.utils.evaluate import perplexity
 
@@ -72,6 +93,23 @@ def test_quantized_ppl_delta_gate(anchor, preset, bound):
         f"{preset}: ppl {base:.4f} -> {qppl:.4f} "
         f"(+{qppl - base:.4f} > pinned {bound})"
     )
+
+
+@pytest.mark.parametrize("preset", [
+    "NVFP4_DEFAULT_CFG", "FP8_DEFAULT_CFG", "INT4_AWQ_CFG",
+])
+def test_quantized_ppl_delta_gate(anchor, preset):
+    """Fast-core gate on the flagship presets."""
+    _ppl_gate(anchor, preset, _pin(_MEASURED_DPPL[preset]))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("preset", sorted(
+    p for p in _MEASURED_DPPL
+    if p not in ("NVFP4_DEFAULT_CFG", "FP8_DEFAULT_CFG", "INT4_AWQ_CFG")))
+def test_quantized_ppl_delta_gate_full_matrix(anchor, preset):
+    """Every remaining preset, pinned at 3x its measured HEAD delta."""
+    _ppl_gate(anchor, preset, _pin(_MEASURED_DPPL[preset]))
 
 
 @pytest.mark.slow
