@@ -428,7 +428,7 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
     """Reference dequantization (correctness baseline for the fused kernels)."""
     if kind == "bf16":
         return arrays["w"].astype(out_dtype)
-    if kind == "int8":
+    if kind in ("int8", "int8a8"):
         return (arrays["q"].astype(jnp.float32) * arrays["scale"]).astype(out_dtype)
     if kind == "fp8":
         sc = arrays["scale"]

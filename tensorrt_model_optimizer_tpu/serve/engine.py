@@ -67,7 +67,12 @@ class EngineConfig:
     # ~26.5 at 8B BS8 (artifacts/bench_r04b/engine_nvfp4_bd4_flat.json;
     # the default-TK run OOMed) — kept for the post-mortem record only,
     # word2 is the recommended layout. See BENCH_RESULTS.md "bd4".
-    nvfp4_layout: str = "word2"  # "word"|"word2"|"bd4"(slow)|"perm"|"blockdot"
+    # "i8" = W8A8-class serving: weights re-encoded per-channel int8
+    # (exact-to-8-bits E2M1 x E4M3 values) + per-token int8 acts on the
+    # s8 MXU — the reference's W4A8 recast move applied to NVFP4
+    # checkpoints. 8-bit HBM weight bytes (vs 4-bit for word2) traded for
+    # the fast MXU class; changes act numerics (8-bit acts), opt-in.
+    nvfp4_layout: str = "word2"  # "word"|"word2"|"i8"|"bd4"(slow)|"perm"|"blockdot"
     # INT4 serving layout: "word" converts to the row-pair magic-number
     # kernel layout (one full-depth dot; scales round to bf16) — on-chip
     # same-session A/B 2026-08-18 (bench_kernels BS8 gate-proj): word
@@ -214,6 +219,32 @@ def _qlinear(x, name, kind, arrays, cm: CompressedModel, backend: str, ist=None,
         )
         y = acc.astype(jnp.float32) * a_scale * arrays["scale"].reshape(1, -1)
         y = y.astype(x.dtype)
+        if tp_axis is not None and row:
+            y = jax.lax.psum(y, tp_axis)
+        return y
+    if kind == "int8a8":
+        # W8A8-class serving of an NVFP4 checkpoint (nvfp4_layout="i8"):
+        # per-channel int8 re-encode of the E2M1 x E4M3 dequant values +
+        # per-token int8 acts on the s8 x s8 MXU (the reference's W4A8
+        # recast move, `w4a8_awq_beta.yaml`, TPU-natively). Changes act
+        # numerics (8-bit acts) like int4_layout="a8" — opt-in.
+        if ist is not None and ist.pre_quant_scale is not None:
+            x = x * ist.pre_quant_scale.astype(x.dtype)
+        x32 = x.astype(jnp.float32)
+        a_amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+        if reduce_amax is not None:
+            a_amax = reduce_amax(a_amax)
+        a_scale = jnp.where(a_amax == 0, 1.0, a_amax / 127.0)
+        x8 = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x8, arrays["q"], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * a_scale * arrays["scale"].reshape(1, -1)
+        y = y.astype(x.dtype)
+        if adapter is not None:
+            lo = (x @ adapter["A"].T.astype(x.dtype)) @ adapter["B"].T.astype(x.dtype)
+            y = y + lo * adapter["scale"].astype(y.dtype)
         if tp_axis is not None and row:
             y = jax.lax.psum(y, tp_axis)
         return y
@@ -1121,7 +1152,7 @@ class Engine:
             cm = convert_packed_layouts(
                 cm,
                 nvfp4=(config.nvfp4_layout
-                       if config.nvfp4_layout in ("word", "word2", "bd4")
+                       if config.nvfp4_layout in ("word", "word2", "bd4", "i8")
                        else "blockdot"),
                 int4=config.int4_layout,
                 mxfp4=mx_layout,

@@ -227,20 +227,22 @@ def _word_pack_sharded(kind: str, layout: str, arrays: dict, col: bool,
         # bd4 falls back to word2 under TP for now: its block-major
         # [K/64, 8, O] arrays need their own shard-spec plumbing; the
         # single-device engine path serves bd4 natively.
-        if layout == "bd4":
+        if layout in ("bd4", "i8"):
             global _BD4_TP_WARNED
             if not _BD4_TP_WARNED:
                 _BD4_TP_WARNED = True
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "nvfp4_layout='bd4' is not supported under tensor "
+                    "nvfp4_layout=%r is not supported under tensor "
                     "parallelism; serving with the word2 pack/kernel "
                     "(kind nvfp4w2) — benchmark numbers from this config "
-                    "measure word2, not bd4")
-        pack = (qmm_mod.nvfp4_word2_pack if layout in ("word2", "bd2", "bd4")
+                    "measure word2, not %s", layout, layout)
+        pack = (qmm_mod.nvfp4_word2_pack
+                if layout in ("word2", "bd2", "bd4", "i8")
                 else qmm_mod.nvfp4_word_pack)
-        new_kind = "nvfp4w2" if layout in ("word2", "bd2", "bd4") else "nvfp4w"
+        new_kind = ("nvfp4w2" if layout in ("word2", "bd2", "bd4", "i8")
+                    else "nvfp4w")
     else:  # int4
         slo, shi = arrays["scale_lo"], arrays["scale_hi"]
         bsz = K // slo.shape[-1]

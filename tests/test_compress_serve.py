@@ -1089,3 +1089,36 @@ class TestPackedNvfp4KV:
         active = jnp.asarray([True, False])
         tok2, cache = eng.paged_step(tok, cache, active)
         assert np.all(np.isfinite(np.asarray(tok2)))
+
+    def test_nvfp4_i8_layout_roundtrip_and_engine(self, tiny_ptq):
+        """nvfp4_layout="i8": NVFP4 values re-encoded per-channel int8 +
+        per-token int8 acts on the s8 MXU (W8A8-class serving of an NVFP4
+        checkpoint — the reference's W4A8 recast move). Re-encode error is
+        pinned and the engine tracks the fake-quant forward."""
+        cfg, params, batches = tiny_ptq
+        model = ptq.quantize(cfg, params, "NVFP4_DEFAULT_CFG", batches)
+        cm = compress.compress(model)
+        from tensorrt_model_optimizer_tpu.quant.compress import (
+            decompress_weight, word_convert_site)
+
+        arr = cm.params["layers"]["mlp.down_proj"]
+        w_ref = decompress_weight("nvfp4", arr, out_dtype=jnp.float32)
+        kind, arr8 = word_convert_site("nvfp4", arr, "i8")
+        assert kind == "int8a8"
+        w_i8 = decompress_weight("int8a8", arr8, out_dtype=jnp.float32)
+        # re-encode error <= amax_row/254 per element
+        amax = np.abs(np.asarray(w_ref)).max(axis=-1, keepdims=True)
+        err = np.abs(np.asarray(w_i8) - np.asarray(w_ref))
+        assert (err <= amax / 253.9 + 1e-7).all()
+        eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+            max_seq_len=32, backend="xla", nvfp4_layout="i8"))
+        assert eng.cm.kinds["mlp.down_proj"] == "int8a8"
+        prompt = batches[0][:, :8]
+        cache = eng.init_cache(2, 32)
+        logits, _ = eng.prefill(prompt, cache)
+        ref_logits, _, _ = model.forward(prompt)
+        a, b = np.asarray(logits), np.asarray(ref_logits[:, -1])
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        # same bar as int4-a8: the act numerics deliberately differ
+        # (per-token int8 acts vs the preset's NVFP4 fake-quant acts)
+        assert corr > 0.95, corr
