@@ -1577,7 +1577,7 @@ class Engine:
         return self._paged_fns[T](self.cm.params, self.cm.qstate, tokens, cache, active)
 
     def paged_decode_step(self, tok: jax.Array, cache, active: jax.Array,
-                          unroll: int = 1):
+                          unroll: int = 1, return_all: bool = False):
         """Fused greedy paged decode: `unroll` chained steps in ONE dispatch
         (on-device argmax feeds the next token; cache donated) — the paged
         counterpart of `decode_step(unroll=k)`. The measured dense-vs-paged
@@ -1600,19 +1600,26 @@ class Engine:
                           self.cm, self.backend, tp_axis=self._tp_axis)
 
             def k_steps(params, qstate, tok, cache, active):
+                toks = []
                 for _ in range(unroll):
                     logits, cache = fn1(params, qstate, tok, cache, active)
                     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     tok = tok.reshape(tok.shape[0], 1)
-                return tok, cache
+                    toks.append(tok)
+                # [B, unroll] block (continuous batching consumes every
+                # token; plain callers take the last column)
+                return jnp.concatenate(toks, axis=1), cache
 
             ps = tp_mod.paged_cache_specs(cache, self.ecfg.tp_axis, self._dp)
             bP, b1 = P(self._dp, None), P(self._dp)
             self._paged_stepk_fns[unroll] = self._wrap_step(
                 k_steps, (bP, ps, b1), (bP, ps), donate=(3,)
             )
-        return self._paged_stepk_fns[unroll](
+        toks, cache = self._paged_stepk_fns[unroll](
             self.cm.params, self.cm.qstate, tok, cache, active)
+        if return_all:
+            return toks, cache
+        return toks[:, -1:], cache
 
     def prefill_chunked(self, cache, slot: int, tokens: jax.Array, chunk: int = 64):
         """Paged chunked prefill: stream the prompt into the slot's pages in
@@ -1729,21 +1736,37 @@ class Engine:
         return out[:max_new_tokens], rate
 
     def serve(self, requests, n_pages=64, page_size=16, max_slots=4,
-              max_pages_per_seq=16, prefix_cache=False):
-        """Continuous batching over a request list. Returns {rid: tokens}.
+              max_pages_per_seq=16, prefix_cache=False, unroll=1,
+              collect_metrics=False):
+        """Continuous batching over a request list. Returns {rid: tokens}
+        (or (outs, metrics) with `collect_metrics`).
 
         `prefix_cache=True` shares full prompt-prefix pages across requests
-        (admissions with a cached prefix skip re-prefilling those tokens)."""
+        (admissions with a cached prefix skip re-prefilling those tokens).
+        `unroll > 1` = multi-step scheduling: one fused dispatch emits an
+        `unroll`-token block per slot (decode overshoot past EOS is dropped;
+        requires unroll <= page_size so the admit-time page reservation
+        absorbs the cache overshoot). Metrics: per-request TTFT (from serve
+        start, queueing included), p50/p95, total tok/s, slot utilization
+        (active-slot-steps / slots*steps)."""
+        import time as _time
+
         import numpy as np
 
         from .scheduler import Scheduler
 
+        assert unroll <= page_size, (unroll, page_size)
         sched = Scheduler(max_slots, n_pages, page_size, max_pages_per_seq,
                           prefix_cache=prefix_cache)
         for r in requests:
             sched.submit(r)
         cache = self.init_paged_cache(n_pages, page_size, max_slots, max_pages_per_seq)
         last_tok = np.zeros((max_slots, 1), np.int32)
+        t0 = _time.time()
+        ttft = {}
+        done_at = {}
+        steps = 0
+        active_slot_steps = 0
         while sched.has_work:
             cache, admissions = sched.admit(cache)
             for slot, req in admissions:
@@ -1761,6 +1784,7 @@ class Engine:
                     )
                 sched.register_prefix(slot)
                 first = int(jnp.argmax(logits[0]))
+                ttft[req.rid] = _time.time() - t0
                 req.output.append(first)
                 last_tok[slot, 0] = first
                 if len(req.output) >= req.max_new_tokens or (
@@ -1771,13 +1795,43 @@ class Engine:
             if not active.any():
                 cache = sched.retire(cache)
                 continue
-            logits, cache = self.paged_step(
-                jnp.asarray(last_tok), cache, jnp.asarray(active)
-            )
-            nxt = np.asarray(jnp.argmax(logits, axis=-1))
-            sched.record_tokens(nxt)
+            if unroll > 1:
+                blk, cache = self.paged_decode_step(
+                    jnp.asarray(last_tok), cache, jnp.asarray(active),
+                    unroll=unroll, return_all=True)
+                nxt_blk = np.asarray(blk)
+                sched.record_token_block(nxt_blk)
+                nxt = nxt_blk[:, -1]
+            else:
+                logits, cache = self.paged_step(
+                    jnp.asarray(last_tok), cache, jnp.asarray(active)
+                )
+                nxt = np.asarray(jnp.argmax(logits, axis=-1))
+                sched.record_tokens(nxt)
+            steps += 1
+            active_slot_steps += int(active.sum())
             for i in range(max_slots):
                 if active[i]:
                     last_tok[i, 0] = int(nxt[i])
+            for r in requests:
+                if r.done and r.rid not in done_at:
+                    done_at[r.rid] = _time.time() - t0
             cache = sched.retire(cache)
-        return {r.rid: r.output for r in requests}
+        outs = {r.rid: r.output for r in requests}
+        if not collect_metrics:
+            return outs
+        wall = _time.time() - t0
+        tt = sorted(ttft.values())
+        pc = lambda q: tt[min(len(tt) - 1, int(q * len(tt)))] if tt else 0.0
+        total_new = sum(len(v) for v in outs.values())
+        metrics = {
+            "wall_s": wall,
+            "tok_s": total_new / wall if wall else 0.0,
+            "ttft_p50_s": pc(0.50),
+            "ttft_p95_s": pc(0.95),
+            "slot_utilization": (active_slot_steps / (steps * max_slots)
+                                 if steps else 0.0),
+            "decode_dispatches": steps,
+            "unroll": unroll,
+        }
+        return outs, metrics

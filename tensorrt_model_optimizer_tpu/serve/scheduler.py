@@ -193,6 +193,25 @@ class Scheduler:
             ) >= req.max_new_tokens:
                 req.done = True
 
+    def record_token_block(self, tokens: np.ndarray):
+        """Append an unroll block [B, U] per active slot (multi-step
+        scheduling): tokens past EOS/max_new are overshoot and dropped —
+        standard multi-step semantics; the admit-time page reservation
+        (prompt + max_new + 1 page) absorbs the cache overshoot as long as
+        U <= page_size."""
+        U = tokens.shape[1]
+        for i, req in enumerate(self.slots):
+            if req is None or req.done:
+                continue
+            for u in range(U):
+                t = int(tokens[i, u])
+                req.output.append(t)
+                if (req.eos_token is not None and t == req.eos_token) or len(
+                    req.output
+                ) >= req.max_new_tokens:
+                    req.done = True
+                    break
+
     @property
     def has_work(self) -> bool:
         return bool(self.pending) or any(

@@ -332,3 +332,23 @@ def test_packed_nvfp4_chunked_prefill(nv_eng):
     dense = eng.init_cache(1, 64)
     dlogits, dense = eng.prefill(jnp.asarray(prompt[None]), dense)
     assert int(jnp.argmax(logits)) == int(jnp.argmax(dlogits[0]))
+
+
+def test_serve_unroll_matches_single_step(eng):
+    """Multi-step scheduling (unroll=4) emits the same tokens as unroll=1
+    (greedy overshoot past EOS is dropped), and metrics come back sane."""
+    rng = np.random.default_rng(31)
+    prompts = [rng.integers(0, 256, size=(6 + i,)).astype(np.int32)
+               for i in range(3)]
+    mk = lambda: [Request(rid=i, prompt=p, max_new_tokens=7)
+                  for i, p in enumerate(prompts)]
+    outs1 = eng.serve(mk(), n_pages=48, page_size=8, max_slots=2,
+                      max_pages_per_seq=8)
+    outs4, metrics = eng.serve(mk(), n_pages=48, page_size=8, max_slots=2,
+                               max_pages_per_seq=8, unroll=4,
+                               collect_metrics=True)
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(outs1[i]), np.asarray(outs4[i]))
+    assert metrics["decode_dispatches"] > 0
+    assert 0 < metrics["slot_utilization"] <= 1.0
+    assert metrics["ttft_p95_s"] >= metrics["ttft_p50_s"] > 0

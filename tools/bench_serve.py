@@ -31,6 +31,14 @@ def main():
     ap.add_argument("--max_slots", type=int, default=8)
     ap.add_argument("--prefix_cache", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--llama8b", action="store_true",
+                    help="full llama3.1-8B geometry (overrides layers/hidden)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="multi-step scheduling block size")
+    ap.add_argument("--kv", default=None, choices=[None, "int8", "fp8"],
+                    help="quantized KV cache dtype")
+    ap.add_argument("--layout", default=None,
+                    help="int4/nvfp4 serving layout override (e.g. a8)")
     args = ap.parse_args()
 
     import jax
@@ -47,12 +55,17 @@ def main():
     from tensorrt_model_optimizer_tpu.serve import engine as serve_engine
     from tensorrt_model_optimizer_tpu.serve.scheduler import Request
 
-    cfg = llama.LlamaConfig(
-        vocab_size=32000, hidden_size=args.hidden,
-        intermediate_size=args.hidden * 11 // 4 // 8 * 8,
-        num_hidden_layers=args.layers, num_attention_heads=args.hidden // 128,
-        num_key_value_heads=max(args.hidden // 512, 1), dtype=jnp.bfloat16,
-    )
+    if args.llama8b:
+        cfg = llama.LlamaConfig.llama3_8b()
+    else:
+        cfg = llama.LlamaConfig(
+            vocab_size=32000, hidden_size=args.hidden,
+            intermediate_size=args.hidden * 11 // 4 // 8 * 8,
+            num_hidden_layers=args.layers,
+            num_attention_heads=args.hidden // 128,
+            num_key_value_heads=max(args.hidden // 512, 1),
+            dtype=jnp.bfloat16,
+        )
     rng = np.random.default_rng(0)
     layers, kinds = bench_mod.synth_packed_layers(cfg, args.format, rng)
     h = cfg.hidden_size
@@ -71,8 +84,18 @@ def main():
 
     cm = CompressedModel(cfg, params, kinds,
                          llama.build_layout(cfg, get_preset(preset)), {})
-    eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
-        max_seq_len=args.prompt_len + args.new_tokens + 16, backend="pallas"))
+    ecfg = serve_engine.EngineConfig(
+        max_seq_len=args.prompt_len + args.new_tokens + 16, backend="pallas",
+        paged_attention_kernel=True)
+    import dataclasses as _dc
+    if args.kv:
+        ecfg = _dc.replace(ecfg, kv_dtype={
+            "int8": jnp.int8, "fp8": jnp.float8_e4m3fn}[args.kv])
+    if args.layout:
+        ecfg = _dc.replace(ecfg, int4_layout=args.layout,
+                           nvfp4_layout=args.layout
+                           if args.format == "nvfp4" else ecfg.nvfp4_layout)
+    eng = serve_engine.Engine(cm, ecfg)
 
     prefix = rng.integers(0, 32000, args.shared_prefix).astype(np.int32)
     reqs = []
@@ -85,9 +108,11 @@ def main():
     page = 16
     need = (args.prompt_len + args.new_tokens) // page + 2
     t0 = time.time()
-    outs = eng.serve(reqs, n_pages=args.max_slots * need + 8, page_size=page,
-                     max_slots=args.max_slots, max_pages_per_seq=need + 1,
-                     prefix_cache=args.prefix_cache)
+    outs, metrics = eng.serve(
+        reqs, n_pages=args.max_slots * need + 8, page_size=page,
+        max_slots=args.max_slots, max_pages_per_seq=need + 1,
+        prefix_cache=args.prefix_cache, unroll=args.unroll,
+        collect_metrics=True)
     dt = time.time() - t0
     total_new = sum(len(v) for v in outs.values())
     print(json.dumps({
@@ -97,6 +122,14 @@ def main():
         "requests": args.requests, "new_tokens_total": total_new,
         "wall_s": round(dt, 2), "prefix_cache": args.prefix_cache,
         "prompt_len": args.prompt_len, "shared_prefix": args.shared_prefix,
+        "model": ("llama3.1-8b" if args.llama8b
+                  else f"L{args.layers}xH{args.hidden}"),
+        "kv": args.kv, "layout": args.layout,
+        "ttft_p50_s": round(metrics["ttft_p50_s"], 3),
+        "ttft_p95_s": round(metrics["ttft_p95_s"], 3),
+        "slot_utilization": round(metrics["slot_utilization"], 3),
+        "unroll": args.unroll,
+        "decode_dispatches": metrics["decode_dispatches"],
     }))
     return 0
 
