@@ -424,6 +424,18 @@ def convert_int4_word(cm: "CompressedModel") -> "CompressedModel":
     return dataclasses.replace(cm, params=params, kinds=kinds)
 
 
+def _infer_bsz(K: int, nblk: int) -> int:
+    """Block size from (K, n_blocks) allowing a ragged (padded) last block:
+    exact division wins; otherwise the next power of two >= K/nblk (the
+    compress path's block sizes are powers of two)."""
+    if K % nblk == 0:
+        return K // nblk
+    b = 1
+    while b * nblk < K:
+        b *= 2
+    return b
+
+
 def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Array:
     """Reference dequantization (correctness baseline for the fused kernels)."""
     if kind == "bf16":
@@ -436,13 +448,21 @@ def decompress_weight(kind: str, arrays: dict, out_dtype=jnp.bfloat16) -> jax.Ar
         return (arrays["q"].astype(jnp.float32) * sc).astype(out_dtype)
     if kind == "int4":
         lo, hi = plane_unpack_int4(arrays["packed"])
-        bsz = arrays["packed"].shape[-1] // arrays["scale_lo"].shape[-1]
-        lo_f = lo.astype(jnp.float32) * numerics.expand_block_scale(
-            arrays["scale_lo"], lo.shape, ((-1, bsz),)
-        )
-        hi_f = hi.astype(jnp.float32) * numerics.expand_block_scale(
-            arrays["scale_hi"], hi.shape, ((-1, bsz),)
-        )
+        K = arrays["packed"].shape[-1]
+        nblk = arrays["scale_lo"].shape[-1]
+        bsz = _infer_bsz(K, nblk)
+
+        def ex(sc, plane):
+            if K % bsz == 0:
+                return numerics.expand_block_scale(sc, plane.shape, ((-1, bsz),))
+            # ragged last block (e.g. K=704 with 128-blocks): expand on the
+            # padded width, slice back — floor-dividing the shapes would
+            # silently mis-infer bsz (the r5 anchor-serving bug)
+            shp = plane.shape[:-1] + (nblk * bsz,)
+            return numerics.expand_block_scale(sc, shp, ((-1, bsz),))[..., :K]
+
+        lo_f = lo.astype(jnp.float32) * ex(arrays["scale_lo"], lo)
+        hi_f = hi.astype(jnp.float32) * ex(arrays["scale_hi"], hi)
         return jnp.concatenate([lo_f, hi_f], axis=-2).astype(out_dtype)
     if kind == "int4x":
         # Unpack with u8 arithmetic (no s4 dtype — safe outside jit on axon).

@@ -101,11 +101,18 @@ def decode(ids) -> str:
 class SynthLang:
     """Seeded fact tables + corpus/eval samplers."""
 
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, retrieval_mix: bool = False):
         self.rng = np.random.default_rng(seed)
         self.capital = self.rng.permutation(N_COUNTRIES)  # country i -> city
         self.job = self.rng.integers(0, N_JOBS, size=N_PERSONS)
         self.residence = self.rng.integers(0, N_COUNTRIES, size=N_PERSONS)
+        # retrieval_mix=True: the RULER-anchor training curriculum - 1/3 of
+        # documents are retrieval (incl. MULTIKEY: several persons' needles,
+        # one queried) instead of 1/6 single-needle. Used to train
+        # `artifacts/anchor-ruler` (round-5: dense override competence for
+        # the attention-sparsity gate); the accuracy anchor keeps the
+        # original mix so its pinned ppl gates stay valid.
+        self.retrieval_mix = retrieval_mix
 
     # ---- declarative sentences --------------------------------------
     def fact_sentence(self, rng) -> str:
@@ -174,6 +181,34 @@ class SynthLang:
         parts += filler(int(rng.integers(0, 45)))
         parts.append(f"person{p:02d} lives in what country \n")
         parts.append(answer)
+        return "".join(parts)
+
+    def context_doc_multikey(self, rng) -> str:
+        """Multikey retrieval training doc (`sparsity/ruler.py` multikey
+        task): needles for SEVERAL distinct persons appear in one document,
+        separated by filler, then one of them is queried - the model must
+        select the right needle among in-context distractors."""
+        n_keys = int(rng.integers(2, 5))
+        ps = rng.choice(N_PERSONS, size=n_keys, replace=False)
+        cs = rng.integers(0, N_COUNTRIES, size=n_keys)
+        guards = [f"person{p:02d} lives" for p in ps]
+
+        def filler(n):
+            out = []
+            while len(out) < n:
+                sent = self.fact_sentence(rng)
+                if not any(g in sent for g in guards):
+                    out.append(sent)
+            return out
+
+        parts = filler(int(rng.integers(1, 5)))
+        for p, c in zip(ps, cs):
+            parts.append(f"person{p:02d} lives in country{c:02d} \n")
+            parts += filler(int(rng.integers(1, 10)))
+        parts += filler(int(rng.integers(0, 20)))
+        qi = int(rng.integers(0, n_keys))
+        parts.append(f"person{ps[qi]:02d} lives in what country \n")
+        parts.append(f"person{ps[qi]:02d} lives in country{cs[qi]:02d} \n")
         return "".join(parts)
 
     # ---- multiple-choice rows (MMLU CSV schema) ---------------------
@@ -274,7 +309,12 @@ class SynthLang:
             dev = [self.mc_row(rng, subject) for _ in range(int(rng.integers(0, 3)))]
             row = self.mc_row(rng, subject)
             return mmlu.build_prompt(dev, row, k_shot=len(dev)) + f" {row[5]} \n \n"
-        if r == 2:  # 1/6 in-context override docs (retrieval training)
+        if self.retrieval_mix:
+            if r == 2:
+                return self.context_doc(rng)
+            if r == 3:
+                return self.context_doc_multikey(rng)
+        elif r == 2:  # 1/6 in-context override docs (retrieval training)
             return self.context_doc(rng)
         return "".join(self.fact_sentence(rng) for _ in range(int(rng.integers(4, 9))))
 

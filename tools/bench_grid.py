@@ -36,7 +36,12 @@ PREFILL = int(os.environ.get("GRID_PREFILL", "2048"))
 CELL_TIMEOUT = int(os.environ.get("GRID_CELL_TIMEOUT", "1500"))
 
 
-def run_cell(fmt, bs, anchor, extra=None):
+def run_cell(fmt_spec, bs, anchor, extra=None):
+    # format spec "fmt[:layout][:kvk]" — e.g. "int4:bd2" (weight-only bd3
+    # schedule), "nvfp4:i8" (W8A8-class recast), ":kvk" appends the
+    # packed-KV attention kernel
+    parts = fmt_spec.split(":")
+    fmt = parts[0]
     env = dict(os.environ)
     env.update({
         "BENCH_FORMAT": fmt,
@@ -52,8 +57,15 @@ def run_cell(fmt, bs, anchor, extra=None):
     })
     if bs >= 64:
         env["BENCH_KV"] = os.environ.get("GRID_KV64", "int8")
+        if os.environ.get("GRID_KVK64", "0") == "1":
+            env["BENCH_KVK"] = "1"
+    for part in parts[1:]:
+        if part == "kvk":
+            env["BENCH_KVK"] = "1"
+        elif part:
+            env["BENCH_LAYOUT"] = part
     env.update(extra or {})
-    label = f"{fmt}-bs{bs}"
+    label = f"{fmt_spec.replace(':', '-')}-bs{bs}"
     print(f"[grid] cell {label} ...", file=sys.stderr, flush=True)
     t0 = time.time()
     try:
@@ -88,7 +100,7 @@ def _flush_partial(anchors, cells):
     path = os.path.join(OUT_DIR, "grid_partial.json")
     with open(path, "w") as f:
         json.dump({"anchors": {str(k): v for k, v in anchors.items()},
-                   "cells": {f"{fmt}-bs{bs}": c
+                   "cells": {f"{fmt.replace(':', '-')}-bs{bs}": c
                              for (fmt, bs), c in cells.items()}}, f, indent=1)
 
 
@@ -131,7 +143,7 @@ def main():
                      "per-batch-size anchor process (see module docstring)"},
         "anchors": {str(bs): anchors[bs] for bs in BATCHES},
         "grid": grid,
-        "sentinel": {"cell": f"{sent_fmt}-bs{sent_bs}", "drift_ratio": drift,
+        "sentinel": {"cell": f"{sent_fmt.replace(':', '-')}-bs{sent_bs}", "drift_ratio": drift,
                      **{k: sentinel.get(k) for k in ("value", "error")}},
         "reference_grid_h200": "examples/benchmark.md:20-28",
     }
@@ -149,7 +161,7 @@ def main():
             c = cells[(fmt, bs)]
             v = c.get("vs_baseline") or next(
                 (r.get("vs_baseline") for r in grid
-                 if r.get("cell") == f"{fmt}-bs{bs}"), None)
+                 if r.get("cell") == f"{fmt.replace(':', '-')}-bs{bs}"), None)
             vals.append(f"{v if v else 'ERR':>5}")
         print(f"{fmt:8s} " + " ".join(vals), file=sys.stderr)
     print(json.dumps({"metric": "grid", "path": path}))

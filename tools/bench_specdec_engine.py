@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Speculative decoding ON THE REAL-QUANT ENGINE (VERDICT r4 #8).
+
+Reference analog: `examples/specdec_bench/` (acceptance + throughput on the
+deployed engine, not the training harness). Two measurements:
+
+1. **Trained end-to-end** (`--phase anchor`): the trained anchor model,
+   W4A8-quantized and compressed, serves tree-speculative greedy decode
+   (`Engine.generate_speculative`) with medusa heads trained against the
+   same anchor. Reports true acceptance rate, tokens per verify forward,
+   and wall-clock vs the host-stepped plain decode (same stepping regime —
+   generate_speculative is host-stepped per verify round).
+
+2. **8B envelope** (`--phase 8b`): synthetic-weight 8B W4A8 engine (bench.py
+   machinery; random weights cannot give a *trained* acceptance) measures
+   the real cost ratio r = verify_forward(N tree nodes) / decode_step at
+   BS1. End-to-end speedup = tokens_per_verify / r; the JSON reports r and
+   the projected speedup at the anchor-measured tokens_per_verify — an
+   envelope, labeled as such.
+
+Run on-chip (the engine path). One JSON line per phase on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def log(m):
+    print(f"[specdec-engine] {m}", file=sys.stderr, flush=True)
+
+
+def phase_anchor():
+    from tensorrt_model_optimizer_tpu.models import hf_loader, llama
+    from tensorrt_model_optimizer_tpu.quant import compress, ptq
+    from tensorrt_model_optimizer_tpu.serve import engine as serve_engine
+    from tensorrt_model_optimizer_tpu.speculative import medusa, tree as tree_mod
+    from tensorrt_model_optimizer_tpu.utils import synthlang
+
+    cfg, params = hf_loader.load_hf_checkpoint("artifacts/anchor-llama")
+    cfg = llama.LlamaConfig(**{**cfg.__dict__, "dtype": jnp.float32})
+    params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    lang = synthlang.SynthLang(0)
+    train_steps = int(os.environ.get("SPECDEC_TRAIN", "300"))
+    stream = lang.token_stream(max(train_steps, 64) * 8 * 65, seed=11)
+    rng = np.random.default_rng(3)
+
+    mcfg = medusa.MedusaConfig(num_heads=3, num_layers=1)
+    heads = medusa.init_medusa(cfg, mcfg, jax.random.key(1))
+    step = jax.jit(medusa.make_medusa_train_step(cfg, lr=1e-3))
+    t0 = time.time()
+    for _ in range(train_steps):
+        starts = rng.integers(0, stream.size - 65, size=8)
+        toks = jnp.asarray(np.stack([stream[s : s + 65] for s in starts]))
+        heads, loss = step(heads, params, toks)
+    log(f"medusa heads trained ({time.time()-t0:.0f}s, loss {float(loss):.3f})")
+
+    calib = [jnp.asarray(stream[i * 2048 : i * 2048 + 2048].reshape(8, 256))
+             for i in range(2)]
+    model = ptq.quantize(cfg, params, "W4A8_AWQ_BETA_CFG", calib)
+    cm = compress.compress(model)
+    # the anchor's shapes (K=704 down_proj) don't tile the fused word2/a8
+    # kernels — serve the plane layout through the XLA dequant backend
+    # (real-quant weights + the preset's act quantizers, just no fused
+    # kernel; the 8B envelope phase measures the fused a8 path)
+    eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
+        max_seq_len=512, backend="xla", int4_layout="blockdot"))
+    prompt = jnp.asarray(stream[:64][None].astype(np.int32))
+    N = int(os.environ.get("SPECDEC_TOKENS", "96"))
+
+    # warm both paths, then time
+    eng.generate_speculative(prompt, heads, max_new_tokens=8)
+    t0 = time.time()
+    toks_spec, rate = eng.generate_speculative(prompt, heads, max_new_tokens=N)
+    t_spec = time.time() - t0
+
+    eng.generate_host(prompt, max_new_tokens=8)
+    t0 = time.time()
+    plain = eng.generate_host(prompt, max_new_tokens=N)
+    t_plain = time.time() - t0
+
+    match = float(np.mean(
+        np.asarray(toks_spec[: N]) == np.asarray(plain[0, :N])))
+    tree = tree_mod.build_tree()
+    out = {
+        "metric": "specdec-engine-anchor",
+        "model": "anchor-llama (trained) / W4A8_AWQ_BETA_CFG compressed",
+        "method": "medusa tree",
+        "tree_nodes": tree.n_nodes,
+        "accept_rate": round(float(rate), 4),
+        # harness convention (tools/bench_specdec.py): 1 bonus token per
+        # verify + accepted drafts, draft depth 3
+        "tokens_per_verify": round(1 + float(rate) * 3, 3),
+        "wall_spec_s": round(t_spec, 2),
+        "wall_plain_host_stepped_s": round(t_plain, 2),
+        "wall_speedup": round(t_plain / t_spec, 3) if t_spec else None,
+        "greedy_token_match_vs_plain": match,
+        "new_tokens": N,
+    }
+    print(json.dumps(out))
+
+
+def phase_8b():
+    import bench as bench_mod
+    from tensorrt_model_optimizer_tpu.speculative import tree as tree_mod
+
+    os.environ.setdefault("BENCH_FORMAT", "int4")
+    cfg, cm, eng = bench_mod.build_engine("int4", 32)
+    tree = tree_mod.build_tree()
+    N = tree.n_nodes
+    B = 1
+    rng = np.random.default_rng(0)
+    cache = eng.init_cache(B, 512)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 128), dtype=np.int32))
+    logits, cache = eng.prefill(prompt, cache)
+    import dataclasses as _dc
+
+    from tensorrt_model_optimizer_tpu.serve.engine import _model_step
+
+    # verify forward: N tree tokens with a mask override (slot != position)
+    S = cache["k"].shape[2]
+    pos = 128
+    allow = np.zeros((N, S), bool)
+    allow[:, :pos] = True
+    allow[:, pos:pos + N] = np.asarray(tree.attn_mask)
+    mask = jnp.asarray(np.where(allow, 0.0, -1e9), jnp.float32)[None, None]
+    tpos = (pos + jnp.asarray(tree.depth, jnp.int32))[None, :]
+    cand = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, N), dtype=np.int32))
+    verify = jax.jit(lambda p, q, t, c, po, m: _model_step(
+        cfg, eng.ecfg, eng.cm, eng.backend, p, q, t, c, po,
+        mask_override=m, full_logits=True))
+
+    def time_verify(reps):
+        t0 = time.time()
+        c = cache
+        for _ in range(reps):
+            lg, c2 = verify(eng.cm.params, eng.cm.qstate, cand, c, tpos, mask)
+        np.asarray(lg[0, 0, :8])
+        return (time.time() - t0) / reps
+
+    _ = time_verify(1)  # compile
+    t_verify = time_verify(8)
+
+    tok = jnp.asarray([[5]], jnp.int32)
+    tok, cache = eng.decode_step(tok, cache, unroll=8)  # compile
+    t0 = time.time()
+    for _ in range(3):
+        tok, cache = eng.decode_step(tok, cache, unroll=8)
+    np.asarray(tok)
+    t_decode = (time.time() - t0) / 24
+
+    r = t_verify / t_decode
+    anchor_tps = float(os.environ.get("SPECDEC_TPS", "1.745"))  # eagle3 r02
+    out = {
+        "metric": "specdec-engine-8b-envelope",
+        "model": "llama3.1-8b synth W4A8 (a8)",
+        "tree_nodes": N,
+        "verify_forward_ms": round(t_verify * 1e3, 2),
+        "decode_step_ms": round(t_decode * 1e3, 2),
+        "cost_ratio_r": round(r, 3),
+        "projected_speedup_at_tokens_per_verify": {
+            f"{tps:.2f}": round(tps / r, 3)
+            for tps in (1.0, 1.5, anchor_tps, 2.0, 3.0)
+        },
+        "note": ("random 8B weights cannot give a trained acceptance; "
+                 "speedup = tokens_per_verify / r with tokens_per_verify "
+                 "from the trained-anchor/specdec artifacts"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    phase = (sys.argv[sys.argv.index("--phase") + 1]
+             if "--phase" in sys.argv else "anchor")
+    (phase_anchor if phase == "anchor" else phase_8b)()

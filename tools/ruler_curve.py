@@ -39,7 +39,8 @@ def main():
 
     lang = synthlang.SynthLang(0)
     cfg, params = hf_loader.load_hf_checkpoint(
-        "artifacts/anchor-llama", dtype=jnp.float32
+        os.environ.get("RULER_ANCHOR", "artifacts/anchor-llama"),
+        dtype=jnp.float32
     )
     cm = compress.compress_bf16(cfg, params)
     ecfg = EngineConfig(max_seq_len=CTX + 16, backend="xla")
@@ -58,7 +59,7 @@ def main():
               flush=True)
 
     out = {
-        "anchor": "artifacts/anchor-llama",
+        "anchor": os.environ.get("RULER_ANCHOR", "artifacts/anchor-llama"),
         "gates": {"max_acc_drop": 0.02, "min_dense_acc": 0.8,
                   "max_dppl": 0.05},
         "ctx_tokens": CTX,

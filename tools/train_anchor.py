@@ -29,7 +29,14 @@ STEPS = int(os.environ.get("ANCHOR_STEPS", "4000"))
 BATCH = int(os.environ.get("ANCHOR_BATCH", "32"))
 SEQ = int(os.environ.get("ANCHOR_SEQ", "256"))
 LR = float(os.environ.get("ANCHOR_LR", "1e-3"))
-OUT = os.environ.get("ANCHOR_OUT", "artifacts/anchor-llama")
+# ANCHOR_RETRIEVAL=1: train the RULER anchor (retrieval-heavy curriculum —
+# 1/3 retrieval docs incl. multikey, synthlang retrieval_mix) into
+# artifacts/anchor-ruler; the accuracy anchor and its pinned gates stay
+# untouched (round-5 VERDICT #7).
+RETRIEVAL = os.environ.get("ANCHOR_RETRIEVAL", "0") == "1"
+OUT = os.environ.get(
+    "ANCHOR_OUT",
+    "artifacts/anchor-ruler" if RETRIEVAL else "artifacts/anchor-llama")
 
 
 def main():
@@ -41,7 +48,7 @@ def main():
     from tensorrt_model_optimizer_tpu.quant.qat import cross_entropy
     from tensorrt_model_optimizer_tpu.utils import mmlu, synthlang
 
-    lang = synthlang.SynthLang(0)
+    lang = synthlang.SynthLang(0, retrieval_mix=RETRIEVAL)
     cfg = synthlang.anchor_config()
     params = llama.init_params(cfg, jax.random.key(0))
 
