@@ -251,6 +251,114 @@ def forward(
     return eps, st
 
 
+def compress_dit(cfg: DiTConfig, params: dict, layout, qstate):
+    """Pack calibrated DiT block weights for REAL-quant serving.
+
+    Returns (kinds {site: kind}, packed {site: arrays}) with each block
+    site packed per its calibrated quantizer config (stacked [depth, ...]
+    arrays, `quant.compress.compress_weight`). The reference's diffusion
+    deployment quantizes the DiT/UNet GEMMs to INT8/FP8 TensorRT engines
+    (`examples/benchmark.md:47-51`); here the same sites dispatch to the
+    Pallas/XLA real-quant matmuls via `forward_packed`."""
+    from ..quant.compress import compress_weight
+
+    kinds, packed = {}, {}
+    for name in PROJ_NAMES:
+        wcfg = layout.get(f"{name}.weight")
+        wst = (qstate or {}).get(name, {}).get("weight")
+        kind, arrays = compress_weight(params["blocks"][name], wcfg, wst)
+        kinds[name] = kind
+        packed[name] = arrays
+    return kinds, packed
+
+
+def forward_packed(
+    cfg: DiTConfig,
+    params: dict,
+    kinds: dict,
+    packed: dict,
+    x: jax.Array,
+    t: jax.Array,
+    *,
+    layout,
+    qstate: Optional[dict] = None,
+    backend: str = "pallas",
+):
+    """Real-quant denoise step: `forward`'s math with every block GEMM
+    dispatched through the serving engine's quantized matmul (`serve.engine
+    ._qlinear` — int8 W8A8 on the s8 MXU, fp8, packed 4-bit, or dequant
+    fallback). Returns eps [B, H, W, C]."""
+    from ..serve import engine as serve_engine
+
+    class _CMShim:
+        def __init__(self, lay):
+            self.layout = lay
+
+    cm = _CMShim(layout)
+    B = x.shape[0]
+    h, nH = cfg.hidden_size, cfg.num_heads
+    hd = h // nH
+    tokens = patchify(x.astype(cfg.dtype), cfg.patch_size)
+    s = tokens @ params["patch_embed"].T.astype(cfg.dtype) + params["pos_embed"][None]
+    temb = timestep_embedding(t)
+    c = jax.nn.silu(temb @ params["t_mlp1"].T.astype(jnp.float32))
+    c = (c @ params["t_mlp2"].T.astype(jnp.float32)).astype(cfg.dtype)
+
+    def ln(z):
+        mu = jnp.mean(z.astype(jnp.float32), axis=-1, keepdims=True)
+        var = jnp.var(z.astype(jnp.float32), axis=-1, keepdims=True)
+        return ((z - mu) * jax.lax.rsqrt(var + 1e-6)).astype(z.dtype)
+
+    act_state = {
+        name: {"input": sub["input"]}
+        for name, sub in (qstate or {}).items()
+        if isinstance(sub, dict) and "input" in sub
+    }
+
+    def qlin(z, name, pk, lstate, bias):
+        B_, N_, K_ = z.shape
+        ist = (lstate or {}).get(name, {}).get("input")
+        y = serve_engine._qlinear(
+            z.reshape(B_ * N_, K_), name, kinds[name], pk[name], cm, backend,
+            ist)
+        return y.reshape(B_, N_, -1) + bias.astype(y.dtype)
+
+    def block(carry, per_block):
+        s = carry
+        bp, pk, lstate = per_block
+        mod = jax.nn.silu(c.astype(jnp.float32)).astype(cfg.dtype)
+        mod = jnp.squeeze(
+            qlin(mod[:, None, :], "adaLN.mod", pk, lstate,
+                 bp["adaLN.mod__bias"]), 1)
+        sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod, 6, axis=-1)
+        z = _modulate(ln(s), sh1, sc1)
+        qkv = qlin(z, "attn.qkv", pk, lstate, bp["attn.qkv__bias"])
+        N = z.shape[1]
+        qkv = qkv.reshape(B, N, 3, nH, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        att = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+        att = jax.nn.softmax(att / math.sqrt(hd), axis=-1).astype(s.dtype)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", att, v).reshape(B, N, h)
+        proj = qlin(ctx, "attn.proj", pk, lstate, bp["attn.proj__bias"])
+        s = s + g1[:, None, :] * proj
+        z = _modulate(ln(s), sh2, sc2)
+        f1 = qlin(z, "mlp.fc1", pk, lstate, bp["mlp.fc1__bias"])
+        f1 = jax.nn.gelu(f1.astype(jnp.float32)).astype(s.dtype)
+        f2 = qlin(f1, "mlp.fc2", pk, lstate, bp["mlp.fc2__bias"])
+        s = s + g2[:, None, :] * f2
+        return s, None
+
+    bias_params = {
+        k: v for k, v in params["blocks"].items() if k.endswith("__bias")
+    }
+    s, _ = jax.lax.scan(block, s, (bias_params, packed, act_state))
+    fin = jax.nn.silu(c.astype(jnp.float32)).astype(cfg.dtype) @ params["final_mod"].T.astype(cfg.dtype)
+    fsh, fsc = jnp.split(fin, 2, axis=-1)
+    s = _modulate(ln(s), fsh, fsc)
+    out = s @ params["final_proj"].T.astype(cfg.dtype)
+    return unpatchify(out, cfg.img_size, cfg.patch_size, cfg.in_channels)
+
+
 def quantize_dit(
     cfg: DiTConfig,
     params: dict,

@@ -66,3 +66,20 @@ def test_dit_ptq(tiny_dit, preset):
     assert corr > 0.9, f"{preset}: {corr}"
     # amax collected on blocks
     assert np.all(np.asarray(qstate["attn.qkv"]["weight"].amax) > 0)
+
+
+@pytest.mark.parametrize("preset", ["INT8_DEFAULT_CFG", "FP8_DEFAULT_CFG"])
+def test_dit_real_quant_serving(tiny_dit, preset):
+    """compress_dit + forward_packed (real-quant denoise step through the
+    engine's quantized matmuls) tracks the fake-quant forward — the
+    diffusion-deployment path (reference `benchmark.md:47-51`)."""
+    cfg, params, batches = tiny_dit
+    layout, qstate = dit.quantize_dit(cfg, params, preset, batches)
+    kinds, packed = dit.compress_dit(cfg, params, layout, qstate)
+    x, t = batches[0]
+    ref, _ = dit.forward(cfg, params, x, t, layout=layout, qstate=qstate)
+    out = dit.forward_packed(cfg, params, kinds, packed, x, t,
+                             layout=layout, qstate=qstate, backend="xla")
+    a, b = np.asarray(ref).ravel(), np.asarray(out).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.95, f"{preset}: {corr}"
