@@ -635,6 +635,7 @@ def forward(
     capture_tokens: int = 0,
     adapters: Optional[dict] = None,
     mask: Optional[jax.Array] = None,
+    input_embeds: Optional[jax.Array] = None,
 ):
     """Forward pass.
 
@@ -648,18 +649,25 @@ def forward(
     """
     if layout is None:
         layout = QuantLayout(sites=())
-    B, T = tokens.shape
+    # `input_embeds` [B, T, H] replaces the token-embedding lookup (VLM
+    # composition: image patch embeddings prepended to text embeddings,
+    # models/vlm.py); `tokens` may be None in that case.
+    B, T = (input_embeds.shape[:2] if input_embeds is not None
+            else tokens.shape)
     if positions is None:
         start = cache["pos"] if cache is not None else 0
         positions = start + jnp.arange(T)[None, :].astype(jnp.int32)
         positions = jnp.broadcast_to(positions, (B, T))
 
-    emb_w = params["embed_tokens"]
     ew_cfg = layout.get("embed_tokens.weight")
     ew_state = (qstate or {}).get("embed_tokens.weight")
-    if ew_cfg.enable and not calib:
-        emb_w = Q.quantize(emb_w, ew_cfg, ew_state)
-    x = emb_w[tokens].astype(cfg.dtype)
+    if input_embeds is not None:
+        x = input_embeds.astype(cfg.dtype)
+    else:
+        emb_w = params["embed_tokens"]
+        if ew_cfg.enable and not calib:
+            emb_w = Q.quantize(emb_w, ew_cfg, ew_state)
+        x = emb_w[tokens].astype(cfg.dtype)
 
     # Causal mask. With a cache, queries attend to cache[0:pos+T].
     # An explicit `mask` ([1,1,T,S] additive) overrides — used by tree

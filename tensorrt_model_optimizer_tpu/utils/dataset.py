@@ -173,3 +173,27 @@ def get_max_batch_size(
         raise RuntimeError(f"even batch={start} does not fit at seq_len={seq_len}")
     del headroom  # power-of-two backoff already leaves >= 2x compute headroom
     return good
+
+
+def vlm_calib_batches(n_batches: int, batch: int = 2, img: int = 64,
+                      seq: int = 32, seed: int = 0):
+    """Synthetic VLM calibration batches: (pixels [B, img, img, 3] in
+    [-1, 1], synthlang text tokens [B, seq]).
+
+    Reference analog: the VLM calibration loaders in
+    `modelopt/torch/utils/dataset_utils.py` (image+text pairs driving the
+    forward_loop for `examples/vlm_ptq`)."""
+    import numpy as np
+
+    from . import synthlang
+
+    lang = synthlang.SynthLang(0)
+    rng = np.random.default_rng(seed)
+    stream = lang.token_stream(n_batches * batch * seq + seq, seed=seed + 1)
+    out = []
+    for i in range(n_batches):
+        px = rng.uniform(-1, 1, size=(batch, img, img, 3)).astype(np.float32)
+        s = i * batch * seq
+        tk = stream[s: s + batch * seq].reshape(batch, seq)
+        out.append((px, tk.astype(np.int32)))
+    return out

@@ -1,0 +1,80 @@
+#!/bin/bash
+# Round-5 chain 3 (queued on chain2/grid): the remaining on-chip artifacts.
+#  1. 8B continuous batching at scale (VERDICT r4 #5): scheduler + paged
+#     KV + prefix cache at 8B W4A8, realistic mix, TTFT p50/p95 + slot
+#     utilization + tok/s.
+#  2. Speculative decoding on the engine (VERDICT #8): trained-anchor
+#     W4A8 end-to-end + 8B verify-cost envelope.
+#  3. Diffusion PTQ latency (VERDICT #9): DiT-XL/2 denoise step bf16 vs
+#     INT8 vs FP8 + quality proxy.
+#  4. RULER retrieval anchor (VERDICT #7): train artifacts/anchor-ruler on
+#     the retrieval-heavy curriculum, then rerun the sparsity calibration
+#     curve on it.
+cd /root/repo
+A=artifacts/bench_r05
+mkdir -p $A
+log() { echo "$(date -u +%FT%TZ) $*" >> $A/chain3.log; }
+
+health_gate() {
+  local ok=0 t0 rc dt waited=0 bar=15
+  while [ $ok -lt 2 ]; do
+    t0=$(date +%s)
+    timeout 120 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((512,512), jnp.bfloat16)
+for _ in range(3): x = x @ x * 0 + x
+np.asarray(x[0,0])" 2>/dev/null
+    rc=$?; dt=$(( $(date +%s) - t0 ))
+    if [ $rc -eq 0 ] && [ $dt -lt $bar ]; then
+      ok=$((ok+1)); log "health ok (${dt}s) [$ok/2]"
+    else
+      ok=0; log "health slow/fail rc=$rc (${dt}s); sleeping 120"
+      sleep 120
+      waited=$((waited + 122 + dt)); [ $waited -ge 1200 ] && bar=70
+    fi
+  done
+}
+
+log "=== r05 chain3 queued (waits for chain2) ==="
+while [ ! -f $A/chain2.done ]; do sleep 60; done
+health_gate
+
+log "1) 8B continuous batching (W4A8 a8, int8 KV, unroll 8, prefix cache)"
+timeout 3600 python -u tools/bench_serve.py --llama8b --format int4 \
+  --layout a8 --kv int8 --requests 24 --prompt_len 1024 --shared_prefix 256 \
+  --new_tokens 128 --max_slots 8 --unroll 8 --prefix_cache \
+  > $A/serve_8b.json 2> $A/serve_8b.err
+log "serve_8b: $(head -c 400 $A/serve_8b.json)"
+
+health_gate
+log "2a) specdec: trained-anchor W4A8 end-to-end"
+SPECDEC_TRAIN=400 SPECDEC_TOKENS=96 timeout 2400 python -u \
+  tools/bench_specdec_engine.py --phase anchor \
+  > $A/specdec_anchor.json 2> $A/specdec_anchor.err
+log "specdec_anchor: $(head -c 400 $A/specdec_anchor.json)"
+
+log "2b) specdec: 8B verify-cost envelope"
+timeout 2400 python -u tools/bench_specdec_engine.py --phase 8b \
+  > $A/specdec_8b.json 2> $A/specdec_8b.err
+log "specdec_8b: $(head -c 400 $A/specdec_8b.json)"
+
+health_gate
+log "3) diffusion PTQ latency (DiT-XL/2 class)"
+timeout 3600 python -u tools/bench_diffusion.py \
+  > $A/diffusion.json 2> $A/diffusion.err
+log "diffusion: $(cat $A/diffusion.json | tr '\n' ' ' | head -c 500)"
+
+health_gate
+log "4) RULER anchor training (retrieval curriculum, seq 448)"
+ANCHOR_RETRIEVAL=1 ANCHOR_STEPS=24000 ANCHOR_SEQ=448 ANCHOR_BATCH=16 \
+  timeout 7200 python -u tools/train_anchor.py \
+  > $A/train_ruler_anchor.log 2>&1
+log "anchor-ruler trained: $(tail -c 300 $A/train_ruler_anchor.log | tr '\n' ' ')"
+
+log "4b) RULER curve on the retrieval anchor"
+RULER_ANCHOR=artifacts/anchor-ruler timeout 3600 python -u \
+  tools/ruler_curve.py > $A/ruler_curve_r05.log 2>&1
+log "ruler: $(tail -c 400 $A/ruler_curve_r05.log | tr '\n' ' ')"
+
+log "=== r05 chain3 complete ==="
+touch $A/chain3.done
