@@ -31,7 +31,11 @@ class Candidate:
     params: Optional[dict]  # per-layer params
     cost: int  # parameter count
     score: float = 0.0  # local output MSE (filled by scoring)
-    skip: Optional[str] = None  # "attn" | "mlp" — sub-block removal
+    skip: Optional[str] = None  # "attn" | "mlp" | "mamba" — sub-block swap
+    # alternative-architecture replacement (reference anymodel: swap the
+    # attention op for a mamba mixer, locally distilled): the MambaConfig
+    # governing this candidate's "mixer.*" params
+    mamba_cfg: Optional[object] = None
 
 
 @dataclasses.dataclass
@@ -108,8 +112,11 @@ def _attn_params(cfg) -> int:
     return sum(o * i for n, (o, i) in sh.items() if n.startswith("self_attn"))
 
 
-def _layer_out(ccfg, x, cp, positions, mask, skip: Optional[str] = None):
-    """One layer with optional attention/MLP removal (sewing-kit variants)."""
+def _layer_out(ccfg, x, cp, positions, mask, skip: Optional[str] = None,
+               mamba_cfg=None):
+    """One layer with optional attention/MLP removal or an attention->mamba
+    swap (sewing-kit variants; `mamba_cfg` is STATIC — params stay a pure
+    array pytree so healing can jit over them)."""
     lay = llama.QuantLayout(sites=())
     if skip is None:
         out, _, _, _ = llama._decoder_layer(
@@ -126,6 +133,17 @@ def _layer_out(ccfg, x, cp, positions, mask, skip: Optional[str] = None):
             ccfg, h, cp, None, lay, positions, mask, None, False
         )
         return x + attn
+    if skip == "mamba":
+        # attention op replaced by a mamba2 mixer (reference anymodel swap)
+        from ..models import mamba as mamba_mod
+
+        mcfg = mamba_cfg
+        h = llama.rms_norm(x, cp["input_layernorm"], ccfg.rms_norm_eps)
+        y, _, _, _ = mamba_mod._mixer(mcfg, h, cp, None, lay, None, False)
+        x = x + y
+        h = llama.rms_norm(x, cp["post_attention_layernorm"], ccfg.rms_norm_eps)
+        mlp_out, _, _ = llama._mlp(h, cp, None, lay, False)
+        return x + mlp_out
     raise ValueError(skip)
 
 
@@ -171,6 +189,12 @@ def build_and_score_library(
                 err = float(jnp.mean((full_out - x) ** 2))
                 cands.append(Candidate("noop", None, None, cost=0, score=err))
                 continue
+            if kind == "attn2mamba":
+                cand = build_mamba_candidate(
+                    cfg, lp, x, full_out, positions, mask, seed=i)
+                if cand is not None:
+                    cands.append(cand)
+                continue
             if kind in ("attn_skip", "mlp_skip"):
                 skip = kind.split("_")[0]
                 out = _layer_out(cfg, x, lp, positions, mask, skip)
@@ -193,6 +217,164 @@ def build_and_score_library(
         library.append(cands)
         x = full_out  # propagate the FULL model's activations
     return library
+
+
+def build_mamba_candidate(
+    cfg: llama.LlamaConfig,
+    lp: dict,
+    x: jax.Array,
+    full_out: jax.Array,
+    positions,
+    mask,
+    distill_steps: int = 120,
+    lr: float = 3e-3,
+    seed: int = 0,
+):
+    """Alternative-architecture replacement block (reference puzzletron
+    `anymodel/`: attention <-> mamba swaps): replace the layer's attention
+    op with a fresh Mamba2 mixer and LOCALLY DISTILL it — train the mixer
+    (plus this layer's norms) to match the FULL layer's output on the
+    layer's true input activations, exactly the reference's
+    replacement-library build (train candidates against the parent, then
+    let the MIP judge them by local score).
+
+    Returns a Candidate (skip="mamba") or None if the geometry doesn't fit.
+    """
+    import optax
+
+    from ..models import mamba as mamba_mod
+
+    h = cfg.hidden_size
+    heads = max(h // 64, 1)
+    try:
+        mcfg = mamba_mod.MambaConfig(
+            vocab_size=cfg.vocab_size, hidden_size=h,
+            intermediate_size=cfg.intermediate_size,
+            num_attention_heads=cfg.num_attention_heads,
+            num_key_value_heads=cfg.num_key_value_heads,
+            mamba_num_heads=heads, mamba_head_dim=max(2 * h // heads, 8),
+            ssm_state_size=min(64, h), n_groups=1, chunk_size=8,
+            hybrid_pattern="M", dtype=cfg.dtype,
+        )
+        mp = mamba_mod.init_params(mcfg, jax.random.key(seed))
+    except Exception:
+        return None
+    mixer = {k: v[0] for k, v in mp["layers_mamba"].items()
+             if k.startswith("mixer.")}
+    cand_params = {k: v for k, v in lp.items()
+                   if not k.startswith("self_attn.")}
+    cand_params.update(mixer)
+
+    train_keys = tuple(mixer) + ("input_layernorm", "post_attention_layernorm")
+
+    def fwd(trained, frozen):
+        cp = {**frozen, **trained}
+        return _layer_out(cfg, x, cp, positions, mask, "mamba",
+                          mamba_cfg=mcfg)
+
+    frozen = {k: v for k, v in cand_params.items() if k not in train_keys}
+    trained = {k: cand_params[k] for k in train_keys if k in cand_params}
+    opt = optax.adam(lr)
+    ost = opt.init(trained)
+
+    @jax.jit
+    def step(trained, ost):
+        def loss_fn(tr):
+            out = fwd(tr, frozen)
+            return jnp.mean((out.astype(jnp.float32)
+                             - full_out.astype(jnp.float32)) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(trained)
+        up, ost = opt.update(g, ost)
+        return optax.apply_updates(trained, up), ost, loss
+
+    loss = None
+    for _ in range(distill_steps):
+        trained, ost, loss = step(trained, ost)
+    cand_params.update(trained)
+    out = _layer_out(cfg, x, cand_params, positions, mask, "mamba",
+                     mamba_cfg=mcfg)
+    err = float(jnp.mean((full_out.astype(jnp.float32)
+                          - out.astype(jnp.float32)) ** 2))
+    mixer_params = int(sum(v.size for k, v in cand_params.items()
+                           if k.startswith("mixer.")))
+    cost = _layer_param_count(cfg) - _attn_params(cfg) + mixer_params
+    return Candidate("attn2mamba", dataclasses.replace(cfg), cand_params,
+                     cost=cost, score=err, skip="mamba", mamba_cfg=mcfg)
+
+
+def heal_child(
+    base_cfg: llama.LlamaConfig,
+    params: llama.Params,
+    result: PuzzleResult,
+    batches: list[jax.Array],
+    steps: int = 100,
+    lr: float = 1e-4,
+    temperature: float = 2.0,
+):
+    """Post-stitch healing (reference puzzletron post-stitch distillation):
+    short knowledge-distillation fine-tune of the stitched child against
+    the PARENT's logits on the calibration stream. Only the chosen
+    candidate layers train (embed/head/norm stay the parent's). Returns
+    (healed PuzzleResult, {"kd_loss_first", "kd_loss_last"})."""
+    import optax
+
+    statics = [(c.name, c.cfg, c.skip, c.mamba_cfg) for c in result.layers]
+    child_layers = [dict(c.params) if c.params is not None else {}
+                    for c in result.layers]
+
+    def child_logits(layers_list, tokens):
+        B, T = tokens.shape
+        positions = jnp.broadcast_to(
+            jnp.arange(T)[None, :], (B, T)).astype(jnp.int32)
+        mask = jnp.where(
+            jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0, -1e9
+        )[None, None, :, :].astype(jnp.float32)
+        x = params["embed_tokens"][tokens].astype(base_cfg.dtype)
+        for (name, ccfg, skip, mcfg), cp in zip(statics, layers_list):
+            if name == "noop":
+                continue
+            x = _layer_out(ccfg, x, cp, positions, mask, skip,
+                           mamba_cfg=mcfg)
+        x = llama.rms_norm(x, params["norm"], base_cfg.rms_norm_eps)
+        head_w = params.get("lm_head", params["embed_tokens"])
+        return (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)
+
+    def parent_logits(tokens):
+        lg, _, _ = llama.forward(base_cfg, params, tokens)
+        return lg
+
+    opt = optax.adam(lr)
+    ost = opt.init(child_layers)
+    T_ = temperature
+
+    @jax.jit
+    def step(layers_list, ost, tokens, teacher):
+        def loss_fn(ls):
+            lg = child_logits(ls, tokens)
+            # KL(teacher || student) with temperature (distill.losses
+            # LogitsDistillationLoss semantics)
+            tp = jax.nn.softmax(teacher / T_, axis=-1)
+            lsf = jax.nn.log_softmax(lg / T_, axis=-1)
+            return -jnp.mean(jnp.sum(tp * lsf, axis=-1)) * T_ * T_
+
+        loss, g = jax.value_and_grad(loss_fn)(layers_list)
+        up, ost = opt.update(g, ost)
+        return optax.apply_updates(layers_list, up), ost, loss
+
+    first = last = None
+    pj = jax.jit(parent_logits)
+    for i in range(steps):
+        tokens = batches[i % len(batches)]
+        teacher = pj(tokens)
+        child_layers, ost, loss = step(child_layers, ost, tokens, teacher)
+        if first is None:
+            first = float(loss)
+        last = float(loss)
+    healed = [dataclasses.replace(c, params=(cp if c.params is not None else None))
+              for c, cp in zip(result.layers, child_layers)]
+    out = dataclasses.replace(result, layers=healed)
+    return out, {"kd_loss_first": first, "kd_loss_last": last}
 
 
 def run_puzzle(
@@ -238,7 +420,8 @@ def forward_hetero(
     for cand in result.layers:
         if cand.name == "noop":
             continue
-        x = _layer_out(cand.cfg, x, cand.params, positions, mask, cand.skip)
+        x = _layer_out(cand.cfg, x, cand.params, positions, mask, cand.skip,
+                       mamba_cfg=cand.mamba_cfg)
     x = llama.rms_norm(x, params["norm"], base_cfg.rms_norm_eps)
     head_w = params.get("lm_head", params["embed_tokens"])
     return (x @ head_w.T.astype(x.dtype)).astype(jnp.float32)

@@ -148,3 +148,42 @@ def test_sewing_kit_roundtrip(setup, tmp_path):
     assert [c.skip for c in res2.layers] == [c.skip for c in res.layers]
     got = puzzle.forward_hetero(cfg2, params2, res2, batches[0])
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_mamba_replacement_and_healing():
+    """Round-5 depth: alternative-architecture replacement (attention ->
+    locally-distilled mamba mixer, reference anymodel) + post-stitch KD
+    healing (reference post-stitch distillation)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensorrt_model_optimizer_tpu.models import llama
+    from tensorrt_model_optimizer_tpu.puzzletron import puzzle
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    batches = [jnp.asarray(rng.integers(0, 256, size=(2, 16)))]
+    lib = puzzle.build_and_score_library(
+        cfg, params, batches,
+        kinds=("full", "ffn50", "attn2mamba", "noop"))
+    names = {c.name for cands in lib for c in cands}
+    assert "attn2mamba" in names
+    m = next(c for c in lib[0] if c.name == "attn2mamba")
+    assert m.skip == "mamba" and m.mamba_cfg is not None
+    assert np.isfinite(m.score)
+    # force a mamba layer into the stitched child and heal it
+    res = puzzle.run_puzzle(lib, param_budget_ratio=0.9)
+    forced = list(res.layers)
+    forced[0] = m
+    res = dataclasses.replace(res, layers=forced,
+                              choices=[c.name for c in forced])
+    lg = puzzle.forward_hetero(cfg, params, res, batches[0])
+    assert np.all(np.isfinite(np.asarray(lg)))
+    healed, metrics = puzzle.heal_child(cfg, params, res, batches, steps=8)
+    assert metrics["kd_loss_last"] <= metrics["kd_loss_first"] + 1e-3, metrics
+    lg2 = puzzle.forward_hetero(cfg, params, healed, batches[0])
+    assert np.all(np.isfinite(np.asarray(lg2)))
