@@ -692,3 +692,84 @@ def export_hf_checkpoint(
     with open(os.path.join(export_dir, "config.json"), "w") as f:
         json.dump(hf_cfg, f, indent=2)
     return hf_quant_config
+
+
+def export_vlm_checkpoint(cfg, params, layout, qstate, export_dir: str,
+                          quant_cfg=None) -> dict:
+    """Unified export for the VLM family (`models/vlm.py`) in the LLaVA HF
+    naming scheme: `language_model.*` (the LM tower through the standard
+    unified exporter), `vision_tower.blocks.{i}.*` and
+    `multi_modal_projector.*` (per-site packed weights via the same
+    `_export_weight` format handlers). Reference analog: `examples/
+    vlm_ptq` exporting the quantized VLM through `unified_export_hf`.
+
+    Returns hf_quant_config. `quant_cfg` (QuantizeConfig or preset name)
+    provides the algo tag; defaults to reading it from the LM layout via a
+    QuantizedModel view."""
+    from ..models import vlm as vlm_mod
+    from ..quant.config import get_preset
+    from ..quant.ptq import QuantizedModel
+
+    os.makedirs(export_dir, exist_ok=True)
+    qcfg = (get_preset(quant_cfg) if isinstance(quant_cfg, str)
+            else quant_cfg)
+    lm_state = {k: v for k, v in (qstate or {}).items()
+                if not (k.startswith("vision.") or k.startswith("proj."))}
+    lm_model = QuantizedModel(cfg.lm, params["lm"], layout, lm_state,
+                              qcfg)
+    algo, group_size = _quant_algo(lm_model)
+    kv_algo = _kv_algo(lm_model)
+
+    tensors = {
+        f"language_model.{k}": np.array(v, copy=True)
+        for k, v in _iter_export_tensors(lm_model)
+    }
+    # vision tower + projector: per-site format handlers on stacked blocks
+    v = cfg.vision
+    vp = params["vision"]
+    for name in vlm_mod.VISION_PROJ:
+        wcfg = layout.get(f"vision.{name}.weight")
+        wst_all = (qstate or {}).get(f"vision.{name}", {}).get("weight")
+        for i in range(v.depth):
+            wst = (jax.tree.map(lambda a: a[i], wst_all)
+                   if wst_all is not None else None)
+            pieces = _export_weight(vp["blocks"][name][i], wcfg, wst, algo)
+            for suf, arr in pieces.items():
+                tensors[f"vision_tower.blocks.{i}.{name}.{suf}"] = arr
+            tensors[f"vision_tower.blocks.{i}.{name}.bias"] = np.asarray(
+                vp["blocks"][name + "__bias"][i], np.float16)
+    tensors["vision_tower.patch_embed.weight"] = np.asarray(
+        vp["patch_embed"], np.float16)
+    tensors["vision_tower.pos_embed"] = np.asarray(vp["pos_embed"], np.float16)
+    tensors["vision_tower.ln_f.weight"] = np.asarray(vp["ln_f"], np.float16)
+    for i, name in enumerate(("fc1", "fc2"), start=1):
+        wcfg = layout.get(f"proj.{name}.weight")
+        wst = (qstate or {}).get(f"proj.{name}", {}).get("weight")
+        pieces = _export_weight(params["proj"][name], wcfg, wst, algo)
+        for suf, arr in pieces.items():
+            tensors[f"multi_modal_projector.linear_{i}.{suf}"] = arr
+
+    _save_safetensors_with_fp8(
+        tensors, os.path.join(export_dir, "model.safetensors"))
+    hf_quant_config = {
+        "producer": {"name": "tensorrt_model_optimizer_tpu", "version": "0.1.0"},
+        "quantization": {
+            "quant_algo": algo,
+            "kv_cache_quant_algo": kv_algo,
+            **({"group_size": group_size} if group_size else {}),
+            "exclude_modules": ["lm_head"],
+        },
+    }
+    with open(os.path.join(export_dir, "hf_quant_config.json"), "w") as f:
+        json.dump(hf_quant_config, f, indent=2)
+    hf_cfg = hf_loader.config_to_hf(cfg.lm)
+    hf_cfg["model_type"] = "llava-style-vlm"
+    hf_cfg["vision_config"] = {
+        "img_size": v.img_size, "patch_size": v.patch_size,
+        "hidden_size": v.hidden_size, "depth": v.depth,
+        "num_heads": v.num_heads,
+    }
+    hf_cfg["quantization_config"] = hf_quant_config["quantization"]
+    with open(os.path.join(export_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    return hf_quant_config

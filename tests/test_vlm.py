@@ -68,3 +68,33 @@ def test_lm_exclusions_apply(tiny_vlm):
     layout, _ = vlm.quantize_vlm(cfg, params, "INT8_DEFAULT_CFG", batches)
     assert not layout.get("lm_head.weight").enable
     assert layout.get("vision.attn.qkv.weight").enable
+
+
+def test_vlm_unified_export(tiny_vlm, tmp_path):
+    """export_vlm_checkpoint writes the LLaVA-scheme unified checkpoint:
+    LM tower via the standard exporter + packed vision/projector sites."""
+    import json
+
+    from safetensors import safe_open
+
+    from tensorrt_model_optimizer_tpu.export.hf_export import (
+        export_vlm_checkpoint)
+
+    cfg, params, batches = tiny_vlm
+    layout, qstate = vlm.quantize_vlm(cfg, params, "NVFP4_DEFAULT_CFG", batches)
+    out = tmp_path / "vlm_ckpt"
+    hqc = export_vlm_checkpoint(cfg, params, layout, qstate, str(out),
+                                quant_cfg="NVFP4_DEFAULT_CFG")
+    assert hqc["quantization"]["quant_algo"] == "NVFP4"
+    # torch framework handles the F8 weight_scale tensors numpy can't
+    with safe_open(str(out / "model.safetensors"), framework="pt") as sf:
+        names = set(sf.keys())
+        w = sf.get_tensor("vision_tower.blocks.0.attn.qkv.weight").numpy()
+    assert any(n.startswith("language_model.model.layers.0") for n in names)
+    assert "vision_tower.blocks.0.attn.qkv.weight" in names
+    assert "vision_tower.blocks.0.attn.qkv.weight_scale" in names
+    assert "multi_modal_projector.linear_1.weight" in names
+    # packed NVFP4: nibbles halve the input dim
+    assert w.shape[-1] == cfg.vision.hidden_size // 2
+    cfgj = json.loads((out / "config.json").read_text())
+    assert cfgj["vision_config"]["depth"] == cfg.vision.depth
