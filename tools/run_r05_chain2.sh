@@ -47,7 +47,7 @@ EOF
 )
 log "GRID_KVK64=$KVK64 (batched-kernel int8-KV A/B decision)"
 
-GRID_OUT=$A GRID_FORMATS="fp8,int4,int4:bd2,nvfp4,nvfp4:i8" \
+GRID_OUT=$A GRID_FORMATS="fp8,int4,nvfp4,nvfp4:i8" \
   GRID_KV64=int8 GRID_KVK64=$KVK64 GRID_CELL_TIMEOUT=1800 \
   timeout 21600 python -u tools/bench_grid.py >> $A/chain2.log 2>&1
 log "=== r05 chain2 complete ==="
