@@ -828,8 +828,13 @@ def _model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache, positions
         return x, ys
 
     L = cfg.num_hidden_layers
-    ka = k_amax if k_amax is not None else jnp.zeros((L,))
-    va = v_amax if v_amax is not None else jnp.zeros((L,))
+    # Uncalibrated quantized KV: use the documented 448 default amax (the
+    # _kv_store fallback) — a zeros placeholder makes scale = 0 and stores
+    # garbage (pre-r5 behavior on BOTH paths; timing-only benches never
+    # noticed, parity tests always calibrate)
+    default_amax = jnp.full((L,), 448.0)
+    ka = k_amax if k_amax is not None else default_amax
+    va = v_amax if v_amax is not None else default_amax
     # Per-layer input-quantizer state rides through the scan (stacked [L, ...])
     act_state = {
         name: {"input": sub["input"]}
@@ -1059,8 +1064,9 @@ def _paged_model_step(cfg, ecfg, cm, backend, params, qstate, tokens, cache,
     k_amax = _kv_amax_from(qstate, "k")
     v_amax = _kv_amax_from(qstate, "v")
     L = cfg.num_hidden_layers
-    ka = k_amax if k_amax is not None else jnp.zeros((L,))
-    va = v_amax if v_amax is not None else jnp.zeros((L,))
+    default_amax = jnp.full((L,), 448.0)  # see _model_step
+    ka = k_amax if k_amax is not None else default_amax
+    va = v_amax if v_amax is not None else default_amax
     act_state = {
         name: {"input": sub["input"]}
         for name, sub in (qstate or {}).items()
