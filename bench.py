@@ -37,10 +37,18 @@ import numpy as np
 # 1.157x, int8 1.794x (r02). Override with BENCH_FORMAT.
 FORMAT = os.environ.get("BENCH_FORMAT", "int4")
 BATCH = int(os.environ.get("BENCH_BS", "8"))
-PREFILL = int(os.environ.get("BENCH_PREFILL", "128"))
+# r5 default = the REFERENCE SCENARIO (2048-in / 128-out decode,
+# benchmark.md:11-14): the r4 headline was the prefill-128 short-context
+# number and VERDICT r4 #1 asked for the 2048-in claim. At >=1024-token
+# prefill the KV cache defaults to int8 on BOTH engines (equalized-KV
+# ratio; bf16 KV at 2048 is memory-marginal beside the anchor) and the
+# packed-KV attention kernel is on (best measured int8-KV path at 2048:
+# 14.66 vs 15.58 ms, r5 chain1b). Explicit BENCH_KV/BENCH_KVK override;
+# BENCH_KV=none forces the bf16 cache.
+PREFILL = int(os.environ.get("BENCH_PREFILL", "2048"))
 STEPS = int(os.environ.get("BENCH_STEPS", "64"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
-MAXLEN = int(os.environ.get("BENCH_MAXLEN", "512"))
+MAXLEN = int(os.environ.get("BENCH_MAXLEN", str(PREFILL + 256)))
 # Max dispatches in flight before a value barrier. Donation is deferred on
 # the relay (buffers reclaim at execution, not dispatch), so every queued
 # step pins a fresh KV-cache allocation; an unbounded queue OOMed the chip
@@ -290,6 +298,10 @@ def build_engine(fmt, n_layers):
         ecfg = _dc.replace(ecfg, nvfp4_layout=layout, int4_layout=layout)
     kv = os.environ.get("BENCH_KV")  # int8/fp8 quantized KV cache — the
     # BS64 grid cells need it (bf16 KV at 64 x 2176 tokens = 17.8 GB > HBM)
+    if kv is None and PREFILL >= 1024:
+        kv = "int8"  # reference-scenario default (see PREFILL comment)
+    if kv == "none":
+        kv = None
     if kv:
         import dataclasses as _dc
 
@@ -298,7 +310,8 @@ def build_engine(fmt, n_layers):
             kv_dtype={"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
                       "nvfp4": "nvfp4", "nvfp4_fake": "nvfp4_fake"}[kv],
         )
-    if os.environ.get("BENCH_KVK", "0") == "1":
+    kvk_default = "1" if (kv == "int8" or kv == "nvfp4") else "0"
+    if os.environ.get("BENCH_KVK", kvk_default) == "1":
         # packed-KV Pallas decode attention (kv-head-major stored cache;
         # ops/pallas/kv_attention.py) — r5 A/B knob
         import dataclasses as _dc

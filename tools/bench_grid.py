@@ -55,10 +55,16 @@ def run_cell(fmt_spec, bs, anchor, extra=None):
         "BENCH_ANCHOR": "1" if anchor else "0",
         "BENCH_DEADLINE": str(CELL_TIMEOUT - 300),
     })
+    # pin KV/kernel explicitly per cell so bench.py's scenario defaults
+    # (r5: int8-KV + kernel at >=1024-token prefill) never change grid
+    # semantics out from under the published protocol
     if bs >= 64:
         env["BENCH_KV"] = os.environ.get("GRID_KV64", "int8")
-        if os.environ.get("GRID_KVK64", "0") == "1":
-            env["BENCH_KVK"] = "1"
+        env["BENCH_KVK"] = ("1" if os.environ.get("GRID_KVK64", "0") == "1"
+                            else "0")
+    else:
+        env["BENCH_KV"] = "none"  # bf16 KV at BS1/8 (r3/r4 grid protocol)
+        env["BENCH_KVK"] = "0"
     for part in parts[1:]:
         if part == "kvk":
             env["BENCH_KVK"] = "1"
