@@ -48,7 +48,10 @@ BATCH = int(os.environ.get("BENCH_BS", "8"))
 PREFILL = int(os.environ.get("BENCH_PREFILL", "2048"))
 STEPS = int(os.environ.get("BENCH_STEPS", "64"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
-MAXLEN = int(os.environ.get("BENCH_MAXLEN", str(PREFILL + 256)))
+# +512: covers the default 5 rounds x 64 steps of decode budget AND
+# keeps MAXLEN a multiple of 512 so the kv-attention kernel gets
+# full-size S blocks (2304-style maxlens fall to 128-row blocks)
+MAXLEN = int(os.environ.get("BENCH_MAXLEN", str(PREFILL + 512)))
 # Max dispatches in flight before a value barrier. Donation is deferred on
 # the relay (buffers reclaim at execution, not dispatch), so every queued
 # step pins a fresh KV-cache allocation; an unbounded queue OOMed the chip
