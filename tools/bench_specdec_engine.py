@@ -39,10 +39,24 @@ def log(m):
 
 
 def phase_anchor():
+    """Acceptance with the QUANTIZED base + engine wall-clock.
+
+    (a) EAGLE-1/3 drafters trained against the anchor, acceptance measured
+        with the W4A8-quantized base model doing the verification (the
+        quantity specdec_bench reports: does quantizing the base hurt
+        acceptance?).
+    (b) Medusa tree speculation END TO END on the real-quant serving
+        engine (wall-clock vs host-stepped plain decode) — the engine
+        path exerciser; medusa's acceptance on this corpus is ~0 (r02
+        harness agrees), so the wall number documents overhead, not win.
+    """
+    import dataclasses as _dc
+
     from tensorrt_model_optimizer_tpu.models import hf_loader, llama
     from tensorrt_model_optimizer_tpu.quant import compress, ptq
     from tensorrt_model_optimizer_tpu.serve import engine as serve_engine
-    from tensorrt_model_optimizer_tpu.speculative import medusa, tree as tree_mod
+    from tensorrt_model_optimizer_tpu.speculative import eagle, medusa
+    from tensorrt_model_optimizer_tpu.speculative import tree as tree_mod
     from tensorrt_model_optimizer_tpu.utils import synthlang
 
     cfg, params = hf_loader.load_hf_checkpoint("artifacts/anchor-llama")
@@ -52,58 +66,79 @@ def phase_anchor():
     train_steps = int(os.environ.get("SPECDEC_TRAIN", "300"))
     stream = lang.token_stream(max(train_steps, 64) * 8 * 65, seed=11)
     rng = np.random.default_rng(3)
-
-    mcfg = medusa.MedusaConfig(num_heads=3, num_layers=1)
-    heads = medusa.init_medusa(cfg, mcfg, jax.random.key(1))
-    step = jax.jit(medusa.make_medusa_train_step(cfg, lr=1e-3))
-    t0 = time.time()
-    for _ in range(train_steps):
-        starts = rng.integers(0, stream.size - 65, size=8)
-        toks = jnp.asarray(np.stack([stream[s : s + 65] for s in starts]))
-        heads, loss = step(heads, params, toks)
-    log(f"medusa heads trained ({time.time()-t0:.0f}s, loss {float(loss):.3f})")
+    N = int(os.environ.get("SPECDEC_TOKENS", "96"))
+    prompt = jnp.asarray(stream[:64][None].astype(np.int32))
 
     calib = [jnp.asarray(stream[i * 2048 : i * 2048 + 2048].reshape(8, 256))
              for i in range(2)]
     model = ptq.quantize(cfg, params, "W4A8_AWQ_BETA_CFG", calib)
+
+    def batches(n, bs=8, seq=64):
+        for _ in range(n):
+            starts = rng.integers(0, stream.size - seq - 1, size=bs)
+            yield jnp.asarray(np.stack([stream[s : s + seq + 1] for s in starts]))
+
+    results = {}
+    for method, init_fn, step_fn in (
+        ("eagle", eagle.init_eagle, eagle.make_eagle_ttt_train_step),
+        ("eagle3", eagle.init_eagle3, eagle.make_eagle3_ttt_train_step),
+    ):
+        t0 = time.time()
+        ecfg = eagle.EagleConfig(num_layers=1)
+        dp = init_fn(cfg, ecfg, jax.random.key(2))
+        step = jax.jit(step_fn(cfg, ttt_steps=3, lr=1e-3))
+        for toks in batches(train_steps):
+            dp, loss, accs = step(dp, params, toks)
+        # acceptance vs the BF16 base and vs the W4A8-QUANTIZED base
+        _, rate_bf16 = eagle.propose_and_verify(cfg, params, dp, prompt, N)
+        _, rate_q = eagle.propose_and_verify(
+            cfg, model.params, dp, prompt, N,
+            layout=model.layout, qstate=model.qstate)
+        results[method] = {
+            "accept_rate_bf16_base": round(float(rate_bf16), 4),
+            "accept_rate_w4a8_base": round(float(rate_q), 4),
+            "tokens_per_verify_w4a8": round(1 + float(rate_q) * 3, 3),
+            "train_s": round(time.time() - t0, 1),
+        }
+        log(f"{method}: accept bf16 {rate_bf16:.3f} / W4A8 {rate_q:.3f}")
+
+    # (b) engine wall-clock with the medusa tree path
+    mcfg = medusa.MedusaConfig(num_heads=3, num_layers=1)
+    heads = medusa.init_medusa(cfg, mcfg, jax.random.key(1))
+    mstep = jax.jit(medusa.make_medusa_train_step(cfg, lr=1e-3))
+    for toks in batches(train_steps):
+        heads, _ = mstep(heads, params, toks)
     cm = compress.compress(model)
-    # the anchor's shapes (K=704 down_proj) don't tile the fused word2/a8
-    # kernels — serve the plane layout through the XLA dequant backend
-    # (real-quant weights + the preset's act quantizers, just no fused
-    # kernel; the 8B envelope phase measures the fused a8 path)
     eng = serve_engine.Engine(cm, serve_engine.EngineConfig(
         max_seq_len=512, backend="xla", int4_layout="blockdot"))
-    prompt = jnp.asarray(stream[:64][None].astype(np.int32))
-    N = int(os.environ.get("SPECDEC_TOKENS", "96"))
-
-    # warm both paths, then time
     eng.generate_speculative(prompt, heads, max_new_tokens=8)
     t0 = time.time()
-    toks_spec, rate = eng.generate_speculative(prompt, heads, max_new_tokens=N)
+    toks_spec, mrate = eng.generate_speculative(prompt, heads, max_new_tokens=N)
     t_spec = time.time() - t0
-
     eng.generate_host(prompt, max_new_tokens=8)
     t0 = time.time()
     plain = eng.generate_host(prompt, max_new_tokens=N)
     t_plain = time.time() - t0
-
     match = float(np.mean(
-        np.asarray(toks_spec[: N]) == np.asarray(plain[0, :N])))
+        np.asarray(toks_spec[:N]) == np.asarray(plain[0, :N])))
     tree = tree_mod.build_tree()
     out = {
         "metric": "specdec-engine-anchor",
-        "model": "anchor-llama (trained) / W4A8_AWQ_BETA_CFG compressed",
-        "method": "medusa tree",
-        "tree_nodes": tree.n_nodes,
-        "accept_rate": round(float(rate), 4),
-        # harness convention (tools/bench_specdec.py): 1 bonus token per
-        # verify + accepted drafts, draft depth 3
-        "tokens_per_verify": round(1 + float(rate) * 3, 3),
-        "wall_spec_s": round(t_spec, 2),
-        "wall_plain_host_stepped_s": round(t_plain, 2),
-        "wall_speedup": round(t_plain / t_spec, 3) if t_spec else None,
-        "greedy_token_match_vs_plain": match,
+        "model": "anchor-llama (trained), W4A8_AWQ_BETA_CFG",
+        "eagle": results.get("eagle"),
+        "eagle3": results.get("eagle3"),
+        "medusa_engine_e2e": {
+            "tree_nodes": tree.n_nodes,
+            "accept_rate": round(float(mrate), 4),
+            "wall_spec_s": round(t_spec, 2),
+            "wall_plain_host_stepped_s": round(t_plain, 2),
+            "greedy_token_match_vs_plain": match,
+        },
         "new_tokens": N,
+        "note": ("eagle acceptance is the drafting-quality number (medusa "
+                 "drafts ~0 on this corpus, r02 harness agrees); combine "
+                 "tokens_per_verify with the 8b phase's cost ratio for the "
+                 "projected engine speedup"),
     }
     print(json.dumps(out))
 
@@ -113,6 +148,10 @@ def phase_8b():
     from tensorrt_model_optimizer_tpu.speculative import tree as tree_mod
 
     os.environ.setdefault("BENCH_FORMAT", "int4")
+    # tree-verify uses mask_override, which the packed-KV kernel rejects —
+    # pin the engine to the XLA cache path regardless of bench defaults
+    os.environ.setdefault("BENCH_KV", "none")
+    os.environ.setdefault("BENCH_KVK", "0")
     cfg, cm, eng = bench_mod.build_engine("int4", 32)
     tree = tree_mod.build_tree()
     N = tree.n_nodes
