@@ -70,7 +70,7 @@ def main():
 
     cfg = dit.DiTConfig(img_size=32, patch_size=2, in_channels=4,
                         hidden_size=HIDDEN, depth=DEPTH,
-                        num_heads=HIDDEN // 72, dtype=jnp.bfloat16)
+                        num_heads=HIDDEN // 64, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     params = dit.init_params(cfg, jax.random.key(0))
     # DiT zero-inits adaLN modulation + final_proj (identity-at-init);
