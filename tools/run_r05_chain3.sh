@@ -47,6 +47,18 @@ timeout 3600 python -u tools/bench_serve.py --llama8b --format int4 \
 log "serve_8b: $(head -c 400 $A/serve_8b.json)"
 
 health_gate
+log "4) RULER anchor training (retrieval curriculum, seq 448)"
+ANCHOR_RETRIEVAL=1 ANCHOR_STEPS=24000 ANCHOR_SEQ=448 ANCHOR_BATCH=16 \
+  timeout 7200 python -u tools/train_anchor.py \
+  > $A/train_ruler_anchor.log 2>&1
+log "anchor-ruler trained: $(tail -c 300 $A/train_ruler_anchor.log | tr '\n' ' ')"
+
+log "4b) RULER curve on the retrieval anchor"
+RULER_ANCHOR=artifacts/anchor-ruler timeout 3600 python -u \
+  tools/ruler_curve.py > $A/ruler_curve_r05.log 2>&1
+log "ruler: $(tail -c 400 $A/ruler_curve_r05.log | tr '\n' ' ')"
+
+health_gate
 log "2a) specdec: trained-anchor W4A8 end-to-end"
 SPECDEC_TRAIN=400 SPECDEC_TOKENS=96 timeout 2400 python -u \
   tools/bench_specdec_engine.py --phase anchor \
@@ -63,18 +75,6 @@ log "3) diffusion PTQ latency (DiT-XL/2 class)"
 timeout 3600 python -u tools/bench_diffusion.py \
   > $A/diffusion.json 2> $A/diffusion.err
 log "diffusion: $(cat $A/diffusion.json | tr '\n' ' ' | head -c 500)"
-
-health_gate
-log "4) RULER anchor training (retrieval curriculum, seq 448)"
-ANCHOR_RETRIEVAL=1 ANCHOR_STEPS=24000 ANCHOR_SEQ=448 ANCHOR_BATCH=16 \
-  timeout 7200 python -u tools/train_anchor.py \
-  > $A/train_ruler_anchor.log 2>&1
-log "anchor-ruler trained: $(tail -c 300 $A/train_ruler_anchor.log | tr '\n' ' ')"
-
-log "4b) RULER curve on the retrieval anchor"
-RULER_ANCHOR=artifacts/anchor-ruler timeout 3600 python -u \
-  tools/ruler_curve.py > $A/ruler_curve_r05.log 2>&1
-log "ruler: $(tail -c 400 $A/ruler_curve_r05.log | tr '\n' ' ')"
 
 log "=== r05 chain3 complete ==="
 touch $A/chain3.done
