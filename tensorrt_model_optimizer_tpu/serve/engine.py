@@ -130,8 +130,14 @@ class EngineConfig:
 # weight bytes, ~0.15 ms/layer at 8B) amortizes over every row — the r04
 # grid's 4-bit TTFT was 1.8x fp8's (int4 521 ms vs fp8 282 at BS1,
 # grid.json) for exactly this reason. Decode (N < threshold) is unaffected.
+# DEFAULT OFF (r5 grid measured the decompress route REGRESSING TTFT:
+# int4-a8 718 ms / nvfp4 1428 ms at BS1-2048 vs the r4 fused-kernel
+# prefills' 521/519 — the per-layer bf16 weight materialization costs more
+# HBM traffic than re-paying the in-kernel decode per row tile). The fused
+# kernels handle prefill rows since the r5 w48 row-tiling fix; set the env
+# to ~512 to re-enable the decompress route for experiments.
 _PREFILL_DECOMPRESS_ROWS = int(
-    os.environ.get("ENGINE_PREFILL_DECOMPRESS_ROWS", "512"))
+    os.environ.get("ENGINE_PREFILL_DECOMPRESS_ROWS", "1000000000"))
 
 
 def _slice_arrays_O(kind, arrays):

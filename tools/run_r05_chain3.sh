@@ -39,6 +39,16 @@ log "=== r05 chain3 queued (waits for chain2) ==="
 while [ ! -f $A/chain2.done ]; do sleep 60; done
 health_gate
 
+log "0) TTFT re-check: fused-kernel prefill (decompress route off)"
+for fmt in int4 nvfp4; do
+  env BENCH_FORMAT=$fmt BENCH_BS=1 BENCH_PREFILL=2048 BENCH_MAXLEN=2304 \
+    BENCH_KV=none BENCH_KVK=0 BENCH_ANCHOR=0 BENCH_ROUNDS=2 BENCH_STEPS=32 \
+    BENCH_TTFT=1 BENCH_TTFT_REPEATS=5 BENCH_DEADLINE=900 \
+    timeout 1200 python -u bench.py > $A/ttft_fused_$fmt.json \
+    2> $A/ttft_fused_$fmt.err
+  log "ttft_fused_$fmt: $(head -c 300 $A/ttft_fused_$fmt.json)"
+done
+
 log "1) 8B continuous batching (W4A8 a8, int8 KV, unroll 8, prefix cache)"
 timeout 3600 python -u tools/bench_serve.py --llama8b --format int4 \
   --layout a8 --kv int8 --requests 24 --prompt_len 1024 --shared_prefix 256 \
