@@ -238,11 +238,23 @@ def word_convert_site(kind: str, arr: dict, layout: str = "word") -> tuple[str, 
             # is pinned by tests/test_compress_serve.py. HBM weight bytes
             # double vs the 4-bit layouts (8-bit codes); the win is the
             # native 8-bit MXU serving class (int4-a8 lesson, r4 chain3).
-            w = decompress_weight("nvfp4", arr, out_dtype=jnp.float32)
-            amax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
-            scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
-            q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-            return "int8a8", {"q": q, "scale": scale.astype(jnp.float32)}
+            def _one(packed, slo, shi, gs):
+                w = decompress_weight(
+                    "nvfp4", {"packed": packed, "scale_lo": slo,
+                              "scale_hi": shi, "global_scale": gs},
+                    out_dtype=jnp.float32)
+                amax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+                scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+                q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+                return q, scale.astype(jnp.float32)
+
+            # per-LAYER conversion (_map_leading is sequential): the stacked
+            # [L, O, K] f32 decompress was a ~7.5 GB on-device temp per site
+            # and timed out the r5 grid's i8 cell
+            q, scale = _map_leading(
+                _one, arr["packed"], arr["scale_lo"], arr["scale_hi"],
+                arr["global_scale"])
+            return "int8a8", {"q": q, "scale": scale}
         if layout == "bd4":
             bsz = arr["packed"].shape[-1] // arr["scale_lo"].shape[-1]
             O = 2 * arr["packed"].shape[-2]
