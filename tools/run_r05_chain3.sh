@@ -39,6 +39,13 @@ log "=== r05 chain3 queued (waits for chain2) ==="
 while [ ! -f $A/chain2.done ]; do sleep 60; done
 health_gate
 
+log "0a) nvfp4-i8 BS1 cell (timed out pre-fix in the grid)"
+env BENCH_FORMAT=nvfp4 BENCH_LAYOUT=i8 BENCH_BS=1 BENCH_PREFILL=2048 \
+  BENCH_MAXLEN=2304 BENCH_KV=none BENCH_KVK=0 BENCH_ANCHOR=0 \
+  BENCH_ROUNDS=3 BENCH_TTFT=1 BENCH_DEADLINE=1300 \
+  timeout 1800 python -u bench.py > $A/grid_i8_bs1.json 2> $A/grid_i8_bs1.err
+log "i8_bs1: $(head -c 300 $A/grid_i8_bs1.json)"
+
 log "0) TTFT re-check: fused-kernel prefill (decompress route off)"
 for fmt in int4 nvfp4; do
   env BENCH_FORMAT=$fmt BENCH_BS=1 BENCH_PREFILL=2048 BENCH_MAXLEN=2304 \
